@@ -1,0 +1,89 @@
+"""Community detection by label propagation (LPA), exact tie-break parity.
+
+Parity contract
+(``/root/reference/apps/label_propagation/label_propagation.cpp``):
+
+- labels are seeded externally (the reference reads ``vid label nbr...``
+  lines, ``label_propagation.cpp:58-77``); our API takes an initial
+  ``(id, label)`` DataFrame, defaulting to each vertex's own id as a
+  string label;
+- gather over ALL edges accumulates a neighbor-label count map
+  (``:85-102``);
+- apply picks the label whose count strictly beats the running best
+  while iterating the key-ORDERED map (``:104-128``) — i.e. winner =
+  max count, ties broken to the LEXICOGRAPHICALLY SMALLEST label; a
+  vertex with no neighbors keeps its label (empty gather);
+- scatter signals neighbors of changed vertices (``:130-143``);
+  synchronous engine is the default (``:165``).
+
+Spark plan: per superstep ``labels ⋈ symmetric_edges`` then a two-level
+aggregation — ``groupBy(dst,label).count()`` (partial+final, absorbs
+hub fan-in) followed by ``groupBy(dst).min_by(label, struct(-count,
+label))`` which reproduces the ordered-map argmax exactly without a
+window sort. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import EdgeGraph
+from ..plans.checkpoint import CheckpointManager
+from ..plans.superstep import BSPResult, run_bsp
+
+
+def label_propagation(
+    graph: EdgeGraph,
+    initial_labels: DataFrame | None = None,
+    max_supersteps: int = 50,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = True,
+    verbose: bool = False,
+) -> BSPResult:
+    """Returns BSPResult whose state is ``(id long, label string)``."""
+    sym = graph.symmetric_edges
+    if initial_labels is None:
+        init = graph.vertices.select("id", F.col("id").cast("string").alias("label"))
+    else:
+        # Left join so vertices missing from the seed keep their id label.
+        init = (
+            graph.vertices.join(
+                initial_labels.withColumnRenamed("label", "__seed"), "id", "left"
+            )
+            .select(
+                "id",
+                F.coalesce(F.col("__seed"), F.col("id").cast("string")).alias("label"),
+            )
+        )
+
+    def step(state: DataFrame, i: int):
+        counts = (
+            sym.join(state, sym["src"] == state["id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # Ordered-map argmax: largest count, tie -> smallest label.
+        winners = counts.groupBy("dst").agg(
+            F.min_by("label", F.struct((-F.col("cnt")).alias("nc"), "label")).alias(
+                "winner"
+            )
+        )
+        joined = state.join(winners, state["id"] == winners["dst"], "left")
+        new_state = joined.select(
+            "id",
+            F.coalesce("winner", "label").alias("label"),
+            (F.coalesce("winner", "label") != F.col("label")).alias("__changed"),
+        ).persist()
+        changed = new_state.filter(F.col("__changed")).count()
+        new_state = new_state.drop("__changed")
+        return new_state, {"active": changed, "max_delta": float(changed)}, changed == 0
+
+    return run_bsp(
+        init,
+        step,
+        max_supersteps=max_supersteps,
+        checkpoint=checkpoint,
+        resume=resume,
+        verbose=verbose,
+    )

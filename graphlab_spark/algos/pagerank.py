@@ -1,0 +1,106 @@
+"""PageRank with exact reference semantics.
+
+Parity contract (``/root/reference/toolkits/graph_analytics/pagerank.cpp``):
+
+- init rank = 1.0 for every vertex (``pagerank.cpp:52``);
+- gather over IN edges of ``src.rank / src.num_out_edges``
+  (``pagerank.cpp:85-95``);
+- apply: ``rank = 0.15 + 0.85 * total`` where a vertex with no in-edges
+  gets the default-constructed total 0.0
+  (``pagerank.cpp:98-105``, ``synchronous_engine.hpp:1589-1590``);
+- ranks are NOT normalized and dangling mass is NOT redistributed
+  (``graph_analytics.dox:336-339``);
+- tolerance mode: iterate until every per-vertex |Δ| <= tol
+  (scatter gating at ``pagerank.cpp:108-119``); fixed-iteration mode
+  mirrors ``--iterations`` with ``sched_allv`` (``pagerank.cpp:216-223``).
+
+Plan shape (scale-first): the edge table is joined ONCE with
+out-degrees to bake a per-edge contribution weight, then repartitioned
+by ``src`` and persisted — per superstep only the (|V|-sized) rank
+DataFrame shuffles to meet it; the message aggregation is a native
+partial+final hash aggregate (the analog of the reference's
+local-gather-then-master merge, ``synchronous_engine.hpp:1563-1663``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import EdgeGraph
+from ..plans.checkpoint import CheckpointManager
+from ..plans.superstep import BSPResult, run_bsp
+
+DAMPING = 0.85
+BASE = 0.15
+
+
+def pagerank(
+    graph: EdgeGraph,
+    tol: float = 1e-6,
+    max_supersteps: int = 200,
+    fixed_supersteps: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = True,
+    verbose: bool = False,
+) -> BSPResult:
+    """Returns BSPResult whose state is ``(id long, rank double)``."""
+    contribs = (
+        graph.edges.join(
+            graph.out_degrees.withColumnRenamed("id", "src"), "src"
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("cw"))
+        .repartition(graph.num_edge_partitions, "src")
+        .persist()
+    )
+    init = graph.vertices.select("id", F.lit(1.0).alias("rank"))
+
+    def step(state: DataFrame, i: int):
+        msgs = (
+            contribs.join(state, contribs["src"] == state["id"])
+            .select("dst", (F.col("rank") * F.col("cw")).alias("m"))
+            .groupBy("dst")
+            .agg(F.sum("m").alias("total"))
+        )
+        joined = state.join(msgs, state["id"] == msgs["dst"], "left")
+        new_state = joined.select(
+            "id",
+            (F.lit(BASE) + F.lit(DAMPING) * F.coalesce(F.col("total"), F.lit(0.0))).alias(
+                "rank"
+            ),
+            F.abs(
+                F.lit(BASE)
+                + F.lit(DAMPING) * F.coalesce(F.col("total"), F.lit(0.0))
+                - F.col("rank")
+            ).alias("__delta"),
+        )
+        new_state = new_state.persist()
+        if fixed_supersteps is not None:
+            converged = i + 1 >= fixed_supersteps
+            metrics = {"active": -1, "max_delta": float("nan")}
+        else:
+            row = new_state.agg(
+                F.max("__delta").alias("max_delta"),
+                F.sum(F.when(F.col("__delta") > tol, 1).otherwise(0)).alias("active"),
+            ).first()
+            max_delta = row["max_delta"] or 0.0
+            converged = max_delta <= tol
+            metrics = {"active": int(row["active"] or 0), "max_delta": float(max_delta)}
+        return new_state.drop("__delta"), metrics, converged
+
+    result = run_bsp(
+        init,
+        step,
+        max_supersteps=fixed_supersteps or max_supersteps,
+        checkpoint=checkpoint,
+        resume=resume,
+        verbose=verbose,
+    )
+    contribs.unpersist()
+    return result
+
+
+def total_rank(ranks: DataFrame) -> float:
+    """The reference's map_reduce_vertices total-rank aggregate
+    (``pagerank.cpp:257-258``)."""
+    return ranks.agg(F.sum("rank")).first()[0]

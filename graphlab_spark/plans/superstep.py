@@ -1,0 +1,92 @@
+"""The bulk-synchronous superstep driver loop (engine core).
+
+This is the Spark-native re-expression of
+``synchronous_engine<VP>::start()``
+(``/root/reference/src/graphlab/engine/synchronous_engine.hpp:1271-1452``):
+
+  exchange_messages  -> shuffle + partial/final aggregation (groupBy.agg)
+  receive_messages   -> the active-set DataFrame
+  termination check  -> one driver-side action per superstep
+  execute_gathers    -> edges ⋈ state join + aggregation
+  execute_applys     -> left join of the aggregate onto state + exprs
+  execute_scatters   -> changed-set join producing next-round messages
+  snapshot hook      -> CheckpointManager + lineage truncation
+
+Algorithms supply a ``step`` callable; the driver owns persistence,
+lineage truncation, durable checkpoints, resume, and the per-superstep
+metrics history (convergence + skew), mirroring the engine/algorithm
+split of the reference (``ivertex_program.hpp`` vs ``synchronous_engine``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from .checkpoint import CheckpointManager, SuperstepMetrics, truncate_lineage
+
+# step(state, superstep) -> (new_state, metrics dict, converged bool)
+StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict, bool]]
+
+
+@dataclass
+class BSPResult:
+    state: DataFrame
+    supersteps: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+
+def run_bsp(
+    initial_state: DataFrame,
+    step: StepFn,
+    max_supersteps: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = True,
+    verbose: bool = False,
+) -> BSPResult:
+    """Run a synchronous GAS loop to convergence or ``max_supersteps``.
+
+    One intentional driver action per superstep (the termination
+    all-reduce of ``synchronous_engine.hpp:1360-1368``); state is
+    persisted each round, lineage-truncated, and durably checkpointed on
+    the manager's cadence.
+    """
+    ckpt = checkpoint or CheckpointManager(None)
+    start_step = 0
+    state = initial_state
+    if resume and ckpt.directory:
+        latest = ckpt.latest(initial_state.sparkSession)
+        if latest is not None:
+            start_step, state = latest
+            start_step += 1
+    state = state.persist()
+    history: list[dict] = []
+    converged = False
+    i = start_step
+    for i in range(start_step, max_supersteps):
+        t0 = time.time()
+        new_state, metrics, converged = step(state, i)
+        new_state = truncate_lineage(new_state.persist())
+        wall_ms = int((time.time() - t0) * 1000)
+        metrics = {"superstep": i, "wall_ms": wall_ms, **metrics}
+        history.append(metrics)
+        if verbose:
+            print(f"[superstep {i}] {metrics}")
+        state.unpersist()
+        state = new_state
+        if ckpt.should_checkpoint(i) and not converged:
+            sm = SuperstepMetrics(
+                superstep=i,
+                rows=int(metrics.get("rows", -1)),
+                active=int(metrics.get("active", -1)),
+                max_delta=float(metrics.get("max_delta", float("nan"))),
+                wall_ms=wall_ms,
+            )
+            state = ckpt.save(i, state, sm).persist()
+        if converged:
+            break
+    return BSPResult(state=state, supersteps=i + 1, converged=converged, history=history)

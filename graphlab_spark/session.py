@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for iterative link-graph workloads.
+
+Scale design notes (100 TB / 1000-executor target):
+
+- AQE is on: skew-join splitting and partition coalescing replace the
+  reference's hand-rolled vertex-cut balancing (the reference balances
+  edge placement at ingress; Spark re-balances at every shuffle, so the
+  equivalent knob is adaptive shuffle planning, not static placement).
+- ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a
+  real cluster pass ``shuffle_partitions`` ~ 2-3x total executor cores.
+- Arrow is enabled for every pandas-UDF path (no per-row Python
+  anywhere, per the project north rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP = "graphlab-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with iterative-graph-friendly conf.
+
+    ``cores`` pins ``local[cores]`` (used by the two-level scaling bench);
+    default is ``local[$SPARK_GRAFT_CPUS]`` falling back to all cores.
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(8, 2 * cores)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,118 @@
+"""Graph file loaders/savers (SURVEY §2.1).
+
+Reference format dispatcher: ``load_format(path, fmt)`` with formats
+snap/adj/tsv/csv/graphjrl/bintsv4/bin
+(``/root/reference/src/graphlab/graph/distributed_graph.hpp:2412-2438``;
+parsers in ``builtin_parsers.hpp``). All parsers drop self-loops
+(``builtin_parsers.hpp:74,94,137``); '#' comment lines are snap-only.
+
+Spark mapping: every text format is a ``spark.read`` + vectorized parse
+expression (files split across executors for free — the reference's
+per-machine file-subset logic, ``distributed_graph.hpp:2333-2342``, is
+native here). Binary journal formats map to Parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def _pairs(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+
+
+def load_snap(spark: SparkSession, path: str) -> DataFrame:
+    """SNAP: tab-separated ``src\tdst``, '#' comments
+    (``builtin_parsers.hpp:62-77``)."""
+    df = spark.read.csv(path, sep="\t", comment="#", schema=EDGE_SCHEMA)
+    return _pairs(df.filter(F.col("src").isNotNull()))
+
+
+def load_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """TSV: ``src\tdst`` (``builtin_parsers.hpp:85-96``)."""
+    return _pairs(spark.read.csv(path, sep="\t", schema=EDGE_SCHEMA))
+
+
+def load_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV: ``src,dst`` (``builtin_parsers.hpp:99-113``)."""
+    return _pairs(spark.read.csv(path, sep=",", schema=EDGE_SCHEMA))
+
+
+def load_adj(spark: SparkSession, path: str) -> DataFrame:
+    """Adjacency list: ``src n tgt1 ... tgtn`` per line
+    (``builtin_parsers.hpp:119-142``) -> split + explode."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    toks = F.split(F.trim("value"), r"\s+")
+    return _pairs(
+        lines.select(
+            toks.getItem(0).alias("src"),
+            F.explode(F.slice(toks, 3, 1_000_000)).alias("dst"),
+        )
+    )
+
+
+def load_parquet_edges(spark: SparkSession, path: str) -> DataFrame:
+    """Native columnar path (the graphjrl/bintsv4 binary analogs)."""
+    return _pairs(spark.read.parquet(path))
+
+
+def load_format(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    loaders = {
+        "snap": load_snap,
+        "tsv": load_tsv,
+        "csv": load_csv,
+        "adj": load_adj,
+        "parquet": load_parquet_edges,
+        "bin": load_parquet_edges,
+        "graphjrl": load_parquet_edges,
+        "bintsv4": load_parquet_edges,
+    }
+    if fmt not in loaders:
+        raise ValueError(f"unknown graph format: {fmt}")
+    return loaders[fmt](spark, path)
+
+
+# -- savers (``distributed_graph.hpp:2082-2140``) ----------------------------
+
+
+def save_edges(edges: DataFrame, path: str, fmt: str = "tsv") -> None:
+    if fmt in ("tsv", "snap"):
+        edges.select("src", "dst").write.mode("overwrite").csv(path, sep="\t")
+    elif fmt == "csv":
+        edges.select("src", "dst").write.mode("overwrite").csv(path, sep=",")
+    elif fmt in ("parquet", "bin", "graphjrl", "bintsv4"):
+        edges.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"unknown graph format: {fmt}")
+
+
+def save_edge_list_structure(edges: DataFrame, path: str) -> None:
+    """``graph_ops::save_edge_list_structure`` (``graph_ops.hpp:183``)."""
+    edges.select("src", "dst").write.mode("overwrite").csv(path, sep=" ")
+
+
+def load_synthetic_powerlaw(
+    spark: SparkSession, n: int, alpha: float = 2.1, in_degree: bool = False,
+    truncate: int = 100_000_000, seed: int = 42,
+) -> DataFrame:
+    """Synthetic power-law graph (``distributed_graph.hpp:2371-2403``):
+    each vertex v draws out-degree ~ Zipf(alpha) (or in-degree when
+    ``in_degree``), targets chosen by stride hashing. Deterministic via
+    seeded hashes; fully vectorized (range -> explode)."""
+    v = spark.range(n).select(F.col("id").alias("src"))
+    u = (F.pmod(F.xxhash64("src", F.lit(seed)), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    deg = F.least(
+        F.lit(min(truncate, n - 1)),
+        F.ceil(F.pow(F.lit(1.0) - u, F.lit(-1.0 / (alpha - 1.0)))).cast("long"),
+    )
+    e = v.select("src", F.explode(F.sequence(F.lit(1), deg)).alias("k"))
+    dst = F.pmod(F.xxhash64("src", "k", F.lit(seed + 1)), F.lit(n))
+    out = e.select("src", dst.alias("dst")).filter(F.col("src") != F.col("dst"))
+    if in_degree:
+        out = out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return out

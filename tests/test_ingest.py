@@ -1,0 +1,90 @@
+"""Transcript synthesis + edge derivation tests (FIXTURES.md §1-2)."""
+
+from pyspark.sql import functions as F
+
+from graphlab_spark import EdgeGraph
+from graphlab_spark.sources.transcripts import (
+    role_node,
+    synthetic_transcripts,
+    tool_node,
+    transcripts_to_edges,
+    turn_node,
+    verify_turn_order_invariant,
+)
+
+
+def test_synthetic_transcripts_shape(spark):
+    t = synthetic_transcripts(spark, n_convs=50)
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.count() >= 100  # >= 2 turns per conversation
+    per_conv = t.groupBy("conv_id").count()
+    mn, mx = per_conv.agg(F.min("count"), F.max("count")).first()
+    assert mn >= 2 and mx <= 64
+    # roles alternate deterministically
+    bad = t.filter(
+        ((F.col("turn_idx") % 2 == 0) & (F.col("role") != "user"))
+        | ((F.col("turn_idx") % 2 == 1) & (F.col("role") != "assistant"))
+    ).count()
+    assert bad == 0
+
+
+def test_synthetic_transcripts_deterministic(spark):
+    a = synthetic_transcripts(spark, n_convs=30).orderBy("conv_id", "turn_idx").collect()
+    b = synthetic_transcripts(spark, n_convs=30).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+
+
+def test_per_turn_text_equality_invariant(spark):
+    t = synthetic_transcripts(spark, n_convs=40)
+    assert verify_turn_order_invariant(t) == 0
+
+
+def test_edge_derivation_counts(spark):
+    t = synthetic_transcripts(spark, n_convs=25).persist()
+    edges = transcripts_to_edges(t)
+    n_turns = t.count()
+    n_convs = t.select("conv_id").distinct().count()
+    n_tool_turns = t.filter(F.col("tool").isNotNull()).count()
+    # sequence edges: turns - convs; role edges: one per turn; tool edges:
+    # one per tool turn. Self-loop drop can only remove hash collisions
+    # (none expected at this scale).
+    assert edges.count() == (n_turns - n_convs) + n_turns + n_tool_turns
+    t.unpersist()
+
+
+def test_edge_derivation_is_deterministic_across_parallelism(spark):
+    t = synthetic_transcripts(spark, n_convs=20)
+    e1 = sorted(transcripts_to_edges(t).collect())
+    e2 = sorted(transcripts_to_edges(t.repartition(13)).collect())
+    assert e1 == e2
+
+
+def test_sequence_edges_follow_turn_order(spark):
+    rows = [
+        ("x", 0, "user", "t0", None),
+        ("x", 1, "assistant", "t1", "grep"),
+        ("x", 2, "user", "t2", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    edges = set((r.src, r.dst) for r in transcripts_to_edges(t).collect())
+    n = lambda i: spark.range(1).select(turn_node(F.lit("x"), F.lit(i))).first()[0]
+    role = lambda r: spark.range(1).select(role_node(F.lit(r))).first()[0]
+    tool = spark.range(1).select(tool_node(F.lit("grep"))).first()[0]
+    expected = {
+        (n(0), n(1)), (n(1), n(2)),          # sequence
+        (n(1), tool),                          # tool co-occurrence
+        (n(0), role("user")), (n(1), role("assistant")), (n(2), role("user")),
+    }
+    assert edges == expected
+
+
+def test_roles_are_hubs(spark):
+    t = synthetic_transcripts(spark, n_convs=100)
+    g = EdgeGraph(transcripts_to_edges(t), num_edge_partitions=8)
+    n_turns = t.count()
+    top = g.in_degrees.orderBy(F.desc("in_degree")).limit(2).collect()
+    # the two role vertices absorb one edge per turn between them
+    assert sum(r.in_degree for r in top) == n_turns
+    g.unpersist()
