@@ -1,0 +1,372 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact + near-duplicate detection over a `documents(doc_id, text, ...)`
+table, each scale-first and with a DuckDB-replayable SQL twin:
+
+- **exact**: md5-hash groupBy (one shuffle on the hash);
+- **n-gram Jaccard**: char-shingle inverted index -> shared-shingle
+  candidate pairs -> exact Jaccard verify;
+- **MinHash + LSH**: shingles -> dense shingle ids -> k permutation
+  min-hashes -> banded bucket join -> Jaccard verify (the scale path:
+  candidate generation touches only docs sharing a band, never the
+  full pair matrix);
+- **SimHash**: token-hash sign aggregation into a B-bit signature,
+  nibble-banded candidate pairs within Hamming distance.
+
+Portability rule (shared with the driver's DuckDB oracle): all "hash"
+functions are arithmetic over *dense ranks* of the distinct shingle /
+token strings (`row_number() over (order by s)`), never engine hash
+builtins — so any SQL engine reproduces identical signatures.
+
+At 100 TB the shingle inverted index dominates; everything here is
+groupBy/join over (id, shingle-id) longs — native partial+final hash
+aggregation, AQE skew splitting for hot shingles, no Python in the
+plan. The reference (a graph engine) has no dedup subsystem; these are
+the training-data-pipeline extensions from the project brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+JACCARD_TAU = 0.8
+
+MINHASH_P = 2147483647  # 2^31 - 1, prime
+# fixed (a, b) permutation coefficients — 8 hashes, 4 bands x 2 rows
+MINHASH_COEFFS = [
+    (1203077, 94321), (2038075, 515093), (3714089, 860981), (494501, 1282807),
+    (5583631, 173627), (6192733, 2038721), (7154587, 391939), (8237321, 3415217),
+]
+MINHASH_BAND_ROWS = 2
+
+SIMHASH_BITS = 16
+SIMHASH_A, SIMHASH_B, SIMHASH_M = 1103515245, 12345, 2**31
+SIMHASH_HAM_MAX = 3
+
+
+# -- shingling ---------------------------------------------------------------
+
+def char_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct (doc_id, shingle) character n-grams; texts shorter than
+    n contribute their whole text as one shingle."""
+    arr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {n - 1}, 1)),"
+        f" i -> substring(text, i, {n})))"
+    )
+    return docs.select("doc_id", F.explode(arr).alias("s"))
+
+
+def sql_char_shingles(n: int = SHINGLE_N, table: str = "documents") -> str:
+    return (
+        f"SELECT DISTINCT doc_id, s FROM (SELECT doc_id, "
+        f"unnest([substr(text, i, {n}) for i in "
+        f"generate_series(1, greatest(length(text) - {n - 1}, 1))]) AS s FROM {table})"
+    )
+
+
+def shingle_dim(shingles: DataFrame) -> DataFrame:
+    """(s, sid): dense 1-based rank of each distinct shingle by value —
+    the engine-portable 'hash' domain for MinHash.
+
+    Scale note: the global row_number is a single-partition sort, fine
+    for the bounded 3-gram alphabet but NOT for unbounded domains — the
+    production path (`portable=False` in the callers) uses `xxhash64`
+    directly: no window, fully parallel, engine-specific values.
+    """
+    w = Window.orderBy("s")
+    return (
+        shingles.select("s").distinct()
+        .select("s", F.row_number().over(w).cast("long").alias("sid"))
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, canonical_id) for every md5-identical group
+    with >1 member; canonical = min doc_id (the survivor)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def sql_exact_dup_groups(table: str = "documents") -> str:
+    return (
+        f"SELECT md5(text) AS text_hash, count(*) AS n_docs, "
+        f"min(doc_id) AS canonical_id FROM {table} "
+        f"GROUP BY 1 HAVING count(*) > 1"
+    )
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+def jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_a, doc_b, jac) for pairs with shingle-set Jaccard >= tau.
+
+    Candidate generation via the shingle inverted index (pairs must
+    share >=1 shingle); hot shingles are bounded by the n-gram alphabet
+    and AQE skew-join splits the residual skew.
+    """
+    sh = char_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= tau)
+    )
+    return out
+
+
+def sql_jaccard_pairs(tau: float = JACCARD_TAU, n: int = SHINGLE_N,
+                      table: str = "documents") -> str:
+    return f"""
+WITH sh AS ({sql_char_shingles(n, table)}),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (x.n_sh + y.n_sh - i), 6) AS jac
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(CAST(i AS DOUBLE) / (x.n_sh + y.n_sh - i), 6) >= {tau}
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N,
+                       portable: bool = True) -> DataFrame:
+    """(doc_id, m0..m{k-1}): k permutation min-hashes over shingle ids —
+    one groupBy with k min() aggregates (partial+final, one shuffle).
+
+    portable=True uses the dense-rank shingle dim (SQL-replayable, for
+    the oracle); portable=False hashes shingles with `xxhash64` — the
+    scale path with no global sort (values are engine-specific but the
+    LSH/dedup *semantics* are identical).
+    """
+    sh = char_shingles(docs, n)
+    if portable:
+        with_sid = sh.join(shingle_dim(sh), "s")
+    else:
+        with_sid = sh.select(
+            "doc_id", (F.abs(F.xxhash64("s")) % F.lit(MINHASH_P)).alias("sid"))
+    aggs = [
+        F.min((F.lit(a).cast("long") * F.col("sid") + F.lit(b)) % F.lit(MINHASH_P))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return with_sid.groupBy("doc_id").agg(*aggs)
+
+
+def sql_minhash_signatures(n: int = SHINGLE_N, table: str = "documents") -> str:
+    mins = ", ".join(
+        f"min(({a} * sid + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"""
+WITH sh AS ({sql_char_shingles(n, table)}),
+dim AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
+        FROM (SELECT DISTINCT s FROM sh)),
+ws AS (SELECT doc_id, sid FROM sh JOIN dim USING (s))
+SELECT doc_id, {mins} FROM ws GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
+                      n: int = SHINGLE_N, portable: bool = True) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard >= tau.
+
+    Bands of MINHASH_BAND_ROWS rows; a pair is a candidate iff it
+    collides in >=1 band.  This is the 100 TB path: the join fans out on
+    (band, band-key), never on raw shingles or the full pair matrix.
+    """
+    k = len(MINHASH_COEFFS)
+    n_bands = k // MINHASH_BAND_ROWS
+    sig = minhash_signatures(docs, n, portable=portable).persist()
+    bands = None
+    for j in range(n_bands):
+        cols = [f"m{j * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
+        bd = sig.select(
+            "doc_id", F.lit(j).alias("band"),
+            F.concat_ws("_", *cols).alias("bkey"),
+        )
+        bands = bd if bands is None else bands.unionAll(bd)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Candidate-driven exact-Jaccard verify: intersections are computed
+    # ONLY for banded candidates (never the full inverted-index pair
+    # blowup — hot shingles like ' th' would make that quadratic).
+    sh = char_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= tau)
+    )
+
+
+def sql_minhash_lsh_pairs(tau: float = JACCARD_TAU, n: int = SHINGLE_N,
+                          table: str = "documents") -> str:
+    k = len(MINHASH_COEFFS)
+    n_bands = k // MINHASH_BAND_ROWS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            j=j,
+            cols=", ".join(
+                f"m{j * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({sql_minhash_signatures(n, table)}),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id),
+jac AS ({sql_jaccard_pairs(tau, n, table)})
+SELECT j.doc_a, j.doc_b, j.jac FROM jac j
+JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+"""
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def _token_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) lowercase whitespace tokens WITH multiplicity."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+
+
+def simhash_signatures(docs: DataFrame, portable: bool = True) -> DataFrame:
+    """(doc_id, simhash): B-bit sign-aggregated signature over token
+    hashes (h = (A*tid + B) mod M), token multiplicity as weight — one
+    groupBy with B conditional sums.  `portable` as in
+    `minhash_signatures` (dense-rank dim vs xxhash64 scale path)."""
+    toks = _token_df(docs)
+    if portable:
+        w = Window.orderBy("tok")
+        dim = toks.select("tok").distinct().select(
+            "tok", F.row_number().over(w).cast("long").alias("tid"))
+        with_tid = toks.join(dim, "tok")
+    else:
+        with_tid = toks.select(
+            "doc_id", (F.abs(F.xxhash64("tok")) % F.lit(SIMHASH_M)).alias("tid"))
+    h = (F.lit(SIMHASH_A).cast("long") * F.col("tid") + F.lit(SIMHASH_B)) % F.lit(SIMHASH_M)
+    with_h = with_tid.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    return (
+        with_h.groupBy("doc_id").agg(*bit_sums)
+        .select("doc_id", sig_expr.cast("long").alias("simhash"))
+    )
+
+
+def sql_simhash_signatures(table: str = "documents") -> str:
+    bit_sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM {table}) WHERE length(tok) > 0),
+dim AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+        FROM (SELECT DISTINCT tok FROM toks)),
+wh AS (SELECT doc_id, ({SIMHASH_A} * tid + {SIMHASH_B}) % {SIMHASH_M} AS h
+       FROM toks JOIN dim USING (tok)),
+sums AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def simhash_pairs(docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX,
+                  portable: bool = True) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within Hamming distance, candidates
+    via nibble banding (B/4 bands of 4 bits; distance <= 3 guarantees
+    >=1 identical nibble by pigeonhole)."""
+    sig = simhash_signatures(docs, portable=portable).persist()
+    n_nibbles = SIMHASH_BITS // 4
+    bands = None
+    for j in range(n_nibbles):
+        bd = sig.select(
+            "doc_id", "simhash", F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), 4 * j).bitwiseAND(F.lit(15)).alias("bkey"),
+        )
+        bands = bd if bands is None else bands.unionAll(bd)
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+                     "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+                     "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
+def sql_simhash_pairs(ham_max: int = SIMHASH_HAM_MAX, table: str = "documents") -> str:
+    n_nibbles = SIMHASH_BITS // 4
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {4 * j}) & 15 AS bkey FROM sig"
+        for j in range(n_nibbles)
+    )
+    return f"""
+WITH sig AS ({sql_simhash_signatures(table)}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {ham_max}
+"""

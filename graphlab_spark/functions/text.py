@@ -1,0 +1,164 @@
+"""Text analysis for training-data pipelines over a `documents` table.
+
+Operators (each JVM-side Catalyst expressions — no Python in the hot
+path; every regex / constant is shared with a DuckDB-replayable SQL twin
+so the driver's oracle can verify values):
+
+- token counting: whitespace tokens + a BPE-ish regex tokenizer;
+- language ID: stopword-hit n-gram heuristic over {en,de,es,fr};
+- quality scoring: length / alphabetic / punctuation / stopword ratios
+  combined into one bounded score;
+- document fingerprinting: min-of-window-hashes (winnowing-style) over
+  character k-grams.
+
+The reference has no text subsystem (it is a graph engine); these are
+the training-data-pipeline extensions required by the project brief.
+All operators are narrow per-row column work: they pipeline into the
+parquet scan with zero shuffle and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- shared constants (single source of truth for Spark exprs + oracle SQL)
+
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "es": ["el", "los", "que", "por", "con", "para", "una", "como", "pero", "sus"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans", "pour", "qui", "pas"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie-break priority
+
+FINGERPRINT_K = 8  # char-window width for fingerprinting
+
+
+def _stop_re(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+# -- Spark column expressions ------------------------------------------------
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    return F.regexp_count(text, F.lit(BPE_RE)).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(_stop_re(lang))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties break by LANG_ORDER;
+    zero hits everywhere -> 'und' (undetermined)."""
+    scores = {lang: stopword_hits(text, lang) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    a = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(a.cast("double") / n)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Bounded [0,1] quality heuristic:
+    0.4*min(tokens/64,1) + 0.4*alpha_ratio + 0.2*min(4*en_stop_ratio,1).
+    """
+    toks = ws_token_count(text)
+    stop_ratio = F.when(toks == 0, F.lit(0.0)).otherwise(
+        stopword_hits(text, "en").cast("double") / toks
+    )
+    return (
+        F.lit(0.4) * F.least(toks.cast("double") / 64.0, F.lit(1.0))
+        + F.lit(0.4) * alpha_ratio(text)
+        + F.lit(0.2) * F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Winnowing-style fingerprint: min over md5 of all K-char windows
+    (md5 of the whole text when shorter than K).  Equal fingerprints are
+    near-duplicate candidates; exact duplicates always collide."""
+    k = FINGERPRINT_K
+    win = F.expr(
+        f"array_min(transform(sequence(1, length(text) - {k - 1}),"
+        f" i -> md5(substring(text, i, {k}))))"
+    )
+    return F.when(F.length(text) < k, F.md5(text)).otherwise(win)
+
+
+# -- DuckDB oracle SQL twins -------------------------------------------------
+
+def sql_ws_token_count(col: str = "text") -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE "
+        f"len(regexp_split_to_array(trim({col}), '\\s+')) END"
+    )
+
+
+def sql_bpe_token_count(col: str = "text") -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_RE}'))"
+
+
+def sql_stopword_hits(lang: str, col: str = "text") -> str:
+    return f"len(regexp_extract_all(lower({col}), '{_stop_re(lang)}'))"
+
+
+def sql_lang_id(col: str = "text") -> str:
+    s = {lang: sql_stopword_hits(lang, col) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(s.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in LANG_ORDER:
+        case += f"WHEN {s[lang]} = {best} THEN '{lang}' "
+    return case + "ELSE 'und' END"
+
+
+def sql_alpha_ratio(col: str = "text") -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
+        f"CAST(length(regexp_replace({col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        f" / length({col}) END"
+    )
+
+
+def sql_quality_score(col: str = "text") -> str:
+    toks = sql_ws_token_count(col)
+    stops = sql_stopword_hits("en", col)
+    stop_ratio = f"CASE WHEN {toks} = 0 THEN 0.0 ELSE CAST({stops} AS DOUBLE) / {toks} END"
+    return (
+        f"0.4 * least(CAST({toks} AS DOUBLE) / 64.0, 1.0)"
+        f" + 0.4 * {sql_alpha_ratio(col)}"
+        f" + 0.2 * least(4.0 * ({stop_ratio}), 1.0)"
+    )
+
+
+def sql_fingerprint(col: str = "text") -> str:
+    k = FINGERPRINT_K
+    return (
+        f"CASE WHEN length({col}) < {k} THEN md5({col}) ELSE "
+        f"list_min([md5(substr({col}, i, {k}))"
+        f" for i in generate_series(1, length({col}) - {k - 1})]) END"
+    )

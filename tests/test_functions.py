@@ -1,0 +1,190 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal.
+
+Each oracle-checked operator is verified value-for-value against its own
+DuckDB SQL twin at sf0.001 (the same comparison the driver harness runs
+at sf0.01); LSH paths additionally assert recall / candidate-superset
+properties that SQL can't express.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.functions import dedup as D
+from graphlab_spark.functions import multimodal as M
+from graphlab_spark.functions import similarity as S
+from graphlab_spark.functions import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    return con
+
+
+def assert_parity(sdf, duck, sql):
+    sp = sorted(tuple(r) for r in sdf.collect())
+    dk = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert sp == dk, (
+        f"spark={len(sp)} duck={len(dk)} "
+        f"spark_only={list(set(sp) - set(dk))[:3]} duck_only={list(set(dk) - set(sp))[:3]}"
+    )
+
+
+# -- text --------------------------------------------------------------------
+
+def test_text_ops_parity(spark, docs, duck):
+    sdf = docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("ws_toks"),
+        T.bpe_token_count(F.col("text")).alias("bpe_toks"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    sql = (
+        f"SELECT doc_id, {T.sql_ws_token_count()} AS ws_toks, "
+        f"{T.sql_bpe_token_count()} AS bpe_toks, {T.sql_lang_id()} AS lang_guess, "
+        f"round({T.sql_quality_score()}, 6) AS quality, "
+        f"{T.sql_fingerprint()} AS fp FROM documents"
+    )
+    assert_parity(sdf, duck, sql)
+
+
+def test_text_edge_cases(spark):
+    rows = [(1, ""), (2, "   "), (3, "a"), (4, "the the the"), (5, "der und das ist")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["toks"], r["lang"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            T.ws_token_count(F.col("text")).alias("toks"),
+            T.lang_id(F.col("text")).alias("lang"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[1][0] == 0 and out[2][0] == 0
+    assert out[3][0] == 1
+    assert out[4][1] == "en"
+    assert out[5][1] == "de"
+    assert all(v[2] is not None for v in out.values())
+
+
+# -- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_parity_and_planted(spark, docs, duck):
+    assert_parity(D.exact_dup_groups(docs), duck, D.sql_exact_dup_groups())
+    # planted exact dups must be found
+    planted = docs.limit(3).select(F.col("doc_id") + 100000, "text", "lang",
+                                   "source", "n_chars")
+    with_dups = docs.unionByName(planted.toDF(*docs.columns))
+    groups = D.exact_dup_groups(with_dups).collect()
+    assert len(groups) == 3
+    assert all(g["n_docs"] == 2 for g in groups)
+
+
+def test_jaccard_pairs_parity(spark, docs, duck):
+    assert_parity(D.jaccard_pairs(docs), duck, D.sql_jaccard_pairs())
+
+
+def test_minhash_lsh_parity_and_recall(spark, docs, duck):
+    assert_parity(D.minhash_lsh_pairs(docs), duck, D.sql_minhash_lsh_pairs())
+    # LSH candidates must recover every >=tau pair here (high-sim pairs
+    # collide in >=1 band with near certainty at tau=0.8, k=8, r=2)
+    full = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(docs).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert lsh == full
+
+
+def test_minhash_nonportable_same_pairs(spark, docs):
+    """The xxhash64 scale path must find the same verified pairs (the
+    signatures differ; the verified-pair semantics must not)."""
+    portable = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    fast = {(r["doc_a"], r["doc_b"])
+            for r in D.minhash_lsh_pairs(docs, portable=False).collect()}
+    assert fast == portable
+
+
+def test_simhash_parity(spark, docs, duck):
+    assert_parity(D.simhash_signatures(docs), duck, D.sql_simhash_signatures())
+    assert_parity(D.simhash_pairs(docs), duck, D.sql_simhash_pairs())
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "totally different words entirely unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_pairs(df, ham_max=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+# -- similarity --------------------------------------------------------------
+
+def test_cosine_pairs_parity(spark, emb, duck):
+    assert_parity(S.cosine_pairs(emb), duck, S.sql_cosine_pairs())
+
+
+def test_ann_brute_parity(spark, emb, duck):
+    assert_parity(S.ann_topk_brute(emb), duck, S.sql_ann_topk_brute())
+
+
+def test_ann_lsh_recall(spark, emb):
+    brute = {(r["query_id"], r["neighbor_id"]) for r in S.ann_topk_brute(emb).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in S.ann_topk_lsh(emb).collect()}
+    assert len(brute & lsh) / len(brute) >= 0.5
+
+
+def test_cosine_self_similarity(spark, emb):
+    n = S.with_norm(emb).select(
+        "vec_id",
+        F.round(S._dot("embedding", "embedding") / (F.col("nrm") * F.col("nrm")), 6)
+        .alias("c"),
+    )
+    assert n.filter(F.col("c") != 1.0).count() == 0
+
+
+# -- multimodal --------------------------------------------------------------
+
+def test_media_stats_parity(spark, docs, duck):
+    media = M.media_from_documents(docs)
+    assert_parity(M.media_stats(media), duck, M.sql_media_stats())
+
+
+def test_media_feature_extraction_shape(spark, docs):
+    media = M.media_from_documents(docs)
+    feats = M.extract_features(media)
+    rows = feats.limit(20).collect()
+    assert feats.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,n_bytes:bigint,feature:array<double>>"
+    )
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic: same payload -> same feature
+    again = M.extract_features(media).limit(20).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"xx")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"xx")
+    with pytest.raises(NotImplementedError):
+        M.sample_video_frames(b"xx", 10)
