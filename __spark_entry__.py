@@ -147,6 +147,18 @@ def q_vset_inout(spark, sf_dir):
     )
 
 
+def q_directed_census(spark, sf_dir):
+    from graphlab_spark.algos.directed_triangles import directed_triangle_census
+    g = events_graph(spark, sf_dir)
+    return directed_triangle_census(g)
+
+
+def q_coloring(spark, sf_dir):
+    from graphlab_spark.algos.coloring import greedy_coloring
+    g = events_graph(spark, sf_dir)
+    return greedy_coloring(g)
+
+
 def q_text_stats(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -213,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_from_hub": q_sssp,
         "graph_neighbors_of_hubs": q_neighbors_of_hubs,
         "graph_vset_inout": q_vset_inout,
+        "graph_directed_census": q_directed_census,
+        "graph_coloring": q_coloring,
         "text_stats": q_text_stats,
         "dedup_exact_groups": q_exact_dup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
@@ -267,6 +281,53 @@ tris AS (SELECT e1.src AS v1, e1.dst AS v2, e2.dst AS v3
 """
 
 
+def _census_corner_sql(v: str, fab: str, fba: str, fac: str, fca: str,
+                       fbc: str, fcb: str) -> str:
+    """One corner's census contributions (mirrors
+    graphlab_spark.algos.directed_triangles.corner())."""
+    return f"""
+SELECT {v} AS id,
+       {fba}*{fcb}*{fca} + {fca}*{fbc}*{fba} AS in_t,
+       {fab}*{fac}*{fbc} + {fac}*{fab}*{fcb} AS out_t,
+       {fab}*{fca}*{fcb} + {fac}*{fba}*{fbc} AS through_t,
+       {fab}*{fca}*{fbc} + {fac}*{fba}*{fcb} AS cycle_t
+FROM tf"""
+
+
+_CENSUS_SQL = f"""
+{_TRI_PRELUDE},
+de AS (SELECT DISTINCT src, dst FROM edges),
+tf AS (
+  SELECT t.v1, t.v2, t.v3,
+         CASE WHEN e12.src IS NOT NULL THEN 1 ELSE 0 END AS f12,
+         CASE WHEN e21.src IS NOT NULL THEN 1 ELSE 0 END AS f21,
+         CASE WHEN e13.src IS NOT NULL THEN 1 ELSE 0 END AS f13,
+         CASE WHEN e31.src IS NOT NULL THEN 1 ELSE 0 END AS f31,
+         CASE WHEN e23.src IS NOT NULL THEN 1 ELSE 0 END AS f23,
+         CASE WHEN e32.src IS NOT NULL THEN 1 ELSE 0 END AS f32
+  FROM tris t
+  LEFT JOIN de e12 ON e12.src = t.v1 AND e12.dst = t.v2
+  LEFT JOIN de e21 ON e21.src = t.v2 AND e21.dst = t.v1
+  LEFT JOIN de e13 ON e13.src = t.v1 AND e13.dst = t.v3
+  LEFT JOIN de e31 ON e31.src = t.v3 AND e31.dst = t.v1
+  LEFT JOIN de e23 ON e23.src = t.v2 AND e23.dst = t.v3
+  LEFT JOIN de e32 ON e32.src = t.v3 AND e32.dst = t.v2),
+corners AS (
+  {_census_corner_sql('v1', 'f12', 'f21', 'f13', 'f31', 'f23', 'f32')}
+  UNION ALL {_census_corner_sql('v2', 'f21', 'f12', 'f23', 'f32', 'f13', 'f31')}
+  UNION ALL {_census_corner_sql('v3', 'f31', 'f13', 'f32', 'f23', 'f12', 'f21')}),
+agg AS (SELECT id, sum(in_t) AS in_triangles, sum(out_t) AS out_triangles,
+               sum(through_t) AS through_triangles,
+               sum(cycle_t) AS cycle_triangles
+        FROM corners GROUP BY id)
+SELECT v.id, CAST(coalesce(a.in_triangles, 0) AS BIGINT) AS in_triangles,
+       CAST(coalesce(a.out_triangles, 0) AS BIGINT) AS out_triangles,
+       CAST(coalesce(a.through_triangles, 0) AS BIGINT) AS through_triangles,
+       CAST(coalesce(a.cycle_triangles, 0) AS BIGINT) AS cycle_triangles
+FROM verts v LEFT JOIN agg a ON v.id = a.id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges_from_events": f"WITH edges AS ({_EDGES}) SELECT src, dst FROM edges",
@@ -292,6 +353,7 @@ SELECT DISTINCT e.src AS id FROM edges e WHERE e.dst < 0
         "graph_vset_inout": _GRAPH_PRELUDE + """
 SELECT id FROM outd INTERSECT SELECT id FROM ind
 """,
+        "graph_directed_census": _CENSUS_SQL,
         "text_stats": (
             f"SELECT doc_id, {T.sql_ws_token_count()} AS ws_toks, "
             f"{T.sql_bpe_token_count()} AS bpe_toks, "
@@ -310,7 +372,8 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "multimodal_media_stats": M.sql_media_stats(),
         # no oracle (rows-only): graph_pagerank_converged,
         # graph_connected_components, graph_cc_sizes, graph_lpa,
-        # graph_kcore_k2, graph_sssp_from_hub, sim_ann_topk_lsh —
+        # graph_kcore_k2, graph_sssp_from_hub, graph_coloring,
+        # sim_ann_topk_lsh —
         # iterative fixed points / approximate; exact-value parity is
         # covered by pytest goldens on the reference fixture graph.
     }

@@ -1,4 +1,6 @@
+from .coloring import count_conflicts, greedy_coloring
 from .connected_components import component_size_histogram, connected_components
+from .directed_triangles import directed_census_totals, directed_triangle_census
 from .kcore import kcore_subgraph, kcore_table
 from .label_propagation import label_propagation
 from .pagerank import pagerank, total_rank
@@ -9,4 +11,6 @@ __all__ = [
     "pagerank", "total_rank", "connected_components", "component_size_histogram",
     "label_propagation", "triangle_list", "triangle_count_total",
     "triangle_count_per_vertex", "sssp", "kcore_subgraph", "kcore_table",
+    "greedy_coloring", "count_conflicts", "directed_triangle_census",
+    "directed_census_totals",
 ]

@@ -1,0 +1,120 @@
+"""Greedy graph coloring (Jones–Plassmann BSP variant).
+
+The reference colors vertices greedily — gather the neighbor-color set,
+apply the smallest free color — on the *asynchronous* edge-consistent
+engine for serializability (``/root/reference/toolkits/graph_analytics/
+simple_coloring.cpp:100-126``); its result is scheduling-dependent.  A
+bulk-synchronous engine needs a deterministic independent-set order
+instead, so we use the classic Jones–Plassmann priority rule: a vertex
+finalizes in the round where it is the highest-priority (degree, id)
+vertex among its not-yet-colored neighbors, taking the smallest color
+unused by already-finalized neighbors.
+
+The output contract is the one the reference itself validates —
+`map_reduce_edges` over `color(src) == color(dst)` must be zero
+conflicts (``simple_coloring.cpp:251-256``) — plus determinism (same
+input ⇒ same colors at any parallelism), which the async reference
+cannot promise.
+
+Scale shape per superstep: one join of the frontier onto the symmetric
+edge table + two aggregations; the uncolored frontier shrinks
+geometrically (independent sets are large on bounded-degeneracy
+graphs), and hub vertices have maximal degree so they finalize in the
+first rounds rather than serializing the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import EdgeGraph
+from ..plans.checkpoint import truncate_lineage
+
+
+def greedy_coloring(graph: EdgeGraph, max_rounds: int = 200) -> DataFrame:
+    """(id, color) proper coloring; colors are small non-negative ints."""
+    sym = graph.symmetric_edges.select("src", "dst").distinct().persist()
+    deg = (
+        sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    )
+    # Priority = (degree, xxhash64(id), id): hashing breaks the
+    # pathological case of sequential ids along a path (raw-id
+    # tie-break would serialize to O(n) rounds); the trailing id makes
+    # the priority unique so every round has winners.  Deterministic.
+    pending = (
+        graph.vertices.join(deg, "id", "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"),
+                F.xxhash64("id").alias("h"))
+        .persist()
+    )
+    colored = None  # (id, color)
+    for _ in range(max_rounds):
+        if pending.isEmpty():
+            break
+        # neighbor max-priority among still-pending vertices
+        p2 = pending.select(F.col("id").alias("nbr"), F.col("deg").alias("ndeg"),
+                            F.col("h").alias("nh"))
+        nbr_max = (
+            sym.join(p2, sym["dst"] == p2["nbr"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max(F.struct(F.col("ndeg").alias("d"),
+                                F.col("nh").alias("hh"),
+                                F.col("nbr").alias("i"))).alias("mx"))
+        )
+        winners = (
+            pending.join(nbr_max, "id", "left")
+            .filter(
+                F.col("mx").isNull()
+                | (F.struct(F.col("deg").alias("d"), F.col("h").alias("hh"),
+                            F.col("id").alias("i"))
+                   > F.col("mx"))
+            )
+            .select("id")
+        )
+        # smallest color not used by already-colored neighbors
+        if colored is None:
+            new_colors = winners.select("id", F.lit(0).alias("color"))
+        else:
+            used = (
+                sym.join(winners.withColumnRenamed("id", "src"), "src")
+                .join(colored.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.collect_set("color").alias("used"))
+            )
+            # smallest free color: first k in [0, |used|] not present.
+            # |used| <= degree, and the filter() scan is a vectorized
+            # array expression over that bounded set — no Python.
+            free = F.expr(
+                "filter(sequence(0, size(used)), k -> NOT array_contains(used, k))[0]"
+            )
+            new_colors = (
+                winners.join(used, "id", "left")
+                .select(
+                    "id",
+                    F.when(F.col("used").isNull(), F.lit(0))
+                    .otherwise(free).cast("int").alias("color"),
+                )
+            )
+        colored = (
+            new_colors if colored is None else colored.unionAll(new_colors)
+        )
+        colored = truncate_lineage(colored.persist())
+        pending = truncate_lineage(
+            pending.join(new_colors.select("id"), "id", "left_anti").persist()
+        )
+    return colored
+
+
+def count_conflicts(graph: EdgeGraph, colors: DataFrame) -> int:
+    """The reference's validation aggregate: edges whose endpoints share
+    a color (``simple_coloring.cpp:251-256``); must be 0."""
+    e = graph.edges.select("src", "dst")
+    return (
+        e.join(colors.withColumnRenamed("id", "src")
+               .withColumnRenamed("color", "c1"), "src")
+        .join(colors.withColumnRenamed("id", "dst")
+              .withColumnRenamed("color", "c2"), "dst")
+        .filter(F.col("c1") == F.col("c2"))
+        .count()
+    )

@@ -1,0 +1,156 @@
+"""spark-submit entry point.
+
+The north-star launch mode is ``spark-submit --py-files graphlab_spark.zip
+-m graphlab_spark.cli`` (or ``python -m graphlab_spark.cli`` locally) on a
+multi-executor cluster.  The reference's equivalent surface is the
+toolkit binaries' command lines (``mpiexec ... ./pagerank --graph=...
+--format=snap --engine=synchronous``, ``/root/reference/toolkits/
+graph_analytics/pagerank.cpp:159-230``).
+
+Examples::
+
+    python -m graphlab_spark.cli pagerank \
+        --input /data/edges.parquet --format parquet \
+        --output /out/ranks --checkpoint-dir /ck --tol 1e-6
+    python -m graphlab_spark.cli cc --input t.tsv --format tsv --output /out
+    python -m graphlab_spark.cli pagerank --events /data/events.parquet ...
+
+Emits one JSON metrics line (throughput, supersteps, convergence) on
+stdout — the payload the two-cluster-size scaling protocol compares.
+When launched under spark-submit an existing SparkSession is reused, so
+``--cores`` only applies to self-managed local runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from .graph import EdgeGraph
+from .plans.checkpoint import CheckpointManager
+
+ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
+         "kcore", "sssp", "diameter")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="graphlab_spark.cli")
+    p.add_argument("algo", choices=ALGOS)
+    p.add_argument("--input", help="edge file/dir (with --format)")
+    p.add_argument("--events", help="events parquet table -> induced graph")
+    p.add_argument("--transcripts", help="transcripts parquet -> induced graph")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "tsv", "snap", "csv", "adj"])
+    p.add_argument("--output", help="output parquet dir for vertex state")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=5)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-supersteps", type=int, default=200)
+    p.add_argument("--iterations", type=int, default=None,
+                   help="fixed supersteps (pagerank), like --iterations "
+                        "in the reference")
+    p.add_argument("--k", type=int, default=2, help="k for kcore")
+    p.add_argument("--source", type=int, default=0, help="sssp source vid")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[] cores when no session exists")
+    return p
+
+
+def _get_session(args) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from .session import get_spark
+    return get_spark(app_name=f"graphlab-spark-{args.algo}",
+                     cores=args.cores, shuffle_partitions=args.partitions)
+
+
+def _load_graph(spark: SparkSession, args) -> EdgeGraph:
+    if args.events:
+        from .sources.events import edges_from_events
+        return EdgeGraph(edges_from_events(spark.read.parquet(args.events)),
+                         num_edge_partitions=args.partitions)
+    if args.transcripts:
+        from .sources.transcripts import transcripts_to_edges
+        return EdgeGraph(
+            transcripts_to_edges(spark.read.parquet(args.transcripts)),
+            num_edge_partitions=args.partitions)
+    if not args.input:
+        raise SystemExit("one of --input/--events/--transcripts is required")
+    from .sources.parsers import load_format
+    return EdgeGraph(load_format(spark, args.input, args.format),
+                     num_edge_partitions=args.partitions)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    spark = _get_session(args)
+    g = _load_graph(spark, args)
+    ckpt = CheckpointManager(args.checkpoint_dir, every=args.checkpoint_every)
+    n_edges = g.num_edges
+    t0 = time.time()
+    supersteps, converged = 0, True
+    state = None
+
+    if args.algo == "pagerank":
+        from .algos.pagerank import pagerank
+        res = pagerank(g, tol=args.tol, max_supersteps=args.max_supersteps,
+                       fixed_supersteps=args.iterations,
+                       checkpoint=ckpt, resume=args.resume)
+        state, supersteps, converged = res.state, res.supersteps, res.converged
+    elif args.algo == "cc":
+        from .algos.connected_components import connected_components
+        res = connected_components(g, max_supersteps=args.max_supersteps,
+                                   checkpoint=ckpt, resume=args.resume)
+        state, supersteps, converged = res.state, res.supersteps, res.converged
+    elif args.algo == "lpa":
+        from .algos.label_propagation import label_propagation
+        res = label_propagation(g, max_supersteps=args.max_supersteps,
+                                checkpoint=ckpt, resume=args.resume)
+        state, supersteps, converged = res.state, res.supersteps, res.converged
+    elif args.algo == "triangles":
+        from .algos.triangles import triangle_count_per_vertex
+        state = triangle_count_per_vertex(g)
+    elif args.algo == "census":
+        from .algos.directed_triangles import directed_triangle_census
+        state = directed_triangle_census(g)
+    elif args.algo == "coloring":
+        from .algos.coloring import greedy_coloring
+        state = greedy_coloring(g)
+    elif args.algo == "kcore":
+        from .algos.kcore import kcore_subgraph
+        state = kcore_subgraph(g, k=args.k)
+    elif args.algo == "sssp":
+        from .algos.sssp import sssp
+        res = sssp(g, sources=[args.source], checkpoint=ckpt,
+                   resume=args.resume)
+        state, supersteps, converged = res.state, res.supersteps, res.converged
+    elif args.algo == "diameter":
+        from .algos.diameter import approx_diameter
+        d = approx_diameter(g)
+        state = spark.createDataFrame([(int(d),)], "diameter int")
+
+    if args.output:
+        state.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).count()
+    else:
+        rows = state.count()
+    wall = time.time() - t0
+    print(json.dumps({
+        "algo": args.algo, "edges": n_edges, "rows": rows,
+        "supersteps": supersteps, "converged": converged,
+        "wall_sec": round(wall, 3),
+        "edges_per_sec_per_superstep": round(
+            n_edges * max(supersteps, 1) / wall, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,14 +69,20 @@ def run_bsp(
     i = start_step
     for i in range(start_step, max_supersteps):
         t0 = time.time()
-        new_state, metrics, converged = step(state, i)
-        new_state = truncate_lineage(new_state.persist())
+        raw, metrics, converged = step(state, i)
+        # Order matters: persist -> (step's own metric actions hit the
+        # cache) -> localCheckpoint reads the cache once -> drop the
+        # pre-checkpoint cache so state copies never accumulate across
+        # supersteps (the checkpoint RDD owns the data from here on).
+        raw = raw.persist()
+        new_state = truncate_lineage(raw)
         wall_ms = int((time.time() - t0) * 1000)
         metrics = {"superstep": i, "wall_ms": wall_ms, **metrics}
         history.append(metrics)
         if verbose:
             print(f"[superstep {i}] {metrics}")
         state.unpersist()
+        raw.unpersist()
         state = new_state
         if ckpt.should_checkpoint(i) and not converged:
             sm = SuperstepMetrics(
