@@ -30,16 +30,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-SHINGLE_N = 3
+SHINGLE_N = 5  # 5-char shingles: baseline Jaccard between unrelated docs
+               # stays low while near-dups stay ~1.0 (3-grams of a small
+               # vocabulary are corpus-wide common -> candidate explosion)
 JACCARD_TAU = 0.8
 
 MINHASH_P = 2147483647  # 2^31 - 1, prime
-# fixed (a, b) permutation coefficients — 8 hashes, 4 bands x 2 rows
+# fixed (a, b) permutation coefficients — 16 hashes, 4 bands x 4 rows
+# (r=4 rows/band puts the LSH S-curve threshold at (1/4)^(1/4) ~ 0.71:
+# steep enough that low-similarity pairs almost never band-collide)
 MINHASH_COEFFS = [
     (1203077, 94321), (2038075, 515093), (3714089, 860981), (494501, 1282807),
     (5583631, 173627), (6192733, 2038721), (7154587, 391939), (8237321, 3415217),
+    (9318157, 517289), (1066613, 2716371), (1186717, 631931), (1299827, 3917223),
+    (1414219, 747217), (1529173, 4118429), (1646237, 861851), (1763431, 4319533),
 ]
-MINHASH_BAND_ROWS = 2
+MINHASH_BAND_ROWS = 4
+# signature-estimate prefilter: candidates must agree on >= this many of
+# the 16 min-hashes (estimated Jaccard >= 10/16) before the exact verify
+# — cuts the shingle-join fanout to the survivors only
+MINHASH_EST_MIN = 10
 
 SIMHASH_BITS = 16
 SIMHASH_A, SIMHASH_B, SIMHASH_M = 1103515245, 12345, 2**31
@@ -217,9 +227,26 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Signature-estimate prefilter: the signatures are tiny (one row per
+    # doc) so this is a broadcast-joinable arithmetic pass over the
+    # candidate pairs; only pairs whose estimated Jaccard clears
+    # MINHASH_EST_MIN/k proceed to the exact shingle-join verify.
+    est_matches = sum(
+        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"),
+                       *[F.col(f"m{i}").alias(f"a_m{i}") for i in range(k)])
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"),
+                       *[F.col(f"m{i}").alias(f"b_m{i}") for i in range(k)])
+    cand = (
+        cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .filter(est_matches >= MINHASH_EST_MIN)
+        .select("doc_a", "doc_b")
+    )
     # Candidate-driven exact-Jaccard verify: intersections are computed
-    # ONLY for banded candidates (never the full inverted-index pair
-    # blowup — hot shingles like ' th' would make that quadratic).
+    # ONLY for prefiltered candidates (never the full inverted-index
+    # pair blowup — hot shingles would make that quadratic).
     sh = char_shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -254,12 +281,20 @@ def sql_minhash_lsh_pairs(tau: float = JACCARD_TAU, n: int = SHINGLE_N,
         )
         for j in range(n_bands)
     )
+    k = len(MINHASH_COEFFS)
+    est = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
     return f"""
 WITH sig AS ({sql_minhash_signatures(n, table)}),
 bands AS ({band_rows}),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-         AND a.doc_id < b.doc_id),
+cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          AND a.doc_id < b.doc_id),
+cand AS (SELECT c.doc_a, c.doc_b FROM cand0 c
+         JOIN sig sa ON c.doc_a = sa.doc_id
+         JOIN sig sb ON c.doc_b = sb.doc_id
+         WHERE {est} >= {MINHASH_EST_MIN}),
 jac AS ({sql_jaccard_pairs(tau, n, table)})
 SELECT j.doc_a, j.doc_b, j.jac FROM jac j
 JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
