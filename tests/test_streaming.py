@@ -1,0 +1,60 @@
+"""Streaming ingest: streamed edges must equal the batch derivation.
+
+The key property: sequence edges require cross-micro-batch state (the
+last turn of each conversation), so the input is split into two parquet
+files by turn parity and drained with maxFilesPerTrigger=1 — forcing
+the bridge edges to come from the stateful operator's carried state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphlab_spark.sources.transcripts import (
+    synthetic_transcripts,
+    transcripts_to_edges,
+)
+from graphlab_spark.streaming.ingest import run_stream_to_parquet
+
+
+@pytest.mark.parametrize("split", ["single", "by_half"])
+def test_streamed_edges_match_batch(spark, tmp_path, split):
+    t = synthetic_transcripts(spark, n_convs=50).persist()
+    in_dir = tmp_path / "in"
+    if split == "single":
+        t.coalesce(1).write.parquet(str(in_dir))
+    else:
+        # two files: first halves of conversations, then second halves —
+        # bridge edges across the split exist only via carried state
+        half = t.withColumn(
+            "__h",
+            F.col("turn_idx")
+            < F.max("turn_idx").over(Window.partitionBy("conv_id")) / 2,
+        )
+        half.filter("__h").drop("__h").coalesce(1).write.parquet(
+            str(in_dir / "part=0"))
+        half.filter("NOT __h").drop("__h").coalesce(1).write.parquet(
+            str(in_dir / "part=1"))
+        # relocate so the directory is a flat file listing in arrival order
+        import shutil
+        files = sorted((in_dir).rglob("*.parquet"))
+        for i, f in enumerate(files):
+            shutil.move(str(f), str(in_dir / f"{i:04d}.parquet"))
+        for sub in list(in_dir.iterdir()):
+            if sub.is_dir():
+                shutil.rmtree(sub)
+
+    out_dir, ck = tmp_path / "out", tmp_path / "ck"
+    q = run_stream_to_parquet(
+        spark, str(in_dir), str(out_dir), str(ck),
+        max_files_per_trigger=1 if split == "by_half" else None)
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(str(out_dir)).collect()))
+    batch = sorted(map(tuple, transcripts_to_edges(
+        spark.read.parquet(str(in_dir))).collect()))
+    assert streamed == batch
+    t.unpersist()
