@@ -43,8 +43,24 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     resume: bool = True,
     verbose: bool = False,
+    gather: str = "expr",
+    salt_hubs: int | None = None,
 ) -> BSPResult:
-    """Returns BSPResult whose state is ``(id long, rank double)``."""
+    """Returns BSPResult whose state is ``(id long, rank double)``.
+
+    ``gather``: 'expr' (default) keeps the whole superstep in Catalyst
+    codegen; 'arrow' routes the gather through the CSR-block
+    pandas/Arrow kernel (``plans/arrow_gather.py``) — numerically
+    equivalent (same monoid, different float-sum order), there for
+    monoids the expression path can't express.
+
+    ``salt_hubs``: when set, the message reduction is two-level
+    (``operators/salting.py``): partial sums per (dst, salt) then a
+    final sum per dst — the explicit hub treatment beyond AQE for
+    destinations whose in-degree exceeds any single-partition budget.
+    Results are exactly equal (double addition is reordered the same
+    way Spark's own partial aggregation already reorders it).
+    """
     contribs = (
         graph.edges.join(
             graph.out_degrees.withColumnRenamed("id", "src"), "src"
@@ -53,15 +69,34 @@ def pagerank(
         .repartition(graph.num_edge_partitions, "src")
         .persist()
     )
+    if gather == "arrow":
+        from ..plans.arrow_gather import csr_blocks
+        contribs = csr_blocks(contribs, graph.num_edge_partitions).persist()
     init = graph.vertices.select("id", F.lit(1.0).alias("rank"))
 
-    def step(state: DataFrame, i: int):
+    def gather_msgs(state: DataFrame) -> DataFrame:
+        if gather == "arrow":
+            from ..plans.arrow_gather import arrow_gather, weighted_sum_kernel
+            partials = arrow_gather(
+                contribs, state, weighted_sum_kernel,
+                "dst long, m double", graph.num_edge_partitions)
+            return partials.groupBy("dst").agg(F.sum("m").alias("total"))
         msgs = (
             contribs.join(state, contribs["src"] == state["id"])
             .select("dst", (F.col("rank") * F.col("cw")).alias("m"))
-            .groupBy("dst")
-            .agg(F.sum("m").alias("total"))
         )
+        if salt_hubs:
+            from ..operators.salting import salted_agg
+            return salted_agg(
+                msgs, ["dst"],
+                [F.sum("m").alias("pm")],
+                [F.sum("pm").alias("total")],
+                n_salts=salt_hubs,
+            )
+        return msgs.groupBy("dst").agg(F.sum("m").alias("total"))
+
+    def step(state: DataFrame, i: int):
+        msgs = gather_msgs(state)
         joined = state.join(msgs, state["id"] == msgs["dst"], "left")
         new_state = joined.select(
             "id",
