@@ -210,6 +210,40 @@ def q_media_stats(spark, sf_dir):
     return M.media_stats(M.media_from_documents(_docs(spark, sf_dir)))
 
 
+def q_kmeans_assign1(spark, sf_dir):
+    """One Lloyd assignment against portable 'first'-init centers —
+    SQL-replayable (full iterative k-means is rows-only below)."""
+    from graphlab_spark.algos.kmeans import kmeans
+    assign, _ = kmeans(_emb(spark, sf_dir), k=4, iterations=1, init="first")
+    return assign
+
+
+def q_kmeans_full(spark, sf_dir):
+    from graphlab_spark.algos.kmeans import kmeans
+    assign, _ = kmeans(_emb(spark, sf_dir), k=4, iterations=10)
+    return assign
+
+
+def q_als_factors(spark, sf_dir):
+    """ALS over a ratings table derived from lineitem (supplier x part,
+    rating = mean quantity); returns per-user factor norms (iterative
+    pandas-solve output — rows-only check, exactness via pytest)."""
+    from graphlab_spark.algos.als import als
+    ratings = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_suppkey").alias("user"),
+                 F.col("l_partkey").alias("item"))
+        .agg(F.avg("l_quantity").alias("rating"))
+    )
+    uf, _ = als(ratings, k=4, iterations=2)
+    return uf.select(
+        "id",
+        F.round(F.expr(
+            "aggregate(factor, CAST(0.0 AS DOUBLE), (a, v) -> a + v*v)"), 6)
+        .alias("norm_sq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges_from_events": q_edges,
@@ -238,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk_brute": q_ann_brute,
         "sim_ann_topk_lsh": q_ann_lsh,
         "multimodal_media_stats": q_media_stats,
+        "cluster_kmeans_assign1": q_kmeans_assign1,
+        "cluster_kmeans_full": q_kmeans_full,
+        "cf_als_factor_norms": q_als_factors,
     }
 
 
@@ -370,6 +407,21 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "sim_cosine_pairs": S.sql_cosine_pairs(),
         "sim_ann_topk_brute": S.sql_ann_topk_brute(),
         "multimodal_media_stats": M.sql_media_stats(),
+        "cluster_kmeans_assign1": """
+WITH c AS (SELECT embedding,
+                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+d AS (SELECT p.vec_id AS id, c.cluster,
+             list_sum(list_transform(generate_series(1, len(p.embedding)),
+                 i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                    * (CAST(p.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))
+             AS dist
+      FROM embeddings p CROSS JOIN c),
+r AS (SELECT id, cluster,
+             row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+      FROM d)
+SELECT id, cluster FROM r WHERE rn = 1
+""",
         # no oracle (rows-only): graph_pagerank_converged,
         # graph_connected_components, graph_cc_sizes, graph_lpa,
         # graph_kcore_k2, graph_sssp_from_hub, graph_coloring,

@@ -1,4 +1,7 @@
+from .als import als, predict, rmse
 from .coloring import count_conflicts, greedy_coloring
+from .jacobi import jacobi, residual_norm
+from .kmeans import kmeans
 from .connected_components import component_size_histogram, connected_components
 from .directed_triangles import directed_census_totals, directed_triangle_census
 from .kcore import kcore_subgraph, kcore_table
@@ -12,5 +15,6 @@ __all__ = [
     "label_propagation", "triangle_list", "triangle_count_total",
     "triangle_count_per_vertex", "sssp", "kcore_subgraph", "kcore_table",
     "greedy_coloring", "count_conflicts", "directed_triangle_census",
-    "directed_census_totals",
+    "directed_census_totals", "als", "predict", "rmse", "kmeans",
+    "jacobi", "residual_norm",
 ]

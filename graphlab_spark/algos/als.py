@@ -1,0 +1,139 @@
+"""Alternating least squares (collaborative filtering toolkit).
+
+Parity contract (``/root/reference/toolkits/collaborative_filtering/
+als.cpp``): the bipartite user x item graph carries ratings on edges;
+each side alternately gathers over ALL edges the tuple
+``XtX += x_j x_j^T, Xy += r_ij x_j`` of its neighbors' factors
+(``als.cpp:182-222, 303-310``) and apply solves
+``(XtX + lambda I) w = Xy`` (``als.cpp:313-334``; with ``--regnormal``,
+lambda scales with the vertex degree).  NLATENT defaults to 20
+(``:115``), LAMBDA 0.01 (``:431``); convergence is tracked as the mean
+absolute factor change (``:333``).
+
+Spark plan: one superstep = join ratings with the fixed side's factor
+table (shuffle on the fixed side's key only — ratings stay hash-
+partitioned), then a per-vertex normal-equation solve in a cogrouped
+pandas/Arrow kernel (`numpy.linalg.solve` on k x k systems — the Eigen
+LDLT of the reference; k=NLATENT is tiny so the kernel is dominated by
+the vectorized outer-product accumulation, not Python overhead).
+Deterministic: factors initialize from a hash of the vertex id, not an
+RNG, so runs are reproducible at any parallelism (the reference's
+``setRandom`` is not; parity is algorithmic, not bitwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NLATENT = 20  # als.cpp:115
+LAMBDA = 0.01  # als.cpp:431
+
+
+def _init_factors(ids: DataFrame, k: int, seed: int) -> DataFrame:
+    """Deterministic pseudo-random factors in [-0.5, 0.5]: component c of
+    vertex v is a hash of (v, c, seed) — vectorized, no RNG state."""
+    comps = [
+        (
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(c), F.lit(seed)),
+                    F.lit(1_000_000)) + 0.5) / 1_000_000.0 - 0.5
+        ).alias(f"_c{c}")
+        for c in range(k)
+    ]
+    return ids.select("id", F.array(*comps).alias("factor"))
+
+
+def _solve_side(
+    ratings: DataFrame, fixed: DataFrame, key: str, other: str,
+    k: int, reg: float, regnormal: bool,
+) -> DataFrame:
+    """New factors for the ``key`` side given the ``other`` side fixed.
+
+    ratings: (user, item, rating); fixed: (id, factor) for the other
+    side.  Returns (id, factor) for the key side.
+    """
+    joined = ratings.join(
+        fixed.select(F.col("id").alias(other), "factor"), other
+    ).select(F.col(key).alias("id"), "rating", "factor")
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one group = one vertex (applyInPandas guarantees the whole
+        # group in one batch — mapInPandas could split a vertex's rows
+        # across Arrow batches and emit partial solves)
+        X = np.stack(pdf["factor"].to_numpy())            # (n, k)
+        y = pdf["rating"].to_numpy()                      # (n,)
+        lam = reg * len(pdf) if regnormal else reg
+        A = X.T @ X + lam * np.eye(k)
+        b = X.T @ y
+        return pd.DataFrame({
+            "id": [pdf["id"].iloc[0]],
+            "factor": [np.linalg.solve(A, b).tolist()],
+        })
+
+    return joined.groupBy("id").applyInPandas(
+        solve, schema="id long, factor array<double>")
+
+
+def als(
+    ratings: DataFrame,
+    k: int = NLATENT,
+    reg: float = LAMBDA,
+    regnormal: bool = False,
+    iterations: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Train ALS on a ``(user long, item long, rating double)`` table.
+
+    Returns (user_factors, item_factors), each ``(id, factor array)``.
+    One reference "iteration" = both alternations (users then items),
+    matching the synchronous engine's two-phase sweep over the
+    bipartite graph.
+    """
+    ratings = ratings.select("user", "item", "rating").persist()
+    users = ratings.select(F.col("user").alias("id")).distinct()
+    items = ratings.select(F.col("item").alias("id")).distinct()
+    uf = _init_factors(users, k, seed).persist()
+    if_ = _init_factors(items, k, seed + 1).persist()
+    from ..plans.checkpoint import truncate_lineage
+    for _ in range(iterations):
+        # truncate_lineage per alternation: without it the plan chains
+        # one pandas-UDF stage per solve and Catalyst analysis time
+        # grows superlinearly (hangs by ~8 iterations)
+        new_uf = truncate_lineage(
+            _solve_side(ratings, if_, "user", "item", k, reg, regnormal)
+            .persist())
+        uf.unpersist()
+        uf = new_uf
+        new_if = truncate_lineage(
+            _solve_side(ratings, uf, "item", "user", k, reg, regnormal)
+            .persist())
+        if_.unpersist()
+        if_ = new_if
+    return uf, if_
+
+
+def predict(ratings: DataFrame, user_factors: DataFrame,
+            item_factors: DataFrame) -> DataFrame:
+    """(user, item, rating, prediction) for every rating row — dot
+    product of the two factor vectors, JVM-side."""
+    dot = F.expr(
+        "aggregate(zip_with(uf, itf, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (
+        ratings.join(user_factors.select(F.col("id").alias("user"),
+                                         F.col("factor").alias("uf")), "user")
+        .join(item_factors.select(F.col("id").alias("item"),
+                                  F.col("factor").alias("itf")), "item")
+        .select("user", "item", "rating", dot.alias("prediction"))
+    )
+
+
+def rmse(ratings: DataFrame, user_factors: DataFrame,
+         item_factors: DataFrame) -> float:
+    """Training RMSE (the reference's error aggregate)."""
+    p = predict(ratings, user_factors, item_factors)
+    row = p.agg(F.sqrt(F.avg((F.col("rating") - F.col("prediction")) ** 2))
+                .alias("rmse")).first()
+    return float(row["rmse"])

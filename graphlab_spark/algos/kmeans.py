@@ -1,0 +1,90 @@
+"""Lloyd's k-means over an embedding table (clustering toolkit).
+
+Reference analog: ``/root/reference/toolkits/clustering/kmeans.cpp``
+(distributed Lloyd iterations: assign each datapoint to the nearest
+center, recompute centers as cluster means, stop when assignments
+stop changing).  The reference seeds with random sampling
+(``kmeans.cpp`` ``--seed``); we seed deterministically with the k
+points of smallest ``xxhash64(id)`` so runs reproduce at any
+parallelism.
+
+Spark plan per iteration: centers are a k x dim driver-side literal
+(tiny), so assignment is a pure column expression — an array of k
+squared distances via ``zip_with``/``aggregate`` folds, argmin by
+``array_position(array_min)``; new centers come from one
+``posexplode`` + grouped average (partial+final, one shuffle).  The
+only driver action per iteration collects the k new centers — the
+same all-reduce shape as the reference's cluster-center sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_sq(vec_col: str, center: list[float]) -> F.Column:
+    arr = "array(" + ", ".join(repr(float(v)) for v in center) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {arr},"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def kmeans(
+    points: DataFrame,
+    k: int = 4,
+    iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Returns (assignments (id, cluster), centers list).
+
+    ``init``: 'hash' seeds with the k points of smallest xxhash64(id)
+    (pseudo-random, deterministic); 'first' seeds with the k smallest
+    ids — engine-portable, used when an external SQL oracle must
+    rebuild the same centers.  Stops early when no assignment changes.
+    """
+    pts = points.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v")).persist()
+    order = F.xxhash64("id") if init == "hash" else F.col("id")
+    init_rows = (
+        pts.select("id", "v", order.alias("h"))
+        .orderBy("h").limit(k).collect()
+    )
+    centers = [list(map(float, r["v"])) for r in init_rows]
+    prev_assign = None
+    assign = None
+    for _ in range(iterations):
+        dists = F.array(*[_dist_sq("v", c) for c in centers])
+        assign = pts.select(
+            "id", "v",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias("cluster"),
+        ).persist()
+        stats = (
+            assign.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        dim = len(centers[0])
+        new_centers = [list(c) for c in centers]
+        for r in stats:
+            new_centers[r["cluster"]][r["pos"]] = float(r["m"])
+        if prev_assign is not None:
+            changed = (
+                assign.select("id", "cluster")
+                .join(prev_assign.withColumnRenamed("cluster", "prev"), "id")
+                .filter(F.col("cluster") != F.col("prev")).count()
+            )
+            if changed == 0:
+                centers = new_centers
+                break
+        if prev_assign is not None:
+            prev_assign.unpersist()
+        prev_assign = assign.select("id", "cluster").persist()
+        centers = new_centers
+        _ = dim
+    return assign.select("id", "cluster"), centers
