@@ -147,6 +147,23 @@ def q_vset_inout(spark, sf_dir):
     )
 
 
+def q_kcore_table(spark, sf_dir):
+    """Per-K surviving (vertices, edges) — the reference kcore report."""
+    from graphlab_spark.algos.kcore import kcore_table
+    g = events_graph(spark, sf_dir)
+    rows = kcore_table(g, kmin=1, kmax=4)
+    return spark.createDataFrame(
+        [(r["k"], r["vertices"], r["edges"]) for r in rows],
+        "k int, vertices long, edges long")
+
+
+def q_approx_diameter(spark, sf_dir):
+    from graphlab_spark.algos.diameter import approx_diameter
+    g = events_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(approx_diameter(g)["diameter"]),)], "diameter int")
+
+
 def q_directed_census(spark, sf_dir):
     from graphlab_spark.algos.directed_triangles import directed_triangle_census
     g = events_graph(spark, sf_dir)
@@ -261,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_vset_inout": q_vset_inout,
         "graph_directed_census": q_directed_census,
         "graph_coloring": q_coloring,
+        "graph_kcore_table": q_kcore_table,
+        "graph_approx_diameter": q_approx_diameter,
         "text_stats": q_text_stats,
         "dedup_exact_groups": q_exact_dup,
         "dedup_jaccard_pairs": q_jaccard_pairs,

@@ -72,11 +72,17 @@ def main() -> None:
                                            resume=False).state.count())
     timed("triangles", lambda: triangle_list(g).count())
 
+    from graphlab_spark.algos.directed_triangles import directed_triangle_census
+    timed("census", lambda: directed_triangle_census(g).count())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("minhash", lambda: D.minhash_lsh_pairs(docs, portable=False).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann", lambda: S.ann_topk_lsh(emb).count())
+
+    from graphlab_spark.algos.kmeans import kmeans
+    timed("kmeans", lambda: kmeans(emb, k=4, iterations=10)[0].count())
 
     total = round(sum(timings.values()), 3)
     line = {

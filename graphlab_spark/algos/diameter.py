@@ -31,7 +31,9 @@ def _fm_bit(id_col, replica: int):
     # count trailing zeros of the hash (geometric with p=1/2), capped at 62
     bits = F.conv(F.abs(h).cast("string"), 10, 2)
     tz = F.length(bits) - F.length(F.regexp_replace(bits, "0+$", ""))
-    return F.shiftleft(F.lit(1).cast("long"), F.least(tz, F.lit(62)).cast("int"))
+    # 2^tz as a long; F.pow is exact for powers of two and, unlike
+    # F.shiftleft, accepts a Column shift amount
+    return F.pow(F.lit(2.0), F.least(tz, F.lit(62))).cast("long")
 
 
 def approx_diameter(
@@ -63,11 +65,9 @@ def approx_diameter(
         )
         joined = state.join(nbr, state["id"] == nbr["dst"], "left")
         new_state = joined.select(
-            "id",
+            state["id"],
             *[
-                (
-                    F.col(f"{c}") | F.coalesce(nbr[c], F.lit(0))
-                ).alias(c)
+                state[c].bitwiseOR(F.coalesce(nbr[c], F.lit(0))).alias(c)
                 for c in mask_cols
             ],
         ).localCheckpoint(eager=True)

@@ -33,34 +33,55 @@ def sssp(
     checkpoint: CheckpointManager | None = None,
     resume: bool = True,
     verbose: bool = False,
+    track_parent: bool = False,
 ) -> BSPResult:
-    """Returns BSPResult whose state is ``(id long, distance double)``;
-    unreachable vertices have distance = +Infinity."""
+    """Returns BSPResult whose state is ``(id long, distance double)``
+    (+ ``parent long`` when ``track_parent``); unreachable vertices have
+    distance = +Infinity and parent NULL.
+
+    ``track_parent`` records, per vertex, the predecessor on a shortest
+    path (ties broken to the smallest predecessor id for determinism) —
+    the state the reference's path-extraction app walks
+    (``/root/reference/apps/get_sp/sssp_getpath.cpp``).
+    """
     edges = graph.edges if directed else graph.symmetric_edges
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     edges = edges.select("src", "dst", w.alias("__w"))
     src_lit = F.array(*[F.lit(int(s)) for s in sources])
-    init = graph.vertices.select(
-        "id",
+    init_cols = [
         F.when(F.array_contains(src_lit, F.col("id")), F.lit(0.0))
         .otherwise(F.lit(INF))
         .alias("distance"),
         F.array_contains(src_lit, F.col("id")).alias("__changed"),
-    )
+    ]
+    if track_parent:
+        init_cols.insert(1, F.lit(None).cast("long").alias("parent"))
+    init = graph.vertices.select("id", *init_cols)
 
     def step(state: DataFrame, i: int):
         active = state.filter(F.col("__changed")).select("id", "distance")
-        msgs = (
-            edges.join(active, edges["src"] == active["id"])
-            .groupBy("dst")
-            .agg(F.min(F.col("distance") + F.col("__w")).alias("received"))
-        )
+        relaxed = edges.join(active, edges["src"] == active["id"]).select(
+            "dst", (F.col("distance") + F.col("__w")).alias("cand"),
+            F.col("src").alias("via"))
+        if track_parent:
+            msgs = relaxed.groupBy("dst").agg(
+                F.min("cand").alias("received"),
+                F.min_by("via", F.struct(F.col("cand").alias("d"),
+                                         F.col("via").alias("v"))).alias("rvia"),
+            )
+        else:
+            msgs = relaxed.groupBy("dst").agg(F.min("cand").alias("received"))
         joined = state.join(msgs, state["id"] == msgs["dst"], "left")
-        new_state = joined.select(
-            "id",
+        improved = F.coalesce("received", "distance") < F.col("distance")
+        out_cols = [
             F.least("distance", F.coalesce("received", "distance")).alias("distance"),
-            (F.coalesce("received", "distance") < F.col("distance")).alias("__changed"),
-        ).persist()
+            improved.alias("__changed"),
+        ]
+        if track_parent:
+            out_cols.insert(
+                1, F.when(improved, F.col("rvia")).otherwise(F.col("parent"))
+                .alias("parent"))
+        new_state = joined.select("id", *out_cols).persist()
         n_active = new_state.filter(F.col("__changed")).count()
         return new_state, {"active": n_active, "max_delta": float(n_active)}, n_active == 0
 
@@ -74,3 +95,24 @@ def sssp(
     )
     result.state = result.state.drop("__changed")
     return result
+
+
+def extract_path(state: DataFrame, target: int, max_hops: int = 10_000) -> list[int]:
+    """Walk parent pointers from ``target`` back to a source — the
+    reference's ``sssp_getpath`` post-processing.  Returns the vertex
+    sequence source..target ([] when target is unreachable).
+
+    Driver-side walk with one small lookup per hop; for bulk path
+    extraction over many targets, join iteratively instead.
+    """
+    rows = state.filter(F.col("id") == target).select("distance", "parent").collect()
+    if not rows or rows[0]["distance"] == INF:
+        return []
+    path = [target]
+    parent = rows[0]["parent"]
+    for _ in range(max_hops):
+        if parent is None:
+            break
+        path.append(parent)
+        parent = state.filter(F.col("id") == parent).select("parent").first()["parent"]
+    return list(reversed(path))

@@ -134,7 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "diameter":
         from .algos.diameter import approx_diameter
         d = approx_diameter(g)
-        state = spark.createDataFrame([(int(d),)], "diameter int")
+        state = spark.createDataFrame([(int(d["diameter"]),)], "diameter int")
 
     if args.output:
         state.write.mode("overwrite").parquet(args.output)

@@ -105,3 +105,48 @@ def test_lpa_tie_breaks_to_smallest_label(spark):
     got = {r.id: r.label for r in res.state.collect()}
     assert got[0] == "a"
     g.unpersist()
+
+
+def test_sssp_parent_tracking_and_path(fixture_graph):
+    from graphlab_spark.algos.sssp import extract_path, sssp
+    res = sssp(fixture_graph, sources=[0], directed=False,
+               track_parent=True, resume=False)
+    st = {r["id"]: (r["distance"], r["parent"]) for r in res.state.collect()}
+    assert st[0] == (0.0, None)
+    # every other vertex is 1 hop from 0 with parent 0
+    for v in (1, 2, 3, 5):
+        assert st[v] == (1.0, 0)
+    assert extract_path(res.state, 3) == [0, 3]
+    assert extract_path(res.state, 0) == [0]
+
+
+def test_sssp_path_directed(fixture_graph):
+    from graphlab_spark.algos.sssp import extract_path, sssp
+    res = sssp(fixture_graph, sources=[1], directed=True,
+               track_parent=True, resume=False)
+    assert extract_path(res.state, 5) == [1, 5]
+    assert extract_path(res.state, 2) == []  # unreachable
+
+
+def test_approx_diameter_fixture(fixture_graph):
+    """Directed fixture reaches everything within <=2 hops of growth
+    (x->{0,5}->5); the FM estimate must stop growing by then."""
+    from graphlab_spark.algos.diameter import approx_diameter
+    out = approx_diameter(fixture_graph)
+    assert 1 <= out["diameter"] <= 3
+    assert len(out["history"]) == out["diameter"] + 1
+    # reached-pairs estimates are monotonically non-decreasing
+    assert all(b >= a * 0.999 for a, b in zip(out["history"], out["history"][1:]))
+
+
+def test_approx_diameter_path_graph(spark):
+    """A directed 6-path has diameter 5; FM growth must continue ~5
+    supersteps (estimate, so allow +-1)."""
+    from graphlab_spark import EdgeGraph
+    from graphlab_spark.algos.diameter import approx_diameter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    g = EdgeGraph(edges, num_edge_partitions=2)
+    out = approx_diameter(g)
+    assert 4 <= out["diameter"] <= 6
+    g.unpersist()
