@@ -2,5 +2,14 @@
 subsystem — SURVEY §2.8; this is engine-added capability)."""
 
 from .ingest import run_stream_to_parquet, stream_edges_from_transcripts
+from .windows import (
+    run_windowed_counts_to_memory,
+    windowed_role_volume,
+    windowed_turn_counts,
+)
 
-__all__ = ["stream_edges_from_transcripts", "run_stream_to_parquet"]
+__all__ = [
+    "stream_edges_from_transcripts", "run_stream_to_parquet",
+    "windowed_turn_counts", "windowed_role_volume",
+    "run_windowed_counts_to_memory",
+]

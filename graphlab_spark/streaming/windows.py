@@ -1,0 +1,67 @@
+"""Watermarked event-time windowed aggregations over transcript streams.
+
+Complements ``streaming/ingest.py`` (engine extension; the reference
+has no streaming subsystem — SURVEY §2.8).  These are the standard
+monitoring aggregations a transcript firehose needs, expressed with
+Structured Streaming's native watermark + window operators so late
+data handling and state eviction are engine-managed:
+
+- per-window turn counts and per-window distinct-role/tool activity;
+- per-(window, role) message volume — the streaming analog of the
+  batch role-hub degree view.
+
+Late rows older than the watermark are dropped and their window state
+evicted; with ``availableNow`` these same queries double as batch
+backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_turn_counts(
+    transcripts: DataFrame, window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """(window_start, window_end, n_turns, n_convs) per event-time
+    window; append-mode-compatible (closed windows emit once)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_turns"),
+             F.approx_count_distinct("conv_id").alias("n_convs"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_turns", "n_convs")
+    )
+
+
+def windowed_role_volume(
+    transcripts: DataFrame, window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """(window_start, role, n_turns, n_tool_calls) per window+role."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"),
+             F.count("tool").alias("n_tool_calls"))
+        .select(F.col("w.start").alias("window_start"), "role",
+                "n_turns", "n_tool_calls")
+    )
+
+
+def run_windowed_counts_to_memory(spark, input_dir: str, checkpoint_dir: str,
+                                  query_name: str = "turn_counts"):
+    """Drain ``input_dir`` through windowed_turn_counts into an
+    in-memory table (tests / interactive monitoring)."""
+    from .ingest import TRANSCRIPT_SCHEMA
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    agg = windowed_turn_counts(stream)
+    return (
+        agg.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
