@@ -187,6 +187,14 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_token_frequencies(spark, sf_dir):
+    return T.token_frequencies(_docs(spark, sf_dir))
+
+
+def q_winnowing(spark, sf_dir):
+    return T.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def q_exact_dup(spark, sf_dir):
     return D.exact_dup_groups(_docs(spark, sf_dir))
 
@@ -281,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_table": q_kcore_table,
         "graph_approx_diameter": q_approx_diameter,
         "text_stats": q_text_stats,
+        "text_token_frequencies": q_token_frequencies,
+        "text_winnowing_fingerprints": q_winnowing,
         "dedup_exact_groups": q_exact_dup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "dedup_minhash_signatures": q_minhash_sigs,
@@ -417,6 +427,8 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
             f"round({T.sql_quality_score()}, 6) AS quality, "
             f"{T.sql_fingerprint()} AS fp FROM documents"
         ),
+        "text_token_frequencies": T.sql_token_frequencies(),
+        "text_winnowing_fingerprints": T.sql_winnowing_fingerprints(),
         "dedup_exact_groups": D.sql_exact_dup_groups(),
         "dedup_jaccard_pairs": D.sql_jaccard_pairs(),
         "dedup_minhash_signatures": D.sql_minhash_signatures(),

@@ -162,3 +162,67 @@ def sql_fingerprint(col: str = "text") -> str:
         f"list_min([md5(substr({col}, i, {k}))"
         f" for i in generate_series(1, length({col}) - {k - 1})]) END"
     )
+
+
+# -- vocabulary / token frequency -------------------------------------------
+
+def token_frequencies(docs, min_count: int = 2):
+    """Corpus vocabulary with frequencies: (tok, n_docs, n_total) for
+    lowercase whitespace tokens occurring >= min_count times — the
+    vocab-building pass of a training-data pipeline.  One explode + one
+    grouped aggregation (partial+final; hot tokens are exactly the
+    skew case map-side combine absorbs)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_total"))
+        .filter(F.col("n_total") >= min_count)
+    )
+
+
+def sql_token_frequencies(min_count: int = 2, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM {table}) WHERE length(tok) > 0)
+SELECT tok, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+FROM toks GROUP BY tok HAVING count(*) >= {min_count}
+"""
+
+
+def winnowing_fingerprints(docs, k: int = FINGERPRINT_K, w: int = 4):
+    """Proper winnowing (Schleimer et al. 2003): md5 each K-char gram,
+    take the minimum of every W-gram sliding window, emit the DISTINCT
+    selected fingerprints per doc.  Shared fingerprints between docs
+    are near-dup evidence robust to insertions (unlike the single
+    min-hash of `fingerprint`)."""
+    grams = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> md5(substring(text, i, {k})))"
+    )
+    windows = (
+        f"transform(sequence(1, greatest(size({grams}) - {w - 1}, 1)),"
+        f" j -> array_min(slice({grams}, j, {w})))"
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({windows})")).alias("fp"))
+
+
+def sql_winnowing_fingerprints(k: int = FINGERPRINT_K, w: int = 4,
+                               table: str = "documents") -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         [md5(substr(text, i, {k}))
+          for i in generate_series(1, greatest(length(text) - {k - 1}, 1))] AS g
+  FROM {table})
+SELECT DISTINCT doc_id,
+       unnest([list_min(g[j:j+{w - 1}])
+               for j in generate_series(1, greatest(len(g) - {w - 1}, 1))]) AS fp
+FROM grams
+"""

@@ -150,3 +150,18 @@ def test_approx_diameter_path_graph(spark):
     out = approx_diameter(g)
     assert 4 <= out["diameter"] <= 6
     g.unpersist()
+
+
+def test_sssp_weighted_edges(spark):
+    """Weighted SSSP: 0-1 (w=5) vs 0-2-1 (w=1+1) must prefer the
+    2-hop path (sssp.cpp --weights analog)."""
+    from graphlab_spark import EdgeGraph
+    from graphlab_spark.algos.sssp import sssp
+    edges = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 1.0), (2, 1, 1.0)], "src long, dst long, w double")
+    g = EdgeGraph(edges, num_edge_partitions=2)
+    st = {r["id"]: r["distance"]
+          for r in sssp(g, sources=[0], directed=True, weight_col="w",
+                        resume=False).state.collect()}
+    assert st == {0: 0.0, 2: 1.0, 1: 2.0}
+    g.unpersist()

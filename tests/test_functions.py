@@ -188,3 +188,24 @@ def test_decode_stubs_raise(spark):
         M.decode_audio(b"xx")
     with pytest.raises(NotImplementedError):
         M.sample_video_frames(b"xx", 10)
+
+
+def test_token_frequencies_parity(spark, docs, duck):
+    assert_parity(T.token_frequencies(docs), duck, T.sql_token_frequencies())
+
+
+def test_winnowing_parity_and_dup_property(spark, docs, duck):
+    assert_parity(T.winnowing_fingerprints(docs), duck,
+                  T.sql_winnowing_fingerprints())
+    # identical docs share ALL fingerprints
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "completely different content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = T.winnowing_fingerprints(df)
+    by_doc = {
+        d: {r["fp"] for r in fps.filter(F.col("doc_id") == d).collect()}
+        for d in (1, 2, 3)
+    }
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
