@@ -59,9 +59,18 @@ def connected_components(
                 "component"
             ),
             (F.coalesce("received", "component") < F.col("component")).alias("__changed"),
-        ).persist()
-        n_active = new_state.filter(F.col("__changed")).count()
-        return new_state, {"active": n_active, "max_delta": float(n_active)}, n_active == 0
+        )
+        from pyspark.sql import Observation
+        obs = Observation(f"cc_{i}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("__changed").cast("long")).alias("active"))
+
+        def finish():
+            n_active = int(obs.get["active"] or 0)
+            return ({"active": n_active, "max_delta": float(n_active)},
+                    n_active == 0)
+
+        return observed, finish
 
     result = run_bsp(
         init,

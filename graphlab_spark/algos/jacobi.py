@@ -51,12 +51,18 @@ def jacobi(
             "id",
             ((F.col("b") - F.coalesce("s", F.lit(0.0))) / F.col("diag")).alias("x"),
             F.col("x_old"),
-        ).persist()
-        row = new_state.agg(
-            F.max(F.abs(F.col("x") - F.col("x_old"))).alias("d")).first()
-        delta = float(row["d"] or 0.0)
-        return (new_state.drop("x_old"),
-                {"max_delta": delta, "active": -1}, delta <= tol)
+        )
+        from pyspark.sql import Observation
+        obs = Observation(f"jacobi_{i}")
+        observed = new_state.observe(
+            obs, F.max(F.abs(F.col("x") - F.col("x_old"))).alias("d")
+        ).drop("x_old")
+
+        def finish():
+            delta = float(obs.get["d"] or 0.0)
+            return {"max_delta": delta, "active": -1}, delta <= tol
+
+        return observed, finish
 
     res = run_bsp(init, step, max_supersteps=max_supersteps,
                   checkpoint=checkpoint, resume=resume)

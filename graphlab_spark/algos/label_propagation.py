@@ -74,10 +74,19 @@ def label_propagation(
             "id",
             F.coalesce("winner", "label").alias("label"),
             (F.coalesce("winner", "label") != F.col("label")).alias("__changed"),
-        ).persist()
-        changed = new_state.filter(F.col("__changed")).count()
-        new_state = new_state.drop("__changed")
-        return new_state, {"active": changed, "max_delta": float(changed)}, changed == 0
+        )
+        from pyspark.sql import Observation
+        obs = Observation(f"lpa_{i}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("__changed").cast("long")).alias("active")
+        ).drop("__changed")
+
+        def finish():
+            changed = int(obs.get["active"] or 0)
+            return ({"active": changed, "max_delta": float(changed)},
+                    changed == 0)
+
+        return observed, finish
 
     return run_bsp(
         init,

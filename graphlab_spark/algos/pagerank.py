@@ -109,19 +109,29 @@ def pagerank(
                 - F.col("rank")
             ).alias("__delta"),
         )
-        new_state = new_state.persist()
         if fixed_supersteps is not None:
             converged = i + 1 >= fixed_supersteps
             metrics = {"active": -1, "max_delta": float("nan")}
-        else:
-            row = new_state.agg(
-                F.max("__delta").alias("max_delta"),
-                F.sum(F.when(F.col("__delta") > tol, 1).otherwise(0)).alias("active"),
-            ).first()
-            max_delta = row["max_delta"] or 0.0
-            converged = max_delta <= tol
-            metrics = {"active": int(row["active"] or 0), "max_delta": float(max_delta)}
-        return new_state.drop("__delta"), metrics, converged
+            return new_state.drop("__delta"), metrics, converged
+        # Observed form: the convergence all-reduce rides the state
+        # materialization job (one Spark job per superstep, not two).
+        from pyspark.sql import Observation
+        obs = Observation(f"pagerank_{i}")
+        observed = new_state.observe(
+            obs,
+            F.max("__delta").alias("max_delta"),
+            F.sum(F.when(F.col("__delta") > tol, 1).otherwise(0)).alias("active"),
+        ).drop("__delta")
+
+        def finish():
+            row = obs.get
+            max_delta = float(row["max_delta"] or 0.0)
+            return (
+                {"active": int(row["active"] or 0), "max_delta": max_delta},
+                max_delta <= tol,
+            )
+
+        return observed, finish
 
     result = run_bsp(
         init,

@@ -81,9 +81,18 @@ def sssp(
             out_cols.insert(
                 1, F.when(improved, F.col("rvia")).otherwise(F.col("parent"))
                 .alias("parent"))
-        new_state = joined.select("id", *out_cols).persist()
-        n_active = new_state.filter(F.col("__changed")).count()
-        return new_state, {"active": n_active, "max_delta": float(n_active)}, n_active == 0
+        new_state = joined.select("id", *out_cols)
+        from pyspark.sql import Observation
+        obs = Observation(f"sssp_{i}")
+        observed = new_state.observe(
+            obs, F.sum(F.col("__changed").cast("long")).alias("active"))
+
+        def finish():
+            n_active = int(obs.get["active"] or 0)
+            return ({"active": n_active, "max_delta": float(n_active)},
+                    n_active == 0)
+
+        return observed, finish
 
     result = run_bsp(
         init,

@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame
 from .checkpoint import CheckpointManager, SuperstepMetrics, truncate_lineage
 
 # step(state, superstep) -> (new_state, metrics dict, converged bool)
-StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict, bool]]
+# or the observed form: -> (new_state, finish) where finish() is called
+# AFTER the state is materialized (lineage truncation) and returns
+# (metrics dict, converged bool).  The observed form lets algorithms
+# attach convergence metrics with df.observe() so the termination
+# all-reduce piggybacks on the materialization job instead of running
+# a second job per superstep.
+StepFn = Callable[[DataFrame, int], tuple]
 
 
 @dataclass
@@ -76,9 +82,19 @@ def run_bsp(
     i = start_step
     for i in range(start_step, max_supersteps):
         t0 = time.time()
-        raw, metrics, converged = step(state, i)
+        out = step(state, i)
+        if len(out) == 2:
+            raw, finish = out
+            metrics, converged = {}, False
+        else:
+            raw, metrics, converged = out
+            finish = None
         raw = raw.persist()
-        if (i - start_step) % truncate_every == truncate_every - 1:
+        # The observed (finish) form needs the materialization action
+        # every superstep — its metrics only exist once the plan runs.
+        if finish is not None or (
+            (i - start_step) % truncate_every == truncate_every - 1
+        ):
             # Order matters: persist -> (step's own metric actions hit
             # the cache) -> localCheckpoint reads the cache once ->
             # drop the pre-checkpoint cache so state copies never
@@ -87,6 +103,8 @@ def run_bsp(
             raw.unpersist()
         else:
             new_state = raw
+        if finish is not None:
+            metrics, converged = finish()
         wall_ms = int((time.time() - t0) * 1000)
         metrics = {"superstep": i, "wall_ms": wall_ms, **metrics}
         history.append(metrics)
