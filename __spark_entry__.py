@@ -38,7 +38,8 @@ from graphlab_spark.functions import dedup as D
 from graphlab_spark.functions import multimodal as M
 from graphlab_spark.functions import similarity as S
 from graphlab_spark.functions import text as T
-from graphlab_spark.sources.events import EDGES_FROM_EVENTS_SQL, events_graph
+from graphlab_spark import oracles as O
+from graphlab_spark.sources.events import EDGES_CTES, events_graph
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,10 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
 
-_EDGES = EDGES_FROM_EVENTS_SQL
-
 _GRAPH_PRELUDE = f"""
-WITH edges AS ({_EDGES}),
+WITH {EDGES_CTES},
 verts AS (SELECT DISTINCT id FROM
           (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 outd AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY 1),
@@ -396,7 +395,7 @@ FROM verts v LEFT JOIN agg a ON v.id = a.id
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "graph_edges_from_events": f"WITH edges AS ({_EDGES}) SELECT src, dst FROM edges",
+        "graph_edges_from_events": f"WITH {EDGES_CTES} SELECT src, dst FROM edges",
         "graph_degrees": _GRAPH_PRELUDE + """
 SELECT v.id, coalesce(o.out_degree, 0) AS out_degree,
        coalesce(i.in_degree, 0) AS in_degree
@@ -453,10 +452,16 @@ r AS (SELECT id, cluster,
       FROM d)
 SELECT id, cluster FROM r WHERE rn = 1
 """,
-        # no oracle (rows-only): graph_pagerank_converged,
-        # graph_connected_components, graph_cc_sizes, graph_lpa,
-        # graph_kcore_k2, graph_sssp_from_hub, graph_coloring,
-        # sim_ann_topk_lsh —
-        # iterative fixed points / approximate; exact-value parity is
-        # covered by pytest goldens on the reference fixture graph.
+        # Iterative fixed points — recursive-CTE oracles with the same
+        # convergence rules as the Spark loops (graphlab_spark.oracles).
+        "graph_connected_components": O.sql_connected_components(),
+        "graph_cc_sizes": O.sql_cc_sizes(),
+        "graph_sssp_from_hub": O.sql_sssp_from_hub(source=-1),
+        "graph_lpa": O.sql_lpa(max_supersteps=10),
+        "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
+        "graph_kcore_k2": O.sql_kcore_k2(),
+        "graph_kcore_table": O.sql_kcore_table(kmin=1, kmax=4),
+        # no oracle (rows-only): graph_coloring, graph_approx_diameter,
+        # sim_ann_topk_lsh, cluster_kmeans_full, cf_als_factor_norms —
+        # exact-value parity covered by pytest goldens.
     }

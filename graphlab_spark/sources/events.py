@@ -80,8 +80,11 @@ def events_graph(spark: SparkSession, sf_dir: str, **kw) -> EdgeGraph:
 
 # The DuckDB-replayable SQL twin of edges_from_events(), used by the
 # driver's oracle and kept next to the Spark code so they evolve together.
-EDGES_FROM_EVENTS_SQL = """
-WITH etype_dim AS (
+# EDGES_CTES is the flattened CTE list (no leading WITH) so it composes
+# under an outer ``WITH RECURSIVE`` — nested WITH blocks do not resolve
+# inside recursive CTE scopes in DuckDB.
+EDGES_CTES = """
+etype_dim AS (
     SELECT event_type,
            -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS type_node
     FROM (SELECT DISTINCT event_type FROM events)
@@ -92,8 +95,10 @@ WITH etype_dim AS (
 ), hub AS (
     SELECT e.event_id AS src, d.type_node AS dst
     FROM events e JOIN etype_dim d USING (event_type)
-)
-SELECT src, dst FROM seq WHERE dst IS NOT NULL
-UNION ALL
-SELECT src, dst FROM hub
-"""
+), edges AS (
+    SELECT src, dst FROM seq WHERE dst IS NOT NULL
+    UNION ALL
+    SELECT src, dst FROM hub
+)"""
+
+EDGES_FROM_EVENTS_SQL = f"WITH {EDGES_CTES} SELECT src, dst FROM edges"
