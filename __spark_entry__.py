@@ -159,10 +159,15 @@ def q_kcore_table(spark, sf_dir):
 
 
 def q_approx_diameter(spark, sf_dir):
+    """Effective diameter of the undirected view (direction='all'): the
+    FM growth genuinely stalls within ~8 supersteps on the hub graph,
+    so the stop criterion — not the superstep cap — is what the oracle
+    verifies."""
     from graphlab_spark.algos.diameter import approx_diameter
     g = events_graph(spark, sf_dir)
     return spark.createDataFrame(
-        [(int(approx_diameter(g)["diameter"]),)], "diameter int")
+        [(int(approx_diameter(g, direction="all")["diameter"]),)],
+        "diameter int")
 
 
 def q_directed_census(spark, sf_dir):
@@ -229,7 +234,10 @@ def q_ann_brute(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    return S.ann_topk_lsh(_emb(spark, sf_dir))
+    """Planes pinned to the floor value so the DuckDB oracle replays the
+    identical LCG hyperplanes; real runs pass n_planes=None to derive
+    the count from N (similarity.derived_planes, scale-tested)."""
+    return S.ann_topk_lsh(_emb(spark, sf_dir), n_planes=S.LSH_PLANES)
 
 
 def q_media_stats(spark, sf_dir):
@@ -245,8 +253,10 @@ def q_kmeans_assign1(spark, sf_dir):
 
 
 def q_kmeans_full(spark, sf_dir):
+    """Full 10-iteration Lloyd run with the engine-portable 'first'
+    init, so the DuckDB oracle can replay every centroid update."""
     from graphlab_spark.algos.kmeans import kmeans
-    assign, _ = kmeans(_emb(spark, sf_dir), k=4, iterations=10)
+    assign, _ = kmeans(_emb(spark, sf_dir), k=4, iterations=10, init="first")
     return assign
 
 
@@ -461,7 +471,11 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
         "graph_kcore_k2": O.sql_kcore_k2(),
         "graph_kcore_table": O.sql_kcore_table(kmin=1, kmax=4),
-        # no oracle (rows-only): graph_coloring, graph_approx_diameter,
-        # sim_ann_topk_lsh, cluster_kmeans_full, cf_als_factor_norms —
-        # exact-value parity covered by pytest goldens.
+        "graph_coloring": O.sql_coloring(),
+        "graph_approx_diameter": O.sql_approx_diameter(direction="all"),
+        "cluster_kmeans_full": O.sql_kmeans_full(k=4, iterations=10),
+        "sim_ann_topk_lsh": S.sql_ann_topk_lsh(),
+        # no oracle (rows-only): cf_als_factor_norms — per-user ridge
+        # solves are not expressible in ANSI SQL; exactness is covered
+        # by the pytest low-rank-recovery goldens.
     }

@@ -100,17 +100,22 @@ def als(
     for _ in range(iterations):
         # truncate_lineage per alternation: without it the plan chains
         # one pandas-UDF stage per solve and Catalyst analysis time
-        # grows superlinearly (hangs by ~8 iterations)
-        new_uf = truncate_lineage(
-            _solve_side(ratings, if_, "user", "item", k, reg, regnormal)
-            .persist())
+        # grows superlinearly (hangs by ~8 iterations).  persist ->
+        # checkpoint -> unpersist the pre-checkpoint cache (run_bsp's
+        # order) so cached copies never accumulate across iterations.
+        uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,
+                               regnormal).persist()
+        new_uf = truncate_lineage(uf_cache)
+        uf_cache.unpersist()
         uf.unpersist()
         uf = new_uf
-        new_if = truncate_lineage(
-            _solve_side(ratings, uf, "item", "user", k, reg, regnormal)
-            .persist())
+        if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
+                               regnormal).persist()
+        new_if = truncate_lineage(if_cache)
+        if_cache.unpersist()
         if_.unpersist()
         if_ = new_if
+    ratings.unpersist()
     return uf, if_
 
 

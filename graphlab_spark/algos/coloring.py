@@ -32,20 +32,26 @@ from ..graph import EdgeGraph
 from ..plans.checkpoint import truncate_lineage
 
 
+from ..operators.portable import lcg_hash as _portable_hash
+
+
 def greedy_coloring(graph: EdgeGraph, max_rounds: int = 200) -> DataFrame:
     """(id, color) proper coloring; colors are small non-negative ints."""
     sym = graph.symmetric_edges.select("src", "dst").distinct().persist()
     deg = (
         sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     )
-    # Priority = (degree, xxhash64(id), id): hashing breaks the
+    # Priority = (degree, lcg_hash(id), id): hashing breaks the
     # pathological case of sequential ids along a path (raw-id
     # tie-break would serialize to O(n) rounds); the trailing id makes
-    # the priority unique so every round has winners.  Deterministic.
+    # the priority unique so every round has winners.  The hash is a
+    # two-round LCG in plain BIGINT arithmetic (not xxhash64) so an
+    # external ANSI-SQL oracle can replay the identical round
+    # structure — see graphlab_spark.oracles.sql_coloring.
     pending = (
         graph.vertices.join(deg, "id", "left")
         .select("id", F.coalesce("deg", F.lit(0)).alias("deg"),
-                F.xxhash64("id").alias("h"))
+                _portable_hash(F.col("id")).alias("h"))
         .persist()
     )
     colored = None  # (id, color)
@@ -96,13 +102,30 @@ def greedy_coloring(graph: EdgeGraph, max_rounds: int = 200) -> DataFrame:
                     .otherwise(free).cast("int").alias("color"),
                 )
             )
-        colored = (
+        prev_colored, prev_pending = colored, pending
+        colored_cache = (
             new_colors if colored is None else colored.unionAll(new_colors)
-        )
-        colored = truncate_lineage(colored.persist())
-        pending = truncate_lineage(
-            pending.join(new_colors.select("id"), "id", "left_anti").persist()
-        )
+        ).persist()
+        colored = truncate_lineage(colored_cache)
+        colored_cache.unpersist()
+        pending_cache = pending.join(
+            new_colors.select("id"), "id", "left_anti").persist()
+        pending = truncate_lineage(pending_cache)
+        pending_cache.unpersist()
+        if prev_colored is not None:
+            prev_colored.unpersist()
+        prev_pending.unpersist()
+    else:
+        if not pending.isEmpty():
+            raise RuntimeError(
+                f"greedy_coloring: {pending.count()} vertices still uncolored "
+                f"after max_rounds={max_rounds}; partial result withheld")
+    sym.unpersist()
+    pending.unpersist()
+    if colored is None:
+        # Edge-empty graph: every vertex (if any) is an isolated color-0
+        # vertex; with no vertices this is an empty (id, color) frame.
+        return graph.vertices.select("id", F.lit(0).alias("color"))
     return colored
 
 

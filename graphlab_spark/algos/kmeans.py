@@ -47,44 +47,43 @@ def kmeans(
     ids — engine-portable, used when an external SQL oracle must
     rebuild the same centers.  Stops early when no assignment changes.
     """
+    from pyspark.sql import Observation
+
     pts = points.select(F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("v")).persist()
+                        F.col(vec_col).alias("v"),
+                        F.lit(-1).alias("cluster")).persist()
     order = F.xxhash64("id") if init == "hash" else F.col("id")
     init_rows = (
         pts.select("id", "v", order.alias("h"))
         .orderBy("h").limit(k).collect()
     )
     centers = [list(map(float, r["v"])) for r in init_rows]
-    prev_assign = None
-    assign = None
-    for _ in range(iterations):
+    assign = pts
+    for it in range(iterations):
         dists = F.array(*[_dist_sq("v", c) for c in centers])
+        new_cluster = (
+            F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # The assignment-change count rides the centroid-stats job via
+        # observe (carrying the previous cluster in state instead of
+        # re-joining it) — one Spark job per Lloyd iteration.
+        obs = Observation(f"kmeans_{it}")
         assign = pts.select(
-            "id", "v",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int").alias("cluster"),
-        ).persist()
+            "id", "v", new_cluster.alias("cluster"),
+            (new_cluster != F.col("cluster")).alias("__chg"),
+        ).observe(obs, F.sum(F.col("__chg").cast("long")).alias("changed")
+                  ).drop("__chg").persist()
         stats = (
             assign.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
             .collect()
         )
-        dim = len(centers[0])
+        changed = int(obs.get["changed"] or 0)
         new_centers = [list(c) for c in centers]
         for r in stats:
             new_centers[r["cluster"]][r["pos"]] = float(r["m"])
-        if prev_assign is not None:
-            changed = (
-                assign.select("id", "cluster")
-                .join(prev_assign.withColumnRenamed("cluster", "prev"), "id")
-                .filter(F.col("cluster") != F.col("prev")).count()
-            )
-            if changed == 0:
-                centers = new_centers
-                break
-        if prev_assign is not None:
-            prev_assign.unpersist()
-        prev_assign = assign.select("id", "cluster").persist()
+        pts.unpersist()
+        pts = assign
         centers = new_centers
-        _ = dim
+        if it > 0 and changed == 0:
+            break
     return assign.select("id", "cluster"), centers

@@ -61,6 +61,11 @@ def pagerank(
     Results are exactly equal (double addition is reordered the same
     way Spark's own partial aggregation already reorders it).
     """
+    if gather == "arrow" and salt_hubs:
+        raise ValueError(
+            "pagerank: salt_hubs applies only to the expression gather "
+            "path; the arrow/CSR kernel does its own per-partition "
+            "partial sums (combine gather='arrow' with salt_hubs=None)")
     contribs = (
         graph.edges.join(
             graph.out_degrees.withColumnRenamed("id", "src"), "src"

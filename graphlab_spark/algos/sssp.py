@@ -106,17 +106,31 @@ def sssp(
     return result
 
 
-def extract_path(state: DataFrame, target: int, max_hops: int = 10_000) -> list[int]:
+def extract_path(state: DataFrame, target: int, max_hops: int = 10_000,
+                 collect_threshold: int = 2_000_000) -> list[int]:
     """Walk parent pointers from ``target`` back to a source — the
     reference's ``sssp_getpath`` post-processing.  Returns the vertex
     sequence source..target ([] when target is unreachable).
 
-    Driver-side walk with one small lookup per hop; for bulk path
-    extraction over many targets, join iteratively instead.
+    When the REACHED set fits on the driver (<= ``collect_threshold``
+    rows) the (id, parent) map is collected once and walked in memory —
+    one Spark job total.  Otherwise falls back to one small
+    ``filter().first()`` job per hop (O(path length) jobs, the r1
+    behavior, still correct at any scale).
     """
     rows = state.filter(F.col("id") == target).select("distance", "parent").collect()
     if not rows or rows[0]["distance"] == INF:
         return []
+    reached = state.filter(F.col("distance") != INF).select("id", "parent")
+    if reached.count() <= collect_threshold:
+        parent_of = {r["id"]: r["parent"] for r in reached.collect()}
+        path, cur = [target], parent_of.get(target)
+        for _ in range(max_hops):
+            if cur is None:
+                break
+            path.append(cur)
+            cur = parent_of.get(cur)
+        return list(reversed(path))
     path = [target]
     parent = rows[0]["parent"]
     for _ in range(max_hops):

@@ -114,23 +114,57 @@ def sql_exact_dup_groups(table: str = "documents") -> str:
 
 # -- n-gram Jaccard ----------------------------------------------------------
 
-def jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU, n: int = SHINGLE_N) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU, n: int = SHINGLE_N,
+                  df_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jac) for pairs with shingle-set Jaccard >= tau.
 
     Candidate generation via the shingle inverted index (pairs must
-    share >=1 shingle); hot shingles are bounded by the n-gram alphabet
-    and AQE skew-join splits the residual skew.
+    share >=1 shingle).  ``df_cap=None`` is the exact mode (every
+    shared shingle generates a candidate) — correct, but a single
+    corpus-wide-common shingle makes the index join quadratic, so it
+    is ONLY for verification scale.  The scale path sets ``df_cap``:
+    shingles whose document frequency exceeds the cap are excluded
+    from *candidate generation* (the skewed join side), and the exact
+    intersection is then recomputed over ALL shingles for just the
+    surviving candidates, so reported Jaccard values stay exact.  A
+    qualifying pair is missed only if every shingle it shares is
+    hotter than the cap — at Jaccard >= tau that requires the pair to
+    be made almost entirely of corpus-stopword shingles, the standard
+    (documented) trade-off; MinHash-LSH remains the primary 100 TB
+    dedup path.
     """
     sh = char_shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+    if df_cap is None:
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        rare = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("s")
+        )
+        ar = a.join(rare, "s")
+        br = b.join(rare, "s")
+        cand = (
+            ar.join(br, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # Exact intersection over ALL shingles, candidates only.
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_sh", "na"), "doc_a")

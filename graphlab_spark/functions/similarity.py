@@ -29,9 +29,24 @@ from pyspark.sql import functions as F
 COSINE_TAU = 0.4
 ANN_QUERIES = 10  # vec_id < ANN_QUERIES are the query set
 ANN_K = 5
-LSH_PLANES = 5
+LSH_PLANES = 5        # floor; real runs derive planes from N (below)
 LSH_TABLES = 4
 LSH_DIM = 64
+LSH_TARGET_BUCKET = 64  # aim for ~this many vectors per bucket
+
+
+def derived_planes(n_rows: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Plane count as a function of corpus size: ceil(log2(N/target)).
+
+    A fixed plane count is a scale trap — with P planes there are only
+    2^P buckets per table, so each candidate probe scans ~N/2^P vectors
+    and a constant P degrades to a fractional cross join as N grows.
+    Growing P with log2(N) keeps the expected bucket size (and thus the
+    per-query candidate budget) constant at any scale.
+    """
+    import math
+
+    return max(LSH_PLANES, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -149,7 +164,16 @@ def with_lsh_buckets(emb: DataFrame, n_tables: int = LSH_TABLES,
                      n_planes: int = LSH_PLANES, dim: int = LSH_DIM) -> DataFrame:
     """Adds integer columns `b0..b{T-1}`: per hash table, the sign
     pattern of the embedding against n_planes fixed hyperplanes (all
-    JVM-side expressions, one projection, no shuffle)."""
+    JVM-side expressions, one projection, no shuffle).
+
+    Guards against a dim mismatch: `zip_with` pads the shorter side
+    with NULLs, which would silently turn every dot product NULL and
+    collapse all buckets to 0 (a full cross join downstream)."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"with_lsh_buckets: embedding dim {first['d']} != planes dim "
+            f"{dim}; pass dim= explicitly (mismatch would zero all buckets)")
     out = emb
     for t in range(n_tables):
         planes = _lcg_planes(t, n_planes, dim)
@@ -162,16 +186,19 @@ def with_lsh_buckets(emb: DataFrame, n_tables: int = LSH_TABLES,
     return out
 
 
-def ann_topk_lsh(emb: DataFrame, n_queries: int = ANN_QUERIES, k: int = ANN_K,
-                 n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
-                 dim: int = LSH_DIM) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH.  A vector
-    is a candidate for a query iff they collide in >=1 of n_tables
-    tables (plus Hamming-1 multiprobe within each table).  The
-    candidate join fans out on the (table, bucket) key — at 100 TB a
-    co-partitioned equi-join on a bounded key space, never a cross
-    join.  Recall vs the brute-force baseline is asserted in tests."""
-    from pyspark.sql import Window
+def lsh_candidate_pairs(emb: DataFrame, n_queries: int = ANN_QUERIES,
+                        n_tables: int = LSH_TABLES,
+                        n_planes: int | None = None,
+                        dim: int = LSH_DIM) -> DataFrame:
+    """Distinct (query_id, neighbor_id, cos) LSH candidates — the
+    pre-ranking stage of ``ann_topk_lsh``, exposed so tests can assert
+    the per-query candidate budget stays bounded as N grows.
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (``derived_planes``): one ``count()`` action, amortized across the
+    whole query."""
+    if n_planes is None:
+        n_planes = derived_planes(emb.count())
     b = with_lsh_buckets(with_norm(emb), n_tables, n_planes, dim).persist()
     tagged = None
     for t in range(n_tables):
@@ -192,16 +219,89 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = ANN_QUERIES, k: int = ANN_K,
                       F.col("embedding").alias("ec"), F.col("nrm").alias("nc"),
                       F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
         cand = ct if cand is None else cand.unionAll(ct)
-    scored = (
+    return (
         tagged.join(cand, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 F.round(_dot("eq", "ec") / (F.col("nq") * F.col("nc")), 6).alias("cos"))
         .distinct()
     )
+
+
+def ann_topk_lsh(emb: DataFrame, n_queries: int = ANN_QUERIES, k: int = ANN_K,
+                 n_tables: int = LSH_TABLES, n_planes: int | None = None,
+                 dim: int = LSH_DIM) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.  A vector
+    is a candidate for a query iff they collide in >=1 of n_tables
+    tables (plus Hamming-1 multiprobe within each table).  The
+    candidate join fans out on the (table, bucket) key — at 100 TB a
+    co-partitioned equi-join on a bounded key space, never a cross
+    join; the plane count grows with log2(N) (``derived_planes``) so
+    bucket sizes stay constant.  Recall and candidate budget vs the
+    brute-force baseline are asserted in tests; with ``n_planes``
+    pinned, the whole pipeline (LCG planes included) is replayed
+    value-for-value by the DuckDB oracle (``sql_ann_topk_lsh``)."""
+    from pyspark.sql import Window
+    scored = lsh_candidate_pairs(emb, n_queries, n_tables, n_planes, dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def sql_ann_topk_lsh(n_queries: int = ANN_QUERIES, k: int = ANN_K,
+                     n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
+                     dim: int = LSH_DIM, table: str = "embeddings") -> str:
+    """DuckDB twin of ``ann_topk_lsh`` with a pinned plane count: the
+    LCG hyperplanes are exact binary fractions (x/2^32 - 0.5), so their
+    repr round-trips bit-for-bit into both engines and the sign
+    patterns, buckets, multiprobe set, and cosine ranks all match."""
+    def dot_lit(vec: str, row: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        return (f"list_sum(list_transform(generate_series(1, len({vec})),"
+                f" i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))")
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _lcg_planes(t, n_planes, dim)
+        bits = " + ".join(
+            f"(CASE WHEN {dot_lit('embedding', row)} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, row in enumerate(planes))
+        bucket_cols.append(f"({bits}) AS b{t}")
+    probe_selects = []
+    for t in range(n_tables):
+        probe_list = "[b%d%s]" % (
+            t, "".join(f", xor(b{t}, {1 << j})" for j in range(n_planes)))
+        probe_selects.append(
+            f"SELECT vec_id AS query_id, embedding AS eq, nrm AS nq,"
+            f" {t} AS t, unnest({probe_list}) AS bucket"
+            f" FROM b WHERE vec_id < {n_queries}")
+    cands = " UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, embedding AS ec, nrm AS nc,"
+        f" {t} AS t, b{t} AS bucket FROM b"
+        for t in range(n_tables))
+    dot_qc = ("list_sum(list_transform(generate_series(1, len(q.eq)),"
+              " i -> CAST(q.eq[i] AS DOUBLE) * CAST(c.ec[i] AS DOUBLE)))")
+    return f"""
+WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM {table}),
+b AS (SELECT vec_id, embedding, nrm, {', '.join(bucket_cols)} FROM n),
+tagged AS ({' UNION ALL '.join(probe_selects)}),
+cand AS ({cands}),
+scored AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id,
+         round({dot_qc} / (q.nq * c.nc), 6) AS cos
+  FROM tagged q JOIN cand c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.query_id <> c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
+"""

@@ -185,7 +185,25 @@ class EdgeGraph:
         self.edges.unpersist()
 
 
+def _parse_size(s: str) -> int:
+    s = s.strip().lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
 def _small(df: DataFrame) -> bool:
-    # Heuristic only: broadcast hints for explicitly tiny sets; the caller
-    # can always pre-hint. Avoids a count() action here.
-    return False
+    """Catalyst-statistics size estimate (no action): hint broadcast
+    when the optimizer's own estimate for the vertex set is under the
+    session's autoBroadcastJoinThreshold — the same signal AQE uses,
+    consulted eagerly so the hint lands before the join is planned."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+        thresh = _parse_size(
+            df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10m"))
+        return 0 < size <= thresh
+    except Exception:  # noqa: BLE001 — stats unavailable: no hint
+        return False

@@ -181,6 +181,167 @@ pr(iter, id, rank, md) AS (
 # k-core peeling (mirrors algos/kcore.py)
 # ---------------------------------------------------------------------------
 
+from .operators.portable import sql_edge_hash, sql_lcg_hash, sql_mix31
+
+_portable_hash_sql = sql_lcg_hash
+
+
+# ---------------------------------------------------------------------------
+# greedy coloring (mirrors algos/coloring.py Jones-Plassmann rounds)
+# ---------------------------------------------------------------------------
+
+def sql_coloring(max_rounds: int = 200) -> str:
+    symd = ("symd AS (SELECT DISTINCT src, dst FROM "
+            "(SELECT src, dst FROM edges "
+            "UNION ALL SELECT dst AS src, src AS dst FROM edges))")
+    rec = f"""
+colr(iter, id, deg, h, color, npend) AS (
+  SELECT 0, v.id, coalesce(d.deg, 0), {_portable_hash_sql('v.id')},
+         CAST(NULL AS INTEGER), count(*) OVER ()
+  FROM verts v
+  LEFT JOIN (SELECT src AS id, count(*) AS deg FROM symd GROUP BY 1) d
+    ON v.id = d.id
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, id, deg, h, color,
+           sum(CASE WHEN color IS NULL THEN 1 ELSE 0 END) OVER () AS npend
+    FROM (
+      SELECT p.iter + 1 AS iter, p.id, p.deg, p.h,
+             CASE WHEN p.color IS NOT NULL THEN p.color
+                  WHEN l.id IS NOT NULL THEN CAST(NULL AS INTEGER)
+                  ELSE CAST(coalesce(fc.c, 0) AS INTEGER) END AS color
+      FROM colr p
+      LEFT JOIN (SELECT DISTINCT s.src AS id
+                 FROM symd s
+                 JOIN colr q ON s.dst = q.id AND q.color IS NULL
+                 JOIN colr r ON s.src = r.id AND r.color IS NULL
+                 WHERE (q.deg, q.h, q.id) > (r.deg, r.h, r.id)) l
+        ON p.id = l.id
+      LEFT JOIN (SELECT id, list_filter(generate_series(0, len(ul)),
+                        k -> NOT list_contains(ul, k))[1] AS c
+                 FROM (SELECT s.src AS id, list(DISTINCT cc.color) AS ul
+                       FROM symd s JOIN colr cc
+                         ON s.dst = cc.id AND cc.color IS NOT NULL
+                       GROUP BY s.src)) fc
+        ON p.id = fc.id
+      WHERE p.npend > 0 AND p.iter < {max_rounds}
+    )
+  )
+)"""
+    return (_rec(_VERTS, symd, rec)
+            + "SELECT id, color FROM colr "
+              "WHERE iter = (SELECT max(iter) FROM colr)")
+
+
+# ---------------------------------------------------------------------------
+# approximate diameter (mirrors algos/diameter.py FM supersteps)
+# ---------------------------------------------------------------------------
+
+_FM_M = 2_147_483_648
+_FM_STRIDE = 1_000_003  # algos.diameter._REPLICA_STRIDE
+
+
+def _fm_ladder_sql(k: str) -> str:
+    """SQL twin of algos.diameter._fm_bit's threshold ladder over an
+    already-mixed 31-bit value ``k`` (pass a plain column reference —
+    the ladder repeats it 31x)."""
+    cases = " ".join(
+        f"WHEN {k} < {_FM_M - (_FM_M >> (j + 1))} THEN CAST({1 << j} AS BIGINT)"
+        for j in range(31)
+    )
+    return f"(CASE {cases} ELSE CAST({1 << 31} AS BIGINT) END)"
+
+
+def sql_approx_diameter(n_masks: int = 8, max_supersteps: int = 64,
+                        direction: str = "out") -> str:
+    cols = [f"bm{i}" for i in range(n_masks)]
+    contrib = " + ".join(
+        f"CAST((~{c}) & -(~{c}) AS DOUBLE)" for c in cols)
+    est = f"({contrib}) / {n_masks * 0.77351!r}"
+    seeds = ", ".join(
+        sql_mix31(f"(((id % {_FM_M} + {_FM_M}) % {_FM_M}"
+                  f" + {i} * {_FM_STRIDE}) % {_FM_M})") + f" AS k{i}"
+        for i in range(n_masks))
+    init_masks = ", ".join(
+        f"{_fm_ladder_sql(f'k{i}')} AS bm{i}" for i in range(n_masks))
+    or_masks = ", ".join(
+        f"p.bm{i} | coalesce(n.o{i}, 0) AS bm{i}" for i in range(n_masks))
+    or_aggs = ", ".join(f"bit_or(p2.bm{i}) AS o{i}" for i in range(n_masks))
+    collist = ", ".join(cols)
+    rec = f"""
+fm(iter, id, {collist}, est, prev_est) AS (
+  SELECT iter, id, {collist}, sum({est}) OVER () AS est,
+         CAST(0.0 AS DOUBLE) AS prev_est
+  FROM (SELECT 0 AS iter, id, {init_masks}
+        FROM (SELECT id, {seeds} FROM verts))
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, id, {collist}, sum({est}) OVER () AS est, prev_est
+    FROM (
+      SELECT p.iter + 1 AS iter, p.id, {or_masks}, p.est AS prev_est
+      FROM fm p
+      LEFT JOIN (SELECT e.dst, {or_aggs}
+                 FROM fm p2 JOIN {'sym' if direction == 'all' else 'edges'} e
+                   ON p2.id = e.src
+                 GROUP BY e.dst) n ON p.id = n.dst
+      WHERE p.est > p.prev_est * 1.0001 AND p.iter < {max_supersteps}
+    )
+  )
+)"""
+    ctes = (_VERTS, _SYM, rec) if direction == "all" else (_VERTS, rec)
+    return (_rec(*ctes)
+            + "SELECT CAST(max(iter) AS INTEGER) AS diameter FROM fm")
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means, full iterative run (mirrors algos/kmeans.py init='first')
+# ---------------------------------------------------------------------------
+
+def sql_kmeans_full(k: int = 4, iterations: int = 10,
+                    table: str = "embeddings") -> str:
+    dist = ("list_sum(list_transform(generate_series(1, len(p.v)),"
+            " i -> (p.v[i] - c2.center[i]) * (p.v[i] - c2.center[i])))")
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM {table}),
+cen(iter, cluster, center) AS (
+  SELECT 0, CAST(row_number() OVER (ORDER BY id) - 1 AS INT), v
+  FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k})
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, c.cluster,
+           coalesce(nc.center, c.center) AS center
+    FROM (SELECT DISTINCT iter FROM cen) m
+    JOIN cen c ON TRUE
+    LEFT JOIN (
+      SELECT cluster, list(m ORDER BY pos) AS center
+      FROM (
+        SELECT a.cluster, g.pos, avg(p.v[g.pos]) AS m
+        FROM (SELECT id, cluster FROM (
+                SELECT p.id, c2.cluster,
+                       row_number() OVER (PARTITION BY p.id
+                           ORDER BY {dist}, c2.cluster) AS rn
+                FROM pts p CROSS JOIN cen c2
+              ) WHERE rn = 1) a
+        JOIN pts p ON a.id = p.id
+        CROSS JOIN (SELECT unnest(generate_series(1,
+                        (SELECT len(v) FROM pts LIMIT 1))) AS pos) g
+        GROUP BY a.cluster, g.pos
+      ) GROUP BY cluster
+    ) nc ON c.cluster = nc.cluster
+    WHERE m.iter < {iterations - 1}
+  )
+)
+SELECT id, cluster FROM (
+  SELECT p.id, c2.cluster,
+         row_number() OVER (PARTITION BY p.id ORDER BY {dist}, c2.cluster) AS rn
+  FROM pts p CROSS JOIN (SELECT * FROM cen
+                         WHERE iter = (SELECT max(iter) FROM cen)) c2
+) WHERE rn = 1"""
+
+
 def _kcore_rec(name: str, src_rel: str, k: int, cap: int = 100) -> str:
     """One recursive peel.  Every level is LEFT-JOINed from a single meta
     row so an emptied core still yields one (NULL, NULL) row — recursion

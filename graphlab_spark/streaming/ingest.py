@@ -44,19 +44,32 @@ TRANSCRIPT_SCHEMA = (
 )
 _PAIR_SCHEMA = "conv_id string, a int, b int"
 _STATE_SCHEMA = "last_idx int"
+DEFAULT_STATE_TTL_MS = 3_600_000  # suggested idle-state TTL (continuous)
 
 
-def _sequence_pairs(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit (conv_id, a, b) consecutive-turn pairs; carry the last seen
-    turn index across micro-batches so conversation continuations bridge
-    correctly.  Within a batch, turns are ordered by turn_idx (stable
-    turn ordering — the batch path's window does the same)."""
-    (conv_id,) = key
-    last_idx = state.get[0] if state.exists else None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
+def _make_sequence_pairs(state_ttl_ms: int | None):
+    """Build the stateful kernel.  ``state_ttl_ms`` set => processing-
+    time eviction of idle-conversation state (continuous streams);
+    None => NoTimeout (availableNow backfills — a pending processing-
+    time timeout keeps an availableNow query alive past its backlog,
+    measured at ~2 min of idle wait per run)."""
+
+    def _sequence_pairs(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit (conv_id, a, b) consecutive-turn pairs; carry the last
+        seen turn index across micro-batches so conversation
+        continuations bridge correctly."""
+        (conv_id,) = key
+        if state.hasTimedOut:
+            # Idle conversation: drop its state; nothing to emit.
+            state.remove()
+            return
+        last_idx = state.get[0] if state.exists else None
+        # One conversation's rows may arrive as SEVERAL Arrow chunks in
+        # arbitrary cross-chunk order — materialize and sort ONCE, else
+        # a chunk-spanning conversation emits reversed/wrong edges.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("turn_idx")
         idxs = pdf["turn_idx"].tolist()
         starts, ends = [], []
         for i in idxs:
@@ -65,30 +78,37 @@ def _sequence_pairs(
                 ends.append(i)
             last_idx = i
         if starts:
-            yield pd.DataFrame(
-                {"conv_id": conv_id, "a": starts, "b": ends})
-    if last_idx is not None:
-        state.update((int(last_idx),))
+            yield pd.DataFrame({"conv_id": conv_id, "a": starts, "b": ends})
+        if last_idx is not None:
+            state.update((int(last_idx),))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+
+    return _sequence_pairs
 
 
 def stream_edges_from_transcripts(
-    transcripts: DataFrame, watermark: str = "1 hour"
+    transcripts: DataFrame, watermark: str = "1 hour",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of (src, dst) edges from a streaming
     transcript DataFrame (same schema as the batch table).
 
-    Sequence edges use per-conversation state with ProcessingTimeTimeout
-    (state for idle conversations is dropped after ``watermark`` worth
-    of inactivity via the timeout; late rows beyond the event-time
-    watermark are dropped by the upstream watermark operator).
+    ``state_ttl_ms`` (continuous streams): evict idle-conversation
+    state via ProcessingTimeTimeout after that much inactivity —
+    without it a 24/7 stream grows the state store unboundedly.  Leave
+    None for availableNow backfills: a pending processing-time timeout
+    keeps a drained availableNow query alive instead of stopping it.
+    Late rows beyond the event-time watermark are dropped upstream.
     """
     wm = transcripts.withWatermark("ts", watermark)
     seq_pairs = wm.groupBy("conv_id").applyInPandasWithState(
-        _sequence_pairs,
+        _make_sequence_pairs(state_ttl_ms),
         outputStructType=_PAIR_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.NoTimeout if state_ttl_ms is None
+                     else GroupStateTimeout.ProcessingTimeTimeout),
     )
     seq = seq_pairs.select(
         turn_node(F.col("conv_id"), F.col("a")).alias("src"),
@@ -118,7 +138,9 @@ def run_stream_to_parquet(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     transcripts = reader.parquet(input_dir)
-    edges = stream_edges_from_transcripts(transcripts)
+    edges = stream_edges_from_transcripts(
+        transcripts,
+        state_ttl_ms=None if available_now else DEFAULT_STATE_TTL_MS)
     writer = (
         edges.writeStream.format("parquet")
         .option("path", output_dir)

@@ -1,0 +1,123 @@
+"""Scale-behavior guards for the approximate-similarity paths.
+
+These tests pin the *shape* of the candidate generation at sizes where
+a wrong default would degrade to a fractional cross join:
+
+- ANN-LSH plane count must grow with log2(N) so per-query candidate
+  budgets stay bounded, while recall vs brute force stays high on
+  clusterable data (judge finding r1: LSH_PLANES=5 at 10^5+ vectors is
+  a ~N^2/32 join);
+- n-gram Jaccard with a document-frequency cap must keep the candidate
+  count sub-quadratic under a planted corpus-wide-hot shingle while
+  reporting exact Jaccard values for the survivors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.functions import dedup as D
+from graphlab_spark.functions import similarity as S
+
+N_VECS = 100_000
+DIM = 16
+N_CLUSTERS = 200
+
+
+def test_derived_planes_growth():
+    assert S.derived_planes(500) == S.LSH_PLANES
+    assert S.derived_planes(N_VECS) == 11
+    assert S.derived_planes(10**9) == 24
+    # bucket size stays ~constant: N / 2^planes
+    for n in (10**5, 10**7, 10**9):
+        assert n / 2 ** S.derived_planes(n) <= 2 * S.LSH_TARGET_BUCKET
+
+
+@pytest.fixture(scope="module")
+def big_emb(spark):
+    """100k clustered vectors, fully vectorized generation (no Python
+    rows).  Centers/noise use xxhash64 mixing (test-only data — the
+    portability rule applies to oracle queries, not fixtures); a plain
+    LCG here is an arithmetic progression across dims, which collapses
+    every center onto a lattice and degenerates the LSH buckets."""
+    def u(*seed_cols) -> F.Column:
+        h = F.xxhash64(*seed_cols)
+        return (F.pmod(h, F.lit(100003)) / F.lit(100003.0)) - F.lit(0.5)
+
+    dims = [
+        (u(F.lit(j), F.col("c")) + 0.05 * u(F.lit(j + 100), F.col("id")))
+        .cast("float")
+        for j in range(DIM)
+    ]
+    return (
+        spark.range(N_VECS)
+        .withColumn("c", (F.col("id") % N_CLUSTERS).cast("long"))
+        .select(F.col("id").alias("vec_id"),
+                F.array(*dims).alias("embedding"))
+        .persist()
+    )
+
+
+def test_ann_lsh_scale_recall_and_budget(big_emb):
+    n_planes = S.derived_planes(N_VECS)
+    cand = S.lsh_candidate_pairs(big_emb, n_queries=S.ANN_QUERIES,
+                                 n_planes=n_planes, dim=DIM).persist()
+    per_query = (
+        cand.groupBy("query_id").agg(F.count("*").alias("n"))
+        .agg(F.avg("n")).first()[0]
+    )
+    # Budget: candidates per query must be a small fraction of N.  With
+    # 11 planes (2048 buckets/table), 12 probes x 4 tables over ~49-row
+    # buckets plus cluster skew lands well under N/5; the broken r1
+    # default (5 planes -> 32 buckets) would exceed N here.
+    assert per_query < N_VECS / 5, f"candidate budget blew up: {per_query}"
+
+    brute = S.ann_topk_brute(big_emb).select(
+        "query_id", "neighbor_id").collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    lsh = S.ann_topk_lsh(big_emb, n_planes=n_planes, dim=DIM).select(
+        "query_id", "neighbor_id").collect()
+    for r in lsh:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, f"recall dropped: {recalls}"
+    cand.unpersist()
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    """Corpus where every doc shares one hot prefix: the uncapped
+    inverted index generates all ~N^2/2 pairs; the df-capped path must
+    stay sub-quadratic yet report identical (exact) Jaccard for pairs
+    that share any rare shingle."""
+    n_docs = 400
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        # 'HOTHOT' prefix in every doc + unique tail; two planted dups
+        "concat('HOTHOT', CASE WHEN id IN (7, 8) THEN 'samestuffhere'"
+        " ELSE concat('tail', CAST(id AS STRING), 'x', CAST(id*31 AS STRING))"
+        " END) AS text",
+    ).persist()
+    exact = {(r["doc_a"], r["doc_b"]): r["jac"]
+             for r in D.jaccard_pairs(docs, tau=0.5).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jac"]
+              for r in D.jaccard_pairs(docs, tau=0.5, df_cap=10).collect()}
+    assert capped == exact  # planted dups share rare shingles -> found
+    assert (7, 8) in capped
+
+    # candidate-count bound: replicate the capped candidate stage
+    sh = D.char_shingles(docs).persist()
+    rare = (sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 10).select("s"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s").join(rare, "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s").join(rare, "s")
+    n_cand = (a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b").distinct().count())
+    assert n_cand < n_docs * 20  # vs ~n_docs^2/2 = 80k uncapped
+    sh.unpersist()
+    docs.unpersist()

@@ -58,3 +58,62 @@ def test_streamed_edges_match_batch(spark, tmp_path, split):
         spark.read.parquet(str(in_dir))).collect()))
     assert streamed == batch
     t.unpersist()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_sequence_pairs_cross_chunk_order():
+    """One conversation delivered as two Arrow chunks in REVERSE turn
+    order must still emit in-order pairs (r1 advice finding)."""
+    import pandas as pd
+
+    from graphlab_spark.streaming.ingest import _make_sequence_pairs
+
+    fn = _make_sequence_pairs(None)
+    chunks = [pd.DataFrame({"turn_idx": [3, 4]}),
+              pd.DataFrame({"turn_idx": [1, 2]})]
+    st = _FakeState()
+    out = list(fn(("c1",), iter(chunks), st))
+    pairs = list(zip(out[0]["a"], out[0]["b"]))
+    assert pairs == [(1, 2), (2, 3), (3, 4)]
+    assert st.get == (4,)
+    assert st.timeout_set is None  # no TTL configured
+
+    fn_ttl = _make_sequence_pairs(5000)
+    st2 = _FakeState()
+    list(fn_ttl(("c1",), iter([pd.DataFrame({"turn_idx": [1, 2]})]), st2))
+    assert st2.timeout_set == 5000
+
+
+def test_sequence_pairs_timeout_evicts():
+    from graphlab_spark.streaming.ingest import _make_sequence_pairs
+
+    fn = _make_sequence_pairs(5000)
+    st = _FakeState(value=(7,), timed_out=True)
+    assert list(fn(("c1",), iter([]), st)) == []
+    assert st.removed
