@@ -280,6 +280,100 @@ def q_als_factors(spark, sf_dir):
     )
 
 
+def _ratings(spark, sf_dir):
+    """Shared CF ratings: supplier x part, rating = min quantity / 50
+    (min — not avg — so Spark and DuckDB agree bit-for-bit; the /50
+    brings ratings to ~[0,1] so the batch-GD step is stable at the
+    hub degrees this table has)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_suppkey").alias("user"),
+                 F.col("l_partkey").alias("item"))
+        .agg((F.min("l_quantity").cast("double") / F.lit(50.0))
+             .alias("rating"))
+    )
+
+
+def q_sir(spark, sf_dir):
+    from graphlab_spark.algos.cascades import sir_cascade
+    g = events_graph(spark, sf_dir)
+    return sir_cascade(g, seeds=[-1], p_percent=30, resume=False).state
+
+
+def q_percolation(spark, sf_dir):
+    from graphlab_spark.algos.cascades import bond_percolation
+    g = events_graph(spark, sf_dir)
+    return bond_percolation(g, p_percent=50, resume=False)
+
+
+def q_topo_layers(spark, sf_dir):
+    """Kahn/longest-path layers over the events DAG truncated to 12
+    events per user (the truncation keeps the BSP depth ~13 instead of
+    the ~90-hop full user chains; replayed identically in SQL)."""
+    from pyspark.sql import Window
+    from graphlab_spark.operators.graph_ops import topological_layers
+    from graphlab_spark.sources.events import edges_from_events
+    from graphlab_spark import EdgeGraph
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev12 = (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 12).drop("rn"))
+    g = EdgeGraph(edges_from_events(ev12))
+    return topological_layers(g, resume=False).state
+
+
+def q_laplacian(spark, sf_dir):
+    from graphlab_spark.algos.spectral import normalized_adjacency
+    g = events_graph(spark, sf_dir)
+    return normalized_adjacency(g).select(
+        "src", "dst", F.round("w", 6).alias("w"))
+
+
+def q_spectral_embedding(spark, sf_dir):
+    from graphlab_spark.algos.spectral import spectral_embedding
+    g = events_graph(spark, sf_dir)
+    return spectral_embedding(g, iterations=15).select(
+        "id", F.round("comp", 6).alias("comp"))
+
+
+def q_spectral_clusters(spark, sf_dir):
+    from graphlab_spark.algos.spectral import spectral_clusters
+    g = events_graph(spark, sf_dir)
+    return spectral_clusters(g, k=2, iterations=15)
+
+
+def q_sgd_user_factors(spark, sf_dir):
+    from graphlab_spark.algos.sgd import sgd
+    uf, _ = sgd(_ratings(spark, sf_dir), k=4, iterations=3)
+    return uf.select("id", "f", F.round("v", 6).alias("v"))
+
+
+def q_sgd_rmse(spark, sf_dir):
+    from graphlab_spark.algos.sgd import sgd, sgd_rmse
+    r = _ratings(spark, sf_dir)
+    uf, itf = sgd(r, k=4, iterations=3)
+    return sgd_rmse(r, uf, itf).select(F.round("rmse", 6).alias("rmse"))
+
+
+def q_svd_power(spark, sf_dir):
+    from graphlab_spark.algos.svd import power_iteration_svd
+    v, _sigma = power_iteration_svd(_ratings(spark, sf_dir), iterations=8)
+    return v.select("id", F.round("xv", 6).alias("xv"))
+
+
+def q_svd_lanczos(spark, sf_dir):
+    from graphlab_spark.algos.svd import lanczos_svd
+    vals = lanczos_svd(_ratings(spark, sf_dir), m=4)
+    return spark.createDataFrame(
+        [(i, round(v, 4)) for i, v in enumerate(vals)], "rank int, sigma double")
+
+
+def q_lda_word_topics(spark, sf_dir):
+    from graphlab_spark.algos.lda import lda_cvb0, word_topics
+    gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2)
+    return word_topics(gamma)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges_from_events": q_edges,
@@ -315,6 +409,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans_assign1": q_kmeans_assign1,
         "cluster_kmeans_full": q_kmeans_full,
         "cf_als_factor_norms": q_als_factors,
+        "cascade_sir": q_sir,
+        "cascade_percolation": q_percolation,
+        "graph_topo_layers": q_topo_layers,
+        "graph_laplacian": q_laplacian,
+        "spectral_embedding2": q_spectral_embedding,
+        "spectral_clusters2": q_spectral_clusters,
+        "cf_sgd_user_factors": q_sgd_user_factors,
+        "cf_sgd_rmse": q_sgd_rmse,
+        "cf_svd_power_v": q_svd_power,
+        "cf_svd_lanczos": q_svd_lanczos,
+        "lda_word_topics": q_lda_word_topics,
     }
 
 
@@ -475,7 +580,19 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_approx_diameter": O.sql_approx_diameter(direction="all"),
         "cluster_kmeans_full": O.sql_kmeans_full(k=4, iterations=10),
         "sim_ann_topk_lsh": S.sql_ann_topk_lsh(),
-        # no oracle (rows-only): cf_als_factor_norms — per-user ridge
-        # solves are not expressible in ANSI SQL; exactness is covered
-        # by the pytest low-rank-recovery goldens.
+        "cascade_sir": O.sql_sir_cascade(source=-1, p_percent=30),
+        "cascade_percolation": O.sql_bond_percolation(p_percent=50),
+        "graph_topo_layers": O.sql_topo_layers(max_turns=12),
+        "graph_laplacian": O.sql_laplacian(),
+        "spectral_embedding2": O.sql_spectral_embedding(iterations=15),
+        "cf_sgd_user_factors": O.sql_sgd_user_factors(k=4, iterations=3),
+        "cf_sgd_rmse": O.sql_sgd_rmse(k=4, iterations=3),
+        "cf_svd_power_v": O.sql_svd_power(iterations=8),
+        "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
+        # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
+        # (per-user ridge solves / driver-side tridiagonal eigenproblem
+        # — not ANSI-SQL-expressible; exactness via pytest goldens vs
+        # closed forms and numpy.linalg.svd) and spectral_clusters2
+        # (k-means over a computed embedding; embedding itself is
+        # oracle-verified, clustering by pytest two-block recovery).
     }

@@ -54,22 +54,28 @@ def _rec(*ctes: str) -> str:
 # connected components (mirrors algos/connected_components.py)
 # ---------------------------------------------------------------------------
 
-_CC_REC = """
-cc(iter, id, component, nchanged) AS (
-  SELECT 0, id, id, CAST(1 AS BIGINT) FROM verts
+def _cc_rec(name: str = "cc", verts: str = "verts", sym: str = "sym") -> str:
+    """Hash-min label recursion over (verts, sym) — reused by CC, CC
+    sizes, and bond percolation (which feeds a filtered edge set)."""
+    return f"""
+{name}(iter, id, component, nchanged) AS (
+  SELECT 0, id, id, CAST(1 AS BIGINT) FROM {verts}
   UNION ALL
   SELECT * FROM (
     SELECT p.iter + 1 AS iter, p.id,
            least(p.component, coalesce(m.received, p.component)) AS component,
            sum(CASE WHEN coalesce(m.received, p.component) < p.component
                     THEN 1 ELSE 0 END) OVER () AS nchanged
-    FROM cc p
+    FROM {name} p
     LEFT JOIN (SELECT s.dst AS mid, min(p2.component) AS received
-               FROM cc p2 JOIN sym s ON p2.id = s.src
+               FROM {name} p2 JOIN {sym} s ON p2.id = s.src
                GROUP BY s.dst) m ON p.id = m.mid
     WHERE p.nchanged > 0 AND p.iter < 200
   )
 )"""
+
+
+_CC_REC = _cc_rec()
 
 
 def sql_connected_components() -> str:
@@ -342,6 +348,89 @@ SELECT id, cluster FROM (
 ) WHERE rn = 1"""
 
 
+# ---------------------------------------------------------------------------
+# SIR cascade + bond percolation (mirrors algos/cascades.py)
+# ---------------------------------------------------------------------------
+
+def sql_sir_cascade(source: int = -1, p_percent: int = 30) -> str:
+    tedges = (f"tedges AS (SELECT src, dst FROM sym "
+              f"WHERE {sql_edge_hash('src', 'dst')} % 100 < {p_percent})")
+    rec = f"""
+sir(iter, id, step, nchanged) AS (
+  SELECT 0, id, 0, CAST(1 AS BIGINT) FROM verts WHERE id = {source}
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, n.id, n.step,
+           sum(CASE WHEN q.id IS NULL OR n.step < q.step
+                    THEN 1 ELSE 0 END) OVER () AS nchanged
+    FROM (SELECT id, min(step) AS step FROM (
+            SELECT id, step FROM sir
+            UNION ALL
+            SELECT t.dst AS id, p.step + 1 AS step
+            FROM sir p JOIN tedges t ON p.id = t.src
+          ) GROUP BY id) n
+    LEFT JOIN sir q ON n.id = q.id
+    CROSS JOIN (SELECT DISTINCT iter, nchanged FROM sir) m
+    WHERE m.nchanged > 0 AND m.iter < 200
+  )
+)"""
+    return (_rec(_VERTS, _SYM, tedges, rec)
+            + "SELECT id, CAST(step AS INTEGER) AS step FROM sir "
+              "WHERE iter = (SELECT max(iter) FROM sir)")
+
+
+def sql_bond_percolation(p_percent: int = 50) -> str:
+    kept = (f"kept AS (SELECT src, dst FROM canon "
+            f"WHERE {sql_edge_hash('src', 'dst')} % 100 < {p_percent})")
+    ksym = ("ksym AS (SELECT src, dst FROM kept "
+            "UNION ALL SELECT dst AS src, src AS dst FROM kept)")
+    kverts = ("kverts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM "
+              "kept UNION ALL SELECT dst FROM kept))")
+    return (_rec(_VERTS, _CANON, kept, ksym, kverts,
+                 _cc_rec("pcc", "kverts", "ksym")) + """
+SELECT id, component FROM pcc WHERE iter = (SELECT max(iter) FROM pcc)
+UNION ALL
+SELECT v.id, v.id AS component FROM verts v
+WHERE v.id NOT IN (SELECT id FROM kverts)""")
+
+
+# ---------------------------------------------------------------------------
+# topological layers (mirrors operators/graph_ops.topological_layers)
+# ---------------------------------------------------------------------------
+
+def sql_topo_layers(max_turns: int = 12) -> str:
+    """Longest-path-from-source layers over the events DAG truncated to
+    the first ``max_turns`` events per user (the same truncation the
+    Spark contract query applies, replayed via row_number)."""
+    limited = EDGES_CTES.replace("FROM events", "FROM ev_lim")
+    ev_lim = f"""
+ev_lim AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn <= {max_turns})"""
+    rec = """
+topo(iter, id, layer, nchanged) AS (
+  SELECT 0, id, 0, CAST(1 AS BIGINT) FROM verts
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           CASE WHEN coalesce(m.cand, -1) > p.layer THEN m.cand
+                ELSE p.layer END AS layer,
+           sum(CASE WHEN coalesce(m.cand, -1) > p.layer
+                    THEN 1 ELSE 0 END) OVER () AS nchanged
+    FROM topo p
+    LEFT JOIN (SELECT e.dst, max(p2.layer) + 1 AS cand
+               FROM topo p2 JOIN edges e ON p2.id = e.src
+               GROUP BY e.dst) m ON p.id = m.dst
+    WHERE p.nchanged > 0 AND p.iter < 500
+  )
+)"""
+    return ("WITH RECURSIVE " + ",\n".join(
+        [ev_lim.strip(), limited.strip(), _VERTS, rec.strip()])
+        + "\nSELECT id, CAST(layer AS INTEGER) AS layer FROM topo "
+          "WHERE iter = (SELECT max(iter) FROM topo)")
+
+
 def _kcore_rec(name: str, src_rel: str, k: int, cap: int = 100) -> str:
     """One recursive peel.  Every level is LEFT-JOINed from a single meta
     row so an emptied core still yields one (NULL, NULL) row — recursion
@@ -411,3 +500,201 @@ FROM (SELECT s.*, min(edges) OVER (ORDER BY k
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
       FROM s)
 WHERE coalesce(prev_min, 1) > 0""")
+
+
+# ---------------------------------------------------------------------------
+# CF family: full-batch SGD + SVD power iteration (mirrors algos/sgd.py,
+# algos/svd.py) over the lineitem-derived ratings (supplier x part,
+# rating = min quantity — min, not avg, so both engines agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+RATINGS_CTE = (
+    "ratings AS (SELECT l_suppkey AS u, l_partkey AS it, "
+    "CAST(min(l_quantity) AS DOUBLE) / 50.0 AS r FROM lineitem GROUP BY 1, 2)")
+
+
+def _init_v_sql(side_expr: str) -> str:
+    seed = f"(b.id * 31 + fs.f * 7 + {side_expr} * 13)"
+    return f"0.1 * ({sql_lcg_hash(seed)} / 2147483648.0)"
+
+
+def sql_sgd_user_factors(k: int = 4, iterations: int = 3,
+                         lr: float = 0.01, reg: float = 0.05) -> str:
+    err_sub = """
+        (SELECT r.u, r.it, r.r - sum(pu.v * qi.v) AS e
+         FROM ratings r
+         JOIN fac pu ON pu.side = 0 AND pu.id = r.u
+         JOIN fac qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
+         GROUP BY r.u, r.it, r.r)"""
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+fs AS (SELECT CAST(unnest(generate_series(0, {k - 1})) AS INTEGER) AS f),
+sides AS (SELECT 0 AS side, u AS id FROM (SELECT DISTINCT u FROM ratings)
+          UNION ALL
+          SELECT 1, it FROM (SELECT DISTINCT it FROM ratings)),
+fac(iter, side, id, f, v) AS (
+  SELECT 0, b.side, b.id, fs.f, {_init_v_sql('b.side')}
+  FROM sides b CROSS JOIN fs
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.side, p.id, p.f,
+           p.v + {lr!r} * (coalesce(g.g, 0.0) - {reg!r} * p.v) AS v
+    FROM fac p
+    LEFT JOIN (
+      SELECT 0 AS side, e.u AS id, q.f, sum(e.e * q.v) AS g
+      FROM {err_sub} e JOIN fac q ON q.side = 1 AND q.id = e.it
+      GROUP BY e.u, q.f
+      UNION ALL
+      SELECT 1, e.it, q.f, sum(e.e * q.v)
+      FROM {err_sub} e JOIN fac q ON q.side = 0 AND q.id = e.u
+      GROUP BY e.it, q.f
+    ) g ON p.side = g.side AND p.id = g.id AND p.f = g.f
+    WHERE p.iter < {iterations}
+  )
+)
+SELECT id, f, round(v, 6) AS v FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
+def sql_sgd_rmse(k: int = 4, iterations: int = 3,
+                 lr: float = 0.01, reg: float = 0.05) -> str:
+    base = sql_sgd_user_factors(k, iterations, lr, reg)
+    head = base[: base.rindex("SELECT id, f,")]
+    return head + f"""
+, final AS (SELECT side, id, f, v FROM fac
+            WHERE iter = (SELECT max(iter) FROM fac)),
+pred AS (SELECT r.u, r.it, r.r, sum(pu.v * qi.v) AS p
+         FROM ratings r
+         JOIN final pu ON pu.side = 0 AND pu.id = r.u
+         JOIN final qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
+         GROUP BY r.u, r.it, r.r)
+SELECT round(sqrt(avg((r - p) * (r - p))), 6) AS rmse FROM pred"""
+
+
+def sql_svd_power(iterations: int = 8) -> str:
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+iids AS (SELECT DISTINCT it AS id FROM ratings),
+pv(iter, id, xv) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM iids
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, id, zv / nrm AS xv FROM (
+      SELECT p.iter + 1 AS iter, z.id, z.zv,
+             sqrt(sum(z.zv * z.zv) OVER ()) AS nrm
+      FROM (
+        SELECT r2.it AS id, sum(r2.r * y.yv) AS zv
+        FROM (SELECT r.u, sum(r.r * p2.xv) AS yv
+              FROM ratings r JOIN pv p2 ON p2.id = r.it
+              GROUP BY r.u) y
+        JOIN ratings r2 ON r2.u = y.u
+        GROUP BY r2.it
+      ) z
+      CROSS JOIN (SELECT DISTINCT iter FROM pv) p
+      WHERE p.iter < {iterations}
+    )
+  )
+)
+SELECT id, round(xv, 6) AS xv FROM pv
+WHERE iter = (SELECT max(iter) FROM pv)"""
+
+
+# ---------------------------------------------------------------------------
+# spectral pipeline (mirrors algos/spectral.py)
+# ---------------------------------------------------------------------------
+
+_UND = ("und AS (SELECT DISTINCT src, dst FROM sym)")
+_UDEG = ("udeg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY 1)")
+
+
+def sql_laplacian() -> str:
+    return (_rec(_SYM, _UND, _UDEG) + """
+SELECT u.src, u.dst,
+       round(1.0 / sqrt(d1.deg * d2.deg), 6) AS w
+FROM und u JOIN udeg d1 ON u.src = d1.id JOIN udeg d2 ON u.dst = d2.id""")
+
+
+def sql_spectral_embedding(iterations: int = 15) -> str:
+    x0 = sql_lcg_hash("id")
+    rec = f"""
+v1 AS (SELECT id, sqrt(deg) / sqrt((SELECT sum(deg) FROM udeg)) AS v1
+       FROM udeg),
+nadj AS (SELECT u.src, u.dst, 1.0 / sqrt(d1.deg * d2.deg) AS w
+         FROM und u JOIN udeg d1 ON u.src = d1.id
+         JOIN udeg d2 ON u.dst = d2.id),
+se(iter, id, xv) AS (
+  SELECT 0, id, ({x0} / 2147483648.0) - 0.5 FROM udeg
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, id,
+           (yv - s1 * v1v) / sqrt(greatest(sy2 - s1 * s1, 1e-300)) AS xv
+    FROM (
+      SELECT p.iter + 1 AS iter, v.id, v.v1 AS v1v,
+             coalesce(y.yv, 0.0) AS yv,
+             sum(v.v1 * coalesce(y.yv, 0.0)) OVER () AS s1,
+             sum(coalesce(y.yv, 0.0) * coalesce(y.yv, 0.0)) OVER () AS sy2
+      FROM v1 v
+      LEFT JOIN (SELECT n.dst AS id, sum(n.w * p2.xv) AS yv
+                 FROM se p2 JOIN nadj n ON p2.id = n.src
+                 GROUP BY n.dst) y ON v.id = y.id
+      CROSS JOIN (SELECT DISTINCT iter FROM se) p
+      WHERE p.iter < {iterations}
+    )
+  )
+)"""
+    return (_rec(_SYM, _UND, _UDEG, rec)
+            + "SELECT id, round(xv, 6) AS comp FROM se "
+              "WHERE iter = (SELECT max(iter) FROM se)")
+
+
+# ---------------------------------------------------------------------------
+# LDA / CVB0 (mirrors algos/lda.py)
+# ---------------------------------------------------------------------------
+
+def sql_lda_word_topics(k: int = 4, iterations: int = 2,
+                        alpha: float = 0.5, beta: float = 0.1) -> str:
+    seed = "(p0.doc_id * 1009 + p0.wid * 101 + ks.k)"
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS word
+         FROM documents),
+cnts AS (SELECT doc_id, word, count(*) AS cnt FROM toks
+         WHERE len(word) > 0 GROUP BY 1, 2),
+dim AS (SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT)
+               AS wid
+        FROM (SELECT DISTINCT word FROM cnts)),
+dw AS (SELECT c.doc_id, d.wid, c.word, c.cnt
+       FROM cnts c JOIN dim d USING (word)),
+ks AS (SELECT CAST(unnest(generate_series(0, {k - 1})) AS INTEGER) AS k),
+gam(iter, doc_id, wid, word, cnt, k, g) AS (
+  SELECT 0, doc_id, wid, word, cnt, k,
+         raw / sum(raw) OVER (PARTITION BY doc_id, wid)
+  FROM (SELECT p0.*, ks.k,
+               1.0 + ({sql_lcg_hash(seed)} / 2147483648.0) AS raw
+        FROM dw p0 CROSS JOIN ks)
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, doc_id, wid, word, cnt, k,
+           raw / sum(raw) OVER (PARTITION BY doc_id, wid) AS g
+    FROM (
+      SELECT p.iter + 1 AS iter, p.doc_id, p.wid, p.word, p.cnt, p.k,
+             (nwk.nwk - p.g + {beta!r}) * (ndk.ndk - p.g + {alpha!r})
+             / (nk.nk - p.g + (SELECT count(*) FROM dim) * {beta!r}) AS raw
+      FROM gam p
+      JOIN (SELECT wid, k, sum(cnt * g) AS nwk FROM gam GROUP BY 1, 2) nwk
+        ON p.wid = nwk.wid AND p.k = nwk.k
+      JOIN (SELECT doc_id, k, sum(cnt * g) AS ndk FROM gam GROUP BY 1, 2) ndk
+        ON p.doc_id = ndk.doc_id AND p.k = ndk.k
+      JOIN (SELECT k, sum(cnt * g) AS nk FROM gam GROUP BY 1) nk
+        ON p.k = nk.k
+      WHERE p.iter < {iterations}
+    )
+  )
+)
+SELECT word, k, round(sum(cnt * g), 6) AS weight
+FROM gam WHERE iter = (SELECT max(iter) FROM gam)
+GROUP BY word, k"""

@@ -1,0 +1,193 @@
+"""Goldens for the round-2 algorithm additions: SGD / SVD (CF family),
+spectral pipeline, LDA-CVB0, cascades/percolation, and graph_ops."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark import EdgeGraph
+
+
+def _toy_ratings(spark):
+    """Rank-1-ish 6x5 matrix: rating = u_i * v_j with noise-free
+    structure so factorization must fit it closely."""
+    rows = [(u, i, (0.2 + 0.1 * u) * (0.5 + 0.1 * i))
+            for u in range(6) for i in range(5)]
+    return spark.createDataFrame(rows, "user long, item long, rating double")
+
+
+def test_sgd_rmse_decreases(spark):
+    from graphlab_spark.algos.sgd import sgd, sgd_rmse
+    r = _toy_ratings(spark)
+    prev = None
+    for iters in (1, 5, 30):
+        uf, itf = sgd(r, k=2, iterations=iters, lr=0.1)
+        rmse = sgd_rmse(r, uf, itf).first()["rmse"]
+        assert math.isfinite(rmse)
+        if prev is not None:
+            assert rmse < prev * 1.001
+        prev = rmse
+    assert prev < 0.05  # fits the low-rank structure (floor ~ reg bias)
+
+
+def test_sgd_deterministic(spark):
+    from graphlab_spark.algos.sgd import sgd
+    r = _toy_ratings(spark)
+    a = sorted(map(tuple, sgd(r, k=2, iterations=2)[0].collect()))
+    b = sorted(map(tuple, sgd(r, k=2, iterations=2)[0].collect()))
+    assert a == b
+
+
+def test_svd_power_matches_numpy(spark):
+    import numpy as np
+    from graphlab_spark.algos.svd import power_iteration_svd
+    r = _toy_ratings(spark)
+    v, sigma = power_iteration_svd(r, iterations=30)
+    m = np.zeros((6, 5))
+    for row in r.collect():
+        m[row["user"], row["item"]] = row["rating"]
+    svals = np.linalg.svd(m, compute_uv=False)
+    assert abs(sigma - svals[0]) < 1e-6 * max(1.0, svals[0])
+    # leading right-singular vector matches up to sign
+    _, _, vt = np.linalg.svd(m)
+    got = {row["id"]: row["xv"] for row in v.collect()}
+    ref = vt[0]
+    sign = 1.0 if got[0] * ref[0] > 0 else -1.0
+    for i in range(5):
+        assert abs(got[i] - sign * ref[i]) < 1e-5
+
+
+def test_lanczos_matches_numpy(spark):
+    import numpy as np
+    from graphlab_spark.algos.svd import lanczos_svd
+    r = _toy_ratings(spark)
+    m = np.zeros((6, 5))
+    for row in r.collect():
+        m[row["user"], row["item"]] = row["rating"]
+    svals = np.linalg.svd(m, compute_uv=False)
+    got = lanczos_svd(r, m=4)
+    # rank-1-dominated matrix: top value must match tightly
+    assert abs(got[0] - svals[0]) < 1e-6 * svals[0]
+
+
+def _two_blocks(spark):
+    """Two 5-cliques joined by a single bridge edge."""
+    edges = []
+    for base in (0, 10):
+        for a in range(5):
+            for b in range(a + 1, 5):
+                edges.append((base + a, base + b))
+    edges.append((0, 10))
+    return EdgeGraph(
+        spark.createDataFrame(edges, "src long, dst long"),
+        num_edge_partitions=4)
+
+
+def test_spectral_two_blocks(spark):
+    from graphlab_spark.algos.spectral import (
+        normalized_adjacency, spectral_clusters, spectral_embedding)
+    g = _two_blocks(spark)
+    nadj = normalized_adjacency(g)
+    # symmetric entries, w = 1/sqrt(d_u d_v)
+    w = {(r["src"], r["dst"]): r["w"] for r in nadj.collect()}
+    assert all(abs(w[(a, b)] - w[(b, a)]) < 1e-12
+               for (a, b) in w if (b, a) in w)
+    emb = {r["id"]: r["comp"] for r in spectral_embedding(g).collect()}
+    left = [emb[i] for i in range(5)]
+    right = [emb[10 + i] for i in range(5)]
+    assert max(left) < min(right) or min(left) > max(right)
+    clusters = {r["id"]: r["cluster"]
+                for r in spectral_clusters(g, k=2).collect()}
+    assert len({clusters[i] for i in range(5)}) == 1
+    assert len({clusters[10 + i] for i in range(5)}) == 1
+    assert clusters[0] != clusters[10]
+    g.unpersist()
+
+
+def test_lda_invariants(spark):
+    from graphlab_spark.algos.lda import lda_cvb0, word_topics
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "delta epsilon delta")
+         for i in range(20)],
+        "doc_id long, text string")
+    gamma = lda_cvb0(docs, k=3, iterations=2)
+    # responsibilities normalize per (doc, word)
+    norms = (gamma.groupBy("doc_id", "wid")
+             .agg(F.sum("g").alias("s")).collect())
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in norms)
+    # word-topic weights sum to corpus counts per word
+    wt = word_topics(gamma)
+    totals = {r["word"]: r["t"] for r in
+              wt.groupBy("word").agg(F.sum("weight").alias("t")).collect()}
+    assert abs(totals["delta"] - 20.0) < 1e-4   # 2 per doc x 10 docs
+    assert abs(totals["alpha"] - 10.0) < 1e-4
+    # deterministic
+    a = sorted(map(tuple, wt.collect()))
+    b = sorted(map(tuple, word_topics(
+        lda_cvb0(docs, k=3, iterations=2)).collect()))
+    assert a == b
+
+
+def test_sir_cascade_is_bfs_on_transmitting_subgraph(spark):
+    from graphlab_spark.algos.cascades import sir_cascade, transmitting_edges
+    g = _two_blocks(spark)
+    res = sir_cascade(g, seeds=[0], p_percent=60, resume=False)
+    steps = {r["id"]: r["step"] for r in res.state.collect()}
+    assert steps[0] == 0
+    # every infected non-seed vertex has a transmitting in-edge from a
+    # vertex infected exactly one step earlier
+    t = {(r["src"], r["dst"])
+         for r in transmitting_edges(g, 60).collect()}
+    for v, s in steps.items():
+        if s > 0:
+            assert any((u, v) in t and steps.get(u) == s - 1 for u in steps)
+    g.unpersist()
+
+
+def test_percolation_components_respect_kept_edges(spark):
+    from graphlab_spark.algos.cascades import bond_percolation
+    from graphlab_spark.operators.portable import edge_hash
+    g = _two_blocks(spark)
+    labels = {r["id"]: r["component"]
+              for r in bond_percolation(g, p_percent=50, resume=False).collect()}
+    kept = g.canonical_undirected_edges.filter(
+        edge_hash("src", "dst") % 100 < 50)
+    for r in kept.collect():
+        assert labels[r["src"]] == labels[r["dst"]]
+    assert set(labels) == {r["id"] for r in g.vertices.collect()}
+    g.unpersist()
+
+
+def test_topological_layers_valid_order(spark):
+    from graphlab_spark.operators.graph_ops import topological_layers
+    dag = EdgeGraph(spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"),
+        num_edge_partitions=2)
+    layers = {r["id"]: r["layer"]
+              for r in topological_layers(dag, resume=False).state.collect()}
+    assert layers == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    dag.unpersist()
+
+
+def test_metis_and_zoltan_exports(spark, tmp_path):
+    from graphlab_spark.operators.graph_ops import (
+        save_metis_structure, save_zoltan_hypergraph_structure)
+    g = EdgeGraph(spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"),
+        num_edge_partitions=2)
+    mp = tmp_path / "m.txt"
+    save_metis_structure(g, str(mp))
+    lines = mp.read_text().splitlines()
+    assert lines[0] == "3 3"
+    assert len(lines) == 4
+    # triangle: every vertex lists the other two (dense 1-based ids)
+    assert sorted(lines[1].split()) == ["2", "3"]
+    zp = tmp_path / "z.txt"
+    save_zoltan_hypergraph_structure(g, str(zp))
+    zl = [ln for ln in zp.read_text().splitlines()]
+    assert zl[0] == "3"          # 3 hyper-vertices (edges)
+    assert f"{g.num_edges * 2}" in zl  # pin count line
+    g.unpersist()
