@@ -368,6 +368,13 @@ def q_svd_lanczos(spark, sf_dir):
         [(i, round(v, 4)) for i, v in enumerate(vals)], "rank int, sigma double")
 
 
+def q_lbp_beliefs(spark, sf_dir):
+    from graphlab_spark.algos.lbp import lbp_beliefs
+    g = events_graph(spark, sf_dir)
+    return lbp_beliefs(g, iterations=5).select(
+        "id", F.round("b1", 6).alias("b1"))
+
+
 def q_lda_word_topics(spark, sf_dir):
     from graphlab_spark.algos.lda import lda_cvb0, word_topics
     gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2)
@@ -420,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_svd_power_v": q_svd_power,
         "cf_svd_lanczos": q_svd_lanczos,
         "lda_word_topics": q_lda_word_topics,
+        "graph_lbp_beliefs": q_lbp_beliefs,
     }
 
 
@@ -589,6 +597,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_sgd_rmse": O.sql_sgd_rmse(k=4, iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
+        "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs

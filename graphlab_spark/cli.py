@@ -34,7 +34,7 @@ from .graph import EdgeGraph
 from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
-         "kcore", "sssp", "diameter")
+         "kcore", "sssp", "diameter", "convert")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -56,6 +56,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "in the reference")
     p.add_argument("--k", type=int, default=2, help="k for kcore")
     p.add_argument("--source", type=int, default=0, help="sssp source vid")
+    p.add_argument("--output-format", default="tsv",
+                   choices=["tsv", "snap", "csv", "parquet"],
+                   help="target format for the convert verb")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--cores", type=int, default=None,
                    help="local[] cores when no session exists")
@@ -91,6 +94,20 @@ def _load_graph(spark: SparkSession, args) -> EdgeGraph:
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     spark = _get_session(args)
+    if args.algo == "convert":
+        # format_convert parity (toolkits/graph_analytics/
+        # format_convert.cpp:24-81): load any format, save any format.
+        if not args.output:
+            raise SystemExit("convert requires --output")
+        from .sources.parsers import save_edges
+        g = _load_graph(spark, args)
+        t0 = time.time()
+        save_edges(g.edges, args.output, args.output_format)
+        print(json.dumps({
+            "algo": "convert", "edges": g.num_edges,
+            "from": args.format, "to": args.output_format,
+            "wall_sec": round(time.time() - t0, 3)}))
+        return 0
     g = _load_graph(spark, args)
     ckpt = CheckpointManager(args.checkpoint_dir, every=args.checkpoint_every)
     n_edges = g.num_edges

@@ -187,6 +187,7 @@ pr(iter, id, rank, md) AS (
 # k-core peeling (mirrors algos/kcore.py)
 # ---------------------------------------------------------------------------
 
+from .algos.lbp import PSI as PSI_SQL
 from .operators.portable import sql_edge_hash, sql_lcg_hash, sql_mix31
 
 _portable_hash_sql = sql_lcg_hash
@@ -698,3 +699,53 @@ gam(iter, doc_id, wid, word, cnt, k, g) AS (
 SELECT word, k, round(sum(cnt * g), 6) AS weight
 FROM gam WHERE iter = (SELECT max(iter) FROM gam)
 GROUP BY word, k"""
+
+
+# ---------------------------------------------------------------------------
+# loopy belief propagation (mirrors algos/lbp.py; K=2, Potts psi)
+# ---------------------------------------------------------------------------
+
+def sql_lbp_beliefs(iterations: int = 5) -> str:
+    u = sql_lcg_hash("id")
+    phi = (f"phi AS (SELECT id, 1.0 - (0.3 + 0.4 * ({u} / 2147483648.0)) "
+           f"AS phi0, 0.3 + 0.4 * ({u} / 2147483648.0) AS phi1 FROM verts)")
+    symd = "symd AS (SELECT DISTINCT src, dst FROM sym)"
+    rec = f"""
+bp(iter, src, dst, lm0, lm1) AS (
+  SELECT 0, src, dst, ln(0.5), ln(0.5) FROM symd
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, src, dst,
+           ln(m0 / (m0 + m1)) AS lm0, ln(m1 / (m0 + m1)) AS lm1
+    FROM (
+      SELECT iter, src, dst,
+             s0 * {PSI_SQL[0][0]} + s1 * {PSI_SQL[1][0]} AS m0,
+             s0 * {PSI_SQL[0][1]} + s1 * {PSI_SQL[1][1]} AS m1
+      FROM (
+        SELECT iter, src, dst,
+               phi0 * exp(lc0 - greatest(lc0, lc1)) AS s0,
+               phi1 * exp(lc1 - greatest(lc0, lc1)) AS s1
+        FROM (
+          SELECT it.iter + 1 AS iter, e.src, e.dst, f.phi0, f.phi1,
+                 lp.lp0 - r.rl0 AS lc0, lp.lp1 - r.rl1 AS lc1
+          FROM symd e
+          JOIN (SELECT dst AS id, sum(lm0) AS lp0, sum(lm1) AS lp1
+                FROM bp GROUP BY 1) lp ON e.src = lp.id
+          JOIN (SELECT dst AS src, src AS dst, lm0 AS rl0, lm1 AS rl1
+                FROM bp) r ON e.src = r.src AND e.dst = r.dst
+          JOIN phi f ON e.src = f.id
+          CROSS JOIN (SELECT DISTINCT iter FROM bp) it
+          WHERE it.iter < {iterations}
+        )
+      )
+    )
+  )
+)"""
+    return (_rec(_VERTS, _SYM, symd, phi, rec) + """
+, lpf AS (SELECT dst AS id, sum(lm0) AS lp0, sum(lm1) AS lp1
+          FROM bp WHERE iter = (SELECT max(iter) FROM bp) GROUP BY 1)
+SELECT f.id,
+       round(f.phi1 * exp(lp1 - greatest(lp0, lp1))
+             / (f.phi0 * exp(lp0 - greatest(lp0, lp1))
+                + f.phi1 * exp(lp1 - greatest(lp0, lp1))), 6) AS b1
+FROM phi f JOIN lpf USING (id)""")

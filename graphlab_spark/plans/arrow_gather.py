@@ -91,3 +91,14 @@ def weighted_sum_kernel(edf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
     m = edf.merge(sdf.rename(columns={"id": "src"}), on="src", how="inner")
     m["m"] = m["rank"] * m["cw"]
     return m.groupby("dst", as_index=False)["m"].sum()
+
+
+def min_plus_kernel(edf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+    """SSSP's relax monoid as a vectorized kernel: candidate =
+    distance(src) + edge weight, min-reduced per dst within the block
+    (block-level partial; the caller's min aggregate finishes it) —
+    the tropical-semiring twin of :func:`weighted_sum_kernel`, proving
+    the CSR-block path is monoid-generic."""
+    m = edf.merge(sdf.rename(columns={"id": "src"}), on="src", how="inner")
+    m["m"] = m["distance"] + m["__w"]
+    return m.groupby("dst", as_index=False)["m"].min()

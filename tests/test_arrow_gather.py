@@ -64,3 +64,25 @@ def test_pagerank_salted_matches_plain(spark):
     assert plain.keys() == salted.keys()
     assert all(abs(plain[k] - salted[k]) < 1e-9 for k in plain)
     g.unpersist()
+
+
+def test_sssp_arrow_equals_expr(spark):
+    """The CSR-block min-plus kernel must reproduce the expression
+    path exactly (min is order-insensitive)."""
+    from graphlab_spark import EdgeGraph
+    from graphlab_spark.algos.sssp import sssp
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0), (4, 0, 1.0)],
+        "src long, dst long, w double")
+    g = EdgeGraph(edges, num_edge_partitions=4)
+    expr = {r["id"]: r["distance"] for r in
+            sssp(g, sources=[0], directed=True, weight_col="w",
+                 resume=False).state.collect()}
+    arrow = {r["id"]: r["distance"] for r in
+             sssp(g, sources=[0], directed=True, weight_col="w",
+                  resume=False, gather="arrow").state.collect()}
+    assert expr == arrow
+    import pytest
+    with pytest.raises(ValueError):
+        sssp(g, sources=[0], gather="arrow", track_parent=True)
+    g.unpersist()

@@ -123,3 +123,18 @@ def test_cli_census_and_coloring(spark, tmp_path, capsys):
     assert main(["coloring", "--input", str(tsv), "--format", "tsv"]) == 0
     lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     assert {ln["algo"] for ln in lines} == {"census", "coloring"}
+
+
+def test_cli_convert_roundtrip(spark, tmp_path):
+    """format_convert parity: tsv -> snap via the convert verb, then a
+    reload must reproduce the edge multiset."""
+    from graphlab_spark.cli import main
+    from graphlab_spark.sources.parsers import load_format
+    src = tmp_path / "in.tsv"
+    src.write_text("1\t2\n2\t3\n3\t1\n")
+    out = tmp_path / "out_snap"
+    rc = main(["convert", "--input", str(src), "--format", "tsv",
+               "--output", str(out), "--output-format", "snap"])
+    assert rc == 0
+    back = sorted(map(tuple, load_format(spark, str(out), "snap").collect()))
+    assert back == [(1, 2), (2, 3), (3, 1)]

@@ -191,3 +191,37 @@ def test_metis_and_zoltan_exports(spark, tmp_path):
     assert zl[0] == "3"          # 3 hyper-vertices (edges)
     assert f"{g.num_edges * 2}" in zl  # pin count line
     g.unpersist()
+
+
+def test_lbp_exact_on_tree(spark):
+    """Sum-product on a tree is exact: beliefs after >= diameter sweeps
+    must equal brute-force enumeration of the 3-node chain MRF."""
+    import itertools
+    from graphlab_spark.algos.lbp import PSI, lbp_beliefs
+
+    M, A, C = 2**31, 1103515245, 12345
+
+    def lcg(x):
+        x = (x % M + M) % M
+        x = (x * A + C) % M
+        return (x * A + C) % M
+
+    def phi(v):
+        p1 = 0.3 + 0.4 * (lcg(v) / M)
+        return (1.0 - p1, p1)
+
+    g = __import__("graphlab_spark").EdgeGraph(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long"),
+        num_edge_partitions=2)
+    got = {r["id"]: r["b1"] for r in lbp_beliefs(g, iterations=6).collect()}
+    marg = {v: [0.0, 0.0] for v in (0, 1, 2)}
+    for x0, x1, x2 in itertools.product((0, 1), repeat=3):
+        p = (phi(0)[x0] * phi(1)[x1] * phi(2)[x2]
+             * PSI[x0][x1] * PSI[x1][x2])
+        marg[0][x0] += p
+        marg[1][x1] += p
+        marg[2][x2] += p
+    for v in (0, 1, 2):
+        want = marg[v][1] / (marg[v][0] + marg[v][1])
+        assert abs(got[v] - want) < 1e-9, (v, got[v], want)
+    g.unpersist()
