@@ -47,43 +47,40 @@ def kmeans(
     ids — engine-portable, used when an external SQL oracle must
     rebuild the same centers.  Stops early when no assignment changes.
     """
-    from pyspark.sql import Observation
-
     pts = points.select(F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("v"),
-                        F.lit(-1).alias("cluster")).persist()
+                        F.col(vec_col).alias("v")).persist()
     order = F.xxhash64("id") if init == "hash" else F.col("id")
     init_rows = (
         pts.select("id", "v", order.alias("h"))
         .orderBy("h").limit(k).collect()
     )
     centers = [list(map(float, r["v"])) for r in init_rows]
-    assign = pts
+
+    def cluster_expr(cs: list[list[float]]) -> F.Column:
+        dists = F.array(*[_dist_sq("v", c) for c in cs])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    assign = None
     for it in range(iterations):
-        dists = F.array(*[_dist_sq("v", c) for c in centers])
-        new_cluster = (
-            F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        # The assignment-change count rides the centroid-stats job via
-        # observe (carrying the previous cluster in state instead of
-        # re-joining it) — one Spark job per Lloyd iteration.
-        obs = Observation(f"kmeans_{it}")
-        assign = pts.select(
-            "id", "v", new_cluster.alias("cluster"),
-            (new_cluster != F.col("cluster")).alias("__chg"),
-        ).observe(obs, F.sum(F.col("__chg").cast("long")).alias("changed")
-                  ).drop("__chg").persist()
+        assign = pts.select("id", "v", cluster_expr(centers).alias("cluster"))
         stats = (
             assign.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
             .collect()
         )
-        changed = int(obs.get["changed"] or 0)
         new_centers = [list(c) for c in centers]
         for r in stats:
             new_centers[r["cluster"]][r["pos"]] = float(r["m"])
-        pts.unpersist()
-        pts = assign
-        centers = new_centers
-        if it > 0 and changed == 0:
+        # Convergence = exact center repeat, checked driver-side for
+        # free: assignments are a pure function of the centers, so
+        # assign_i == assign_{i-1}  <=>  new_centers == centers — the
+        # same stopping superstep as an explicit change count, with
+        # ONE Spark job per Lloyd iteration and no doubled distance
+        # expressions (the r1 change-count join cost a second job; an
+        # observe-based count re-derives the previous assignment and
+        # doubles Catalyst analysis + codegen per iteration).
+        if it > 0 and new_centers == centers:
             break
+        centers = new_centers
+    pts.unpersist()
     return assign.select("id", "cluster"), centers
