@@ -368,6 +368,12 @@ def q_svd_lanczos(spark, sf_dir):
         [(i, round(v, 4)) for i, v in enumerate(vals)], "rank int, sigma double")
 
 
+def q_nmf_user_factors(spark, sf_dir):
+    from graphlab_spark.algos.nmf import nmf
+    w, _ = nmf(_ratings(spark, sf_dir), k=4, iterations=3)
+    return w.select("id", "f", F.round("v", 6).alias("v"))
+
+
 def q_lbp_beliefs(spark, sf_dir):
     from graphlab_spark.algos.lbp import lbp_beliefs
     g = events_graph(spark, sf_dir)
@@ -428,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_svd_lanczos": q_svd_lanczos,
         "lda_word_topics": q_lda_word_topics,
         "graph_lbp_beliefs": q_lbp_beliefs,
+        "cf_nmf_user_factors": q_nmf_user_factors,
     }
 
 
@@ -598,6 +605,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),
+        "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs

@@ -749,3 +749,67 @@ SELECT f.id,
              / (f.phi0 * exp(lp0 - greatest(lp0, lp1))
                 + f.phi1 * exp(lp1 - greatest(lp0, lp1))), 6) AS b1
 FROM phi f JOIN lpf USING (id)""")
+
+
+# ---------------------------------------------------------------------------
+# NMF (mirrors algos/nmf.py: masked alternating Lee-Seung updates)
+# ---------------------------------------------------------------------------
+
+def _nmf_init_sql(side: int) -> str:
+    seed = f"(b.id * 31 + fs.f * 7 + {side * 13})"
+    return f"0.1 + 0.4 * ({sql_lcg_hash(seed)} / 2147483648.0)"
+
+
+def _nmf_half_sweep_sql(this_rel: str, other_rel: str, this_key: str,
+                        other_key: str, eps: float) -> str:
+    """SQL for one multiplicative half-sweep of ``this_rel`` against
+    ``other_rel`` (both (id, f, v) relations); mirrors _half_sweep."""
+    pred = f"""(SELECT r.{this_key} AS tk, r.{other_key} AS ok,
+       sum(t.v * o.v) AS p
+FROM ratings r
+JOIN {this_rel} t ON t.id = r.{this_key}
+JOIN {other_rel} o ON o.id = r.{other_key} AND o.f = t.f
+GROUP BY r.{this_key}, r.{other_key})"""
+    return f"""(SELECT t.id, t.f, t.v * num.s / (den.s + {eps!r}) AS v
+FROM {this_rel} t
+JOIN (SELECT r.{this_key} AS id, o.f, sum(r.r * o.v) AS s
+      FROM ratings r JOIN {other_rel} o ON o.id = r.{other_key}
+      GROUP BY r.{this_key}, o.f) num ON t.id = num.id AND t.f = num.f
+JOIN (SELECT p.tk AS id, o.f, sum(p.p * o.v) AS s
+      FROM {pred} p JOIN {other_rel} o ON o.id = p.ok
+      GROUP BY p.tk, o.f) den ON t.id = den.id AND t.f = den.f)"""
+
+
+def sql_nmf_user_factors(k: int = 4, iterations: int = 3,
+                         eps: float = 1e-9) -> str:
+    w_prev = "(SELECT id, f, v FROM fac WHERE side = 0)"
+    h_prev = "(SELECT id, f, v FROM fac WHERE side = 1)"
+    w_new = _nmf_half_sweep_sql(w_prev, h_prev, "u", "it", eps)
+    h_new = _nmf_half_sweep_sql(h_prev, w_new, "it", "u", eps)
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+fs AS (SELECT CAST(unnest(generate_series(0, {k - 1})) AS INTEGER) AS f),
+fac(iter, side, id, f, v) AS (
+  SELECT 0, b.side, b.id, fs.f,
+         CASE WHEN b.side = 0 THEN {_nmf_init_sql(0)}
+              ELSE {_nmf_init_sql(1)} END
+  FROM (SELECT 0 AS side, u AS id FROM (SELECT DISTINCT u FROM ratings)
+        UNION ALL
+        SELECT 1, it FROM (SELECT DISTINCT it FROM ratings)) b
+  CROSS JOIN fs
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, 0 AS side, wn.id, wn.f, wn.v
+    FROM {w_new} wn
+    CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+    UNION ALL
+    SELECT m.iter + 1, 1, hn.id, hn.f, hn.v
+    FROM {h_new} hn
+    CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+  )
+)
+SELECT id, f, round(v, 6) AS v FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""

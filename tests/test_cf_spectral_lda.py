@@ -225,3 +225,18 @@ def test_lbp_exact_on_tree(spark):
         want = marg[v][1] / (marg[v][0] + marg[v][1])
         assert abs(got[v] - want) < 1e-9, (v, got[v], want)
     g.unpersist()
+
+
+def test_nmf_objective_decreases_and_stays_nonneg(spark):
+    from graphlab_spark.algos.nmf import nmf, nmf_objective
+    r = _toy_ratings(spark)
+    prev = None
+    for iters in (1, 3, 6):
+        w, h = nmf(r, k=2, iterations=iters)
+        assert w.filter(F.col("v") < 0).count() == 0
+        assert h.filter(F.col("v") < 0).count() == 0
+        obj = nmf_objective(r, w, h)
+        if prev is not None:
+            assert obj <= prev * 1.0001
+        prev = obj
+    assert prev < 0.5
