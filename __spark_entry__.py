@@ -42,6 +42,20 @@ from graphlab_spark import oracles as O
 from graphlab_spark.sources.events import EDGES_CTES, events_graph
 
 
+# One EdgeGraph per (session, sf_dir): the driver runs ~25 graph
+# queries back-to-back in one session, and rebuilding the persisted
+# edge table + degree views per query costs ~2-4s each.  Cached here
+# (not in the library — callers own EdgeGraph lifetimes).
+_GRAPH_CACHE: dict[tuple[int, str], "EdgeGraph"] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> "EdgeGraph":
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = events_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -71,7 +85,7 @@ def q_edges(spark, sf_dir):
 
 
 def q_degrees(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return (
         g.vertices.join(g.out_degrees, "id", "left")
         .join(g.in_degrees, "id", "left")
@@ -84,49 +98,49 @@ def q_degrees(spark, sf_dir):
 
 
 def q_pagerank_iter2(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     res = pagerank(g, fixed_supersteps=2, resume=False)
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
 def q_pagerank_converged(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     res = pagerank(g, tol=1e-6, resume=False)
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
 def q_triangle_total(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return triangle_list(g).agg(F.count("*").alias("triangles"))
 
 
 def q_triangles_per_vertex(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return triangle_count_per_vertex(g)
 
 
 def q_connected_components(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return connected_components(g, resume=False).state
 
 
 def q_cc_sizes(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return component_size_histogram(connected_components(g, resume=False).state)
 
 
 def q_lpa(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return label_propagation(g, max_supersteps=10, resume=False).state
 
 
 def q_kcore_k2(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return kcore_subgraph(g, k=2)
 
 
 def q_sssp(spark, sf_dir):
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     # source: hub node -1 (the lexicographically-first event type)
     out = sssp(g, sources=[-1], directed=False, resume=False).state
     return out.filter(~F.isnan("distance") & (F.col("distance") != float("inf")))
@@ -134,7 +148,7 @@ def q_sssp(spark, sf_dir):
 
 def q_neighbors_of_hubs(spark, sf_dir):
     """1-hop in-neighborhood expansion of the hub vertex set (id < 0)."""
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     seeds = g.vertices.filter(F.col("id") < 0)
     return g.neighbors(seeds, direction="in")
 
@@ -142,7 +156,7 @@ def q_neighbors_of_hubs(spark, sf_dir):
 def q_vset_inout(spark, sf_dir):
     """Vertex-set algebra: ids with >=1 out-edge AND >=1 in-edge."""
     from graphlab_spark.operators.vertex_ops import vset_intersect
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return vset_intersect(
         g.out_degrees.select("id"), g.in_degrees.select("id")
     )
@@ -151,7 +165,7 @@ def q_vset_inout(spark, sf_dir):
 def q_kcore_table(spark, sf_dir):
     """Per-K surviving (vertices, edges) — the reference kcore report."""
     from graphlab_spark.algos.kcore import kcore_table
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     rows = kcore_table(g, kmin=1, kmax=4)
     return spark.createDataFrame(
         [(r["k"], r["vertices"], r["edges"]) for r in rows],
@@ -164,7 +178,7 @@ def q_approx_diameter(spark, sf_dir):
     so the stop criterion — not the superstep cap — is what the oracle
     verifies."""
     from graphlab_spark.algos.diameter import approx_diameter
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return spark.createDataFrame(
         [(int(approx_diameter(g, direction="all")["diameter"]),)],
         "diameter int")
@@ -172,13 +186,13 @@ def q_approx_diameter(spark, sf_dir):
 
 def q_directed_census(spark, sf_dir):
     from graphlab_spark.algos.directed_triangles import directed_triangle_census
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return directed_triangle_census(g)
 
 
 def q_coloring(spark, sf_dir):
     from graphlab_spark.algos.coloring import greedy_coloring
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return greedy_coloring(g)
 
 
@@ -296,13 +310,13 @@ def _ratings(spark, sf_dir):
 
 def q_sir(spark, sf_dir):
     from graphlab_spark.algos.cascades import sir_cascade
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return sir_cascade(g, seeds=[-1], p_percent=30, resume=False).state
 
 
 def q_percolation(spark, sf_dir):
     from graphlab_spark.algos.cascades import bond_percolation
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return bond_percolation(g, p_percent=50, resume=False)
 
 
@@ -324,21 +338,21 @@ def q_topo_layers(spark, sf_dir):
 
 def q_laplacian(spark, sf_dir):
     from graphlab_spark.algos.spectral import normalized_adjacency
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return normalized_adjacency(g).select(
         "src", "dst", F.round("w", 6).alias("w"))
 
 
 def q_spectral_embedding(spark, sf_dir):
     from graphlab_spark.algos.spectral import spectral_embedding
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return spectral_embedding(g, iterations=15).select(
         "id", F.round("comp", 6).alias("comp"))
 
 
 def q_spectral_clusters(spark, sf_dir):
     from graphlab_spark.algos.spectral import spectral_clusters
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return spectral_clusters(g, k=2, iterations=15)
 
 
@@ -376,7 +390,7 @@ def q_nmf_user_factors(spark, sf_dir):
 
 def q_lbp_beliefs(spark, sf_dir):
     from graphlab_spark.algos.lbp import lbp_beliefs
-    g = events_graph(spark, sf_dir)
+    g = _graph(spark, sf_dir)
     return lbp_beliefs(g, iterations=5).select(
         "id", F.round("b1", 6).alias("b1"))
 
