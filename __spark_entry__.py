@@ -369,6 +369,20 @@ def q_sgd_rmse(spark, sf_dir):
     return sgd_rmse(r, uf, itf).select(F.round("rmse", 6).alias("rmse"))
 
 
+def q_biassgd_user_params(spark, sf_dir):
+    from graphlab_spark.algos.biassgd import biassgd
+    uf, _, _ = biassgd(_ratings(spark, sf_dir), k=4, iterations=3)
+    return uf.select("id", "f", F.round("v", 6).alias("v"))
+
+
+def q_biassgd_rmse(spark, sf_dir):
+    from graphlab_spark.algos.biassgd import biassgd, biassgd_rmse
+    r = _ratings(spark, sf_dir)
+    uf, itf, mu = biassgd(r, k=4, iterations=3)
+    return biassgd_rmse(r, uf, itf, mu).select(
+        F.round("rmse", 6).alias("rmse"))
+
+
 def q_svd_power(spark, sf_dir):
     from graphlab_spark.algos.svd import power_iteration_svd
     v, _sigma = power_iteration_svd(_ratings(spark, sf_dir), iterations=8)
@@ -444,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_clusters2": q_spectral_clusters,
         "cf_sgd_user_factors": q_sgd_user_factors,
         "cf_sgd_rmse": q_sgd_rmse,
+        "cf_biassgd_user_params": q_biassgd_user_params,
+        "cf_biassgd_rmse": q_biassgd_rmse,
         "cf_svd_power_v": q_svd_power,
         "cf_svd_lanczos": q_svd_lanczos,
         "lda_word_topics": q_lda_word_topics,
@@ -616,6 +632,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "spectral_embedding2": O.sql_spectral_embedding(iterations=15),
         "cf_sgd_user_factors": O.sql_sgd_user_factors(k=4, iterations=3),
         "cf_sgd_rmse": O.sql_sgd_rmse(k=4, iterations=3),
+        "cf_biassgd_user_params": O.sql_biassgd_user_params(k=4, iterations=3),
+        "cf_biassgd_rmse": O.sql_biassgd_rmse(k=4, iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),

@@ -813,3 +813,80 @@ fac(iter, side, id, f, v) AS (
 )
 SELECT id, f, round(v, 6) AS v FROM fac
 WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
+# ---------------------------------------------------------------------------
+# bias-SGD (mirrors algos/biassgd.py: mu + b_u + b_i + p.q, full-batch)
+# ---------------------------------------------------------------------------
+
+def _biassgd_head(k: int, iterations: int, lr: float, reg: float) -> str:
+    """Shared WITH RECURSIVE prelude ending at the closed ``fac`` CTE.
+
+    Parameter table layout matches the Spark side: ``f in 0..k-1`` are
+    factors, ``f = -1`` is the bias (init 0.0); the update rule
+    ``v += lr*(g - reg*v)`` is shared, only the gradient differs.
+    """
+    err = f"""(SELECT r.u, r.it,
+           r.r - (SELECT m FROM mu)
+               - sum(CASE WHEN pu.f >= 0 THEN pu.v * qi.v
+                          ELSE pu.v + qi.v END) AS e
+    FROM ratings r
+    JOIN fac pu ON pu.side = 0 AND pu.id = r.u
+    JOIN fac qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
+    GROUP BY r.u, r.it, r.r)"""
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+mu AS (SELECT avg(r) AS m FROM ratings),
+fsb AS (SELECT CAST(unnest(generate_series(-1, {k - 1})) AS INTEGER) AS f),
+sides AS (SELECT 0 AS side, u AS id FROM (SELECT DISTINCT u FROM ratings)
+          UNION ALL
+          SELECT 1, it FROM (SELECT DISTINCT it FROM ratings)),
+fac(iter, side, id, f, v) AS (
+  SELECT 0, b.side, b.id, fs.f,
+         CASE WHEN fs.f = -1 THEN 0.0 ELSE {_init_v_sql('b.side')} END
+  FROM sides b CROSS JOIN fsb fs
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.side, p.id, p.f,
+           p.v + {lr!r} * (coalesce(g.g, 0.0) - {reg!r} * p.v) AS v
+    FROM fac p
+    LEFT JOIN (
+      SELECT 0 AS side, e.u AS id, q.f, sum(e.e * q.v) AS g
+      FROM {err} e JOIN fac q ON q.side = 1 AND q.id = e.it AND q.f >= 0
+      GROUP BY e.u, q.f
+      UNION ALL
+      SELECT 1, e.it, q.f, sum(e.e * q.v)
+      FROM {err} e JOIN fac q ON q.side = 0 AND q.id = e.u AND q.f >= 0
+      GROUP BY e.it, q.f
+      UNION ALL
+      SELECT 0, e.u, -1, sum(e.e) FROM {err} e GROUP BY e.u
+      UNION ALL
+      SELECT 1, e.it, -1, sum(e.e) FROM {err} e GROUP BY e.it
+    ) g ON p.side = g.side AND p.id = g.id AND p.f = g.f
+    WHERE p.iter < {iterations}
+  )
+)"""
+
+
+def sql_biassgd_user_params(k: int = 4, iterations: int = 3,
+                            lr: float = 0.01, reg: float = 0.05) -> str:
+    return _biassgd_head(k, iterations, lr, reg) + """
+SELECT id, f, round(v, 6) AS v FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
+def sql_biassgd_rmse(k: int = 4, iterations: int = 3,
+                     lr: float = 0.01, reg: float = 0.05) -> str:
+    return _biassgd_head(k, iterations, lr, reg) + """
+, final AS (SELECT side, id, f, v FROM fac
+            WHERE iter = (SELECT max(iter) FROM fac)),
+pred AS (SELECT r.u, r.it, r.r,
+                (SELECT m FROM mu)
+                + sum(CASE WHEN pu.f >= 0 THEN pu.v * qi.v
+                           ELSE pu.v + qi.v END) AS p
+         FROM ratings r
+         JOIN final pu ON pu.side = 0 AND pu.id = r.u
+         JOIN final qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
+         GROUP BY r.u, r.it, r.r)
+SELECT round(sqrt(avg((r - p) * (r - p))), 6) AS rmse FROM pred"""

@@ -240,3 +240,36 @@ def test_nmf_objective_decreases_and_stays_nonneg(spark):
             assert obj <= prev * 1.0001
         prev = obj
     assert prev < 0.5
+
+
+def test_biassgd_fits_and_beats_plain_sgd_on_biased_data(spark):
+    """Data with strong additive user/item offsets: the bias terms must
+    absorb them (RMSE decreasing, converging under the data's raw std)."""
+    import math as _math
+    from graphlab_spark.algos.biassgd import biassgd, biassgd_rmse
+    rows = [(u, i, 2.0 + 0.5 * u - 0.3 * i + 0.05 * ((u * i) % 3))
+            for u in range(6) for i in range(5)]
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    prev = None
+    for iters in (1, 10, 60):
+        uf, itf, mu = biassgd(r, k=2, iterations=iters, lr=0.08)
+        rmse = biassgd_rmse(r, uf, itf, mu).first()["rmse"]
+        assert _math.isfinite(rmse)
+        if prev is not None:
+            assert rmse < prev * 1.001
+        prev = rmse
+    assert prev < 0.1  # additive structure absorbed by mu + b_u + b_i
+
+
+def test_biassgd_deterministic_and_bias_rows_present(spark):
+    from graphlab_spark.algos.biassgd import biassgd
+    r = _toy_ratings(spark)
+    uf1, itf1, mu1 = biassgd(r, k=2, iterations=2)
+    uf2, _, mu2 = biassgd(r, k=2, iterations=2)
+    assert mu1 == mu2
+    assert sorted(map(tuple, uf1.collect())) == sorted(
+        map(tuple, uf2.collect()))
+    # one f=-1 bias row per user, k factor rows
+    per_f = {r_["f"]: r_["n"] for r_ in
+             uf1.groupBy("f").agg(F.count("*").alias("n")).collect()}
+    assert per_f == {-1: 6, 0: 6, 1: 6}
