@@ -383,6 +383,55 @@ def q_biassgd_rmse(spark, sf_dir):
         F.round("rmse", 6).alias("rmse"))
 
 
+def q_svdpp_user_params(spark, sf_dir):
+    from graphlab_spark.algos.svdpp import svdpp
+    uf, _, _, _ = svdpp(_ratings(spark, sf_dir), k=4, iterations=3)
+    return uf.select("id", "f", F.round("v", 6).alias("v"))
+
+
+def q_svdpp_rmse(spark, sf_dir):
+    from graphlab_spark.algos.svdpp import svdpp, svdpp_rmse
+    r = _ratings(spark, sf_dir)
+    uf, itf, yf, mu = svdpp(r, k=4, iterations=3)
+    return svdpp_rmse(r, uf, itf, yf, mu).select(
+        F.round("rmse", 6).alias("rmse"))
+
+
+def _wratings(spark, sf_dir):
+    """Weighted CF ratings: rating as in _ratings, weight = observation
+    multiplicity (the reference stores weight-or-time per edge)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_suppkey").alias("user"),
+                 F.col("l_partkey").alias("item"))
+        .agg((F.min("l_quantity").cast("double") / F.lit(50.0))
+             .alias("rating"),
+             F.count("*").cast("double").alias("weight"))
+    )
+
+
+def q_wals1_user_factors(spark, sf_dir):
+    """WALS with k=1: the weighted solve is a scalar closed form, so
+    the whole alternation is oracle-replayable (the k x k LDLT of the
+    full family is not SQL-expressible)."""
+    from graphlab_spark.algos.als import wals
+    uf, _ = wals(_wratings(spark, sf_dir), k=1, reg=0.01, iterations=3)
+    return uf.select(
+        "id", F.round(F.element_at("factor", 1), 6).alias("v"))
+
+
+def q_sparse_als_support(spark, sf_dir):
+    """Sparse-ALS support sizes: per-user nonzero count after the
+    CoSaMP-style projection (rows-only contract — dense k x k solve)."""
+    from graphlab_spark.algos.als import sparse_als
+    uf, _ = sparse_als(_ratings(spark, sf_dir), k=4, user_sparsity=2,
+                       item_sparsity=2, iterations=2)
+    nnz = F.aggregate(
+        "factor", F.lit(0),
+        lambda acc, x: acc + F.when(F.abs(x) > 1e-12, 1).otherwise(0))
+    return uf.select("id", nnz.alias("nnz"))
+
+
 def q_svd_power(spark, sf_dir):
     from graphlab_spark.algos.svd import power_iteration_svd
     v, _sigma = power_iteration_svd(_ratings(spark, sf_dir), iterations=8)
@@ -407,6 +456,12 @@ def q_lbp_beliefs(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return lbp_beliefs(g, iterations=5).select(
         "id", F.round("b1", 6).alias("b1"))
+
+
+def q_mplp_labels(spark, sf_dir):
+    from graphlab_spark.algos.mplp import mplp_labels
+    g = _graph(spark, sf_dir)
+    return mplp_labels(g, iterations=10)
 
 
 def q_lda_word_topics(spark, sf_dir):
@@ -460,10 +515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_sgd_rmse": q_sgd_rmse,
         "cf_biassgd_user_params": q_biassgd_user_params,
         "cf_biassgd_rmse": q_biassgd_rmse,
+        "cf_svdpp_user_params": q_svdpp_user_params,
+        "cf_svdpp_rmse": q_svdpp_rmse,
+        "cf_wals1_user_factors": q_wals1_user_factors,
+        "cf_sparse_als_support": q_sparse_als_support,
         "cf_svd_power_v": q_svd_power,
         "cf_svd_lanczos": q_svd_lanczos,
         "lda_word_topics": q_lda_word_topics,
         "graph_lbp_beliefs": q_lbp_beliefs,
+        "graph_mplp_labels": q_mplp_labels,
         "cf_nmf_user_factors": q_nmf_user_factors,
     }
 
@@ -634,9 +694,13 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_sgd_rmse": O.sql_sgd_rmse(k=4, iterations=3),
         "cf_biassgd_user_params": O.sql_biassgd_user_params(k=4, iterations=3),
         "cf_biassgd_rmse": O.sql_biassgd_rmse(k=4, iterations=3),
+        "cf_svdpp_user_params": O.sql_svdpp_user_params(k=4, iterations=3),
+        "cf_svdpp_rmse": O.sql_svdpp_rmse(k=4, iterations=3),
+        "cf_wals1_user_factors": O.sql_wals1_user_factors(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),
+        "graph_mplp_labels": O.sql_mplp_labels(iterations=10),
         "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem

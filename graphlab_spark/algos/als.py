@@ -48,15 +48,27 @@ def _init_factors(ids: DataFrame, k: int, seed: int) -> DataFrame:
 def _solve_side(
     ratings: DataFrame, fixed: DataFrame, key: str, other: str,
     k: int, reg: float, regnormal: bool,
+    weighted: bool = False, sparsity: int | None = None,
 ) -> DataFrame:
     """New factors for the ``key`` side given the ``other`` side fixed.
 
-    ratings: (user, item, rating); fixed: (id, factor) for the other
-    side.  Returns (id, factor) for the key side.
+    ratings: (user, item, rating[, weight]); fixed: (id, factor) for
+    the other side.  Returns (id, factor) for the key side.
+
+    ``weighted`` solves the WALS normal equations
+    ``(X^T W X + lam I) f = X^T W y`` (``wals.cpp:230-233`` — per-edge
+    outer products and Xy scaled by the edge weight).  ``sparsity``
+    applies the sparse-ALS support projection (``sparse_als.cpp`` /
+    ``cosamp.hpp``): keep the ``s`` largest-magnitude coordinates of
+    the dense solution and re-solve restricted to that support — one
+    CoSaMP-style identify+re-estimate step, deterministic.
     """
+    cols = [F.col(key).alias("id"), "rating", "factor"]
+    if weighted:
+        cols.append("weight")
     joined = ratings.join(
         fixed.select(F.col("id").alias(other), "factor"), other
-    ).select(F.col(key).alias("id"), "rating", "factor")
+    ).select(*cols)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         # one group = one vertex (applyInPandas guarantees the whole
@@ -64,12 +76,20 @@ def _solve_side(
         # across Arrow batches and emit partial solves)
         X = np.stack(pdf["factor"].to_numpy())            # (n, k)
         y = pdf["rating"].to_numpy()                      # (n,)
+        w = pdf["weight"].to_numpy() if weighted else None
         lam = reg * len(pdf) if regnormal else reg
-        A = X.T @ X + lam * np.eye(k)
-        b = X.T @ y
+        Xw = X * w[:, None] if weighted else X
+        A = X.T @ Xw + lam * np.eye(k)
+        b = Xw.T @ y if weighted else X.T @ y
+        f = np.linalg.solve(A, b)
+        if sparsity is not None and sparsity < k:
+            sup = np.sort(np.argsort(-np.abs(f))[:sparsity])
+            As = A[np.ix_(sup, sup)]
+            f = np.zeros(k)
+            f[sup] = np.linalg.solve(As, b[sup])
         return pd.DataFrame({
             "id": [pdf["id"].iloc[0]],
-            "factor": [np.linalg.solve(A, b).tolist()],
+            "factor": [f.tolist()],
         })
 
     return joined.groupBy("id").applyInPandas(
@@ -111,6 +131,99 @@ def als(
         uf = new_uf
         if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
                                regnormal).persist()
+        new_if = truncate_lineage(if_cache)
+        if_cache.unpersist()
+        if_.unpersist()
+        if_ = new_if
+    ratings.unpersist()
+    return uf, if_
+
+
+def _init_factors_portable(ids: DataFrame, k: int, side: int) -> DataFrame:
+    """Engine-portable factor init (the LCG used by the SGD family) so
+    WALS runs are exactly replayable in ANSI SQL: component c of vertex
+    v is ``0.1 * lcg_unit(v*31 + c*7 + side*13)``."""
+    from ..operators.portable import lcg_hash
+    comps = [
+        (F.lit(0.1) * (lcg_hash(F.col("id") * 31 + c * 7 + side * 13)
+                       / F.lit(2.0 ** 31))).alias(f"_c{c}")
+        for c in range(k)
+    ]
+    return ids.select("id", F.array(*comps).alias("factor"))
+
+
+def wals(
+    ratings: DataFrame,
+    k: int = NLATENT,
+    reg: float = LAMBDA,
+    regnormal: bool = False,
+    iterations: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Weighted ALS (``wals.cpp``): ratings carry a per-observation
+    ``weight`` column (the reference stores weight-or-time on each
+    edge, ``wals.cpp:140-148``) and each side solves the weighted
+    normal equations ``(X^T W X + lam I) f = X^T W y``.
+
+    Input: ``(user, item, rating, weight)``.  Returns
+    (user_factors, item_factors) as ``(id, factor array)``.  Factor
+    init is the portable LCG (not ALS's xxhash64 init) so fixed-k runs
+    replay in the DuckDB oracle.
+    """
+    ratings = ratings.select("user", "item", "rating", "weight").persist()
+    users = ratings.select(F.col("user").alias("id")).distinct()
+    items = ratings.select(F.col("item").alias("id")).distinct()
+    uf = _init_factors_portable(users, k, 0).persist()
+    if_ = _init_factors_portable(items, k, 1).persist()
+    from ..plans.checkpoint import truncate_lineage
+    for _ in range(iterations):
+        uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,
+                               regnormal, weighted=True).persist()
+        new_uf = truncate_lineage(uf_cache)
+        uf_cache.unpersist()
+        uf.unpersist()
+        uf = new_uf
+        if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
+                               regnormal, weighted=True).persist()
+        new_if = truncate_lineage(if_cache)
+        if_cache.unpersist()
+        if_.unpersist()
+        if_ = new_if
+    ratings.unpersist()
+    return uf, if_
+
+
+def sparse_als(
+    ratings: DataFrame,
+    k: int = NLATENT,
+    reg: float = LAMBDA,
+    user_sparsity: int | None = None,
+    item_sparsity: int | None = None,
+    iterations: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Sparse-factor ALS (``sparse_als.cpp``): like :func:`als` but
+    each per-vertex solve projects onto at most ``s`` nonzero
+    coordinates (the reference's CoSaMP solver, ``cosamp.hpp``; here
+    one deterministic identify+re-estimate step — select the s
+    largest-magnitude coordinates of the dense solution, re-solve on
+    that support).  ``user_sparsity`` / ``item_sparsity`` mirror the
+    reference's ``--user_sparsity`` / ``--movie_sparsity`` flags.
+    """
+    ratings = ratings.select("user", "item", "rating").persist()
+    users = ratings.select(F.col("user").alias("id")).distinct()
+    items = ratings.select(F.col("item").alias("id")).distinct()
+    uf = _init_factors(users, k, seed).persist()
+    if_ = _init_factors(items, k, seed + 1).persist()
+    from ..plans.checkpoint import truncate_lineage
+    for _ in range(iterations):
+        uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,
+                               False, sparsity=user_sparsity).persist()
+        new_uf = truncate_lineage(uf_cache)
+        uf_cache.unpersist()
+        uf.unpersist()
+        uf = new_uf
+        if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
+                               False, sparsity=item_sparsity).persist()
         new_if = truncate_lineage(if_cache)
         if_cache.unpersist()
         if_.unpersist()

@@ -890,3 +890,207 @@ pred AS (SELECT r.u, r.it, r.r,
          JOIN final qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
          GROUP BY r.u, r.it, r.r)
 SELECT round(sqrt(avg((r - p) * (r - p))), 6) AS rmse FROM pred"""
+
+
+# ---------------------------------------------------------------------------
+# SVD++ (mirrors algos/svdpp.py: mu + biases + q.(p + implicit), full-batch)
+# ---------------------------------------------------------------------------
+
+def _svdpp_head(k: int, iterations: int, lr: float, reg: float) -> str:
+    """Shared WITH RECURSIVE prelude ending at the closed ``fac`` CTE.
+
+    Sides: 0 = user p (+bias f=-1), 1 = item q (+bias f=-1),
+    2 = item y (implicit, factors only); update rule shared.
+    """
+    wu = """(SELECT r.u, y.f, sum(y.v) / sqrt(n.c) AS w
+     FROM ratings r JOIN fac y ON y.side = 2 AND y.id = r.it
+     JOIN nu n ON n.u = r.u GROUP BY r.u, y.f, n.c)"""
+    err = f"""(SELECT r.u, r.it,
+           r.r - (SELECT m FROM mu)
+               - sum(CASE WHEN pu.f >= 0 THEN qi.v * (pu.v + w.w)
+                          ELSE pu.v + qi.v END) AS e
+    FROM ratings r
+    JOIN fac pu ON pu.side = 0 AND pu.id = r.u
+    JOIN fac qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
+    LEFT JOIN {wu} w ON w.u = r.u AND w.f = pu.f
+    GROUP BY r.u, r.it, r.r)"""
+    t = f"""(SELECT e.u, q.f, sum(e.e * q.v) AS t
+    FROM {err} e JOIN fac q ON q.side = 1 AND q.id = e.it AND q.f >= 0
+    GROUP BY e.u, q.f)"""
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+mu AS (SELECT avg(r) AS m FROM ratings),
+nu AS (SELECT u, count(*) AS c FROM ratings GROUP BY u),
+fsb AS (SELECT CAST(unnest(generate_series(-1, {k - 1})) AS INTEGER) AS f),
+sides AS (SELECT 0 AS side, u AS id FROM (SELECT DISTINCT u FROM ratings)
+          UNION ALL
+          SELECT 1, it FROM (SELECT DISTINCT it FROM ratings)
+          UNION ALL
+          SELECT 2, it FROM (SELECT DISTINCT it FROM ratings)),
+fac(iter, side, id, f, v) AS (
+  SELECT 0, b.side, b.id, fs.f,
+         CASE WHEN fs.f = -1 THEN 0.0 ELSE {_init_v_sql('b.side')} END
+  FROM sides b JOIN fsb fs ON fs.f >= 0 OR b.side < 2
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.side, p.id, p.f,
+           p.v + {lr!r} * (coalesce(g.g, 0.0) - {reg!r} * p.v) AS v
+    FROM fac p
+    LEFT JOIN (
+      SELECT 0 AS side, t.u AS id, t.f, t.t AS g FROM {t} t
+      UNION ALL
+      SELECT 1, e.it, q.f, sum(e.e * (q.v + coalesce(w.w, 0.0)))
+      FROM {err} e
+      JOIN fac q ON q.side = 0 AND q.id = e.u AND q.f >= 0
+      LEFT JOIN {wu} w ON w.u = e.u AND w.f = q.f
+      GROUP BY e.it, q.f
+      UNION ALL
+      SELECT 2, r.it, t.f, sum(t.t / sqrt(n.c))
+      FROM ratings r JOIN {t} t ON t.u = r.u JOIN nu n ON n.u = r.u
+      GROUP BY r.it, t.f
+      UNION ALL
+      SELECT 0, e.u, -1, sum(e.e) FROM {err} e GROUP BY e.u
+      UNION ALL
+      SELECT 1, e.it, -1, sum(e.e) FROM {err} e GROUP BY e.it
+    ) g ON p.side = g.side AND p.id = g.id AND p.f = g.f
+    WHERE p.iter < {iterations}
+  )
+)"""
+
+
+def sql_svdpp_user_params(k: int = 4, iterations: int = 3,
+                          lr: float = 0.01, reg: float = 0.05) -> str:
+    return _svdpp_head(k, iterations, lr, reg) + """
+SELECT id, f, round(v, 6) AS v FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
+def sql_svdpp_rmse(k: int = 4, iterations: int = 3,
+                   lr: float = 0.01, reg: float = 0.05) -> str:
+    return _svdpp_head(k, iterations, lr, reg) + """
+, final AS (SELECT side, id, f, v FROM fac
+            WHERE iter = (SELECT max(iter) FROM fac)),
+fwu AS (SELECT r.u, y.f, sum(y.v) / sqrt(n.c) AS w
+        FROM ratings r JOIN final y ON y.side = 2 AND y.id = r.it
+        JOIN nu n ON n.u = r.u GROUP BY r.u, y.f, n.c),
+pred AS (SELECT r.u, r.it, r.r,
+                (SELECT m FROM mu)
+                + sum(CASE WHEN pu.f >= 0 THEN qi.v * (pu.v + w.w)
+                           ELSE pu.v + qi.v END) AS p
+         FROM ratings r
+         JOIN final pu ON pu.side = 0 AND pu.id = r.u
+         JOIN final qi ON qi.side = 1 AND qi.id = r.it AND qi.f = pu.f
+         LEFT JOIN fwu w ON w.u = r.u AND w.f = pu.f
+         GROUP BY r.u, r.it, r.r)
+SELECT round(sqrt(avg((r - p) * (r - p))), 6) AS rmse FROM pred"""
+
+
+# ---------------------------------------------------------------------------
+# WALS at k=1 (mirrors algos/als.py::wals with one latent factor: the
+# per-vertex weighted normal-equation solve collapses to a scalar
+# closed form, so the whole alternation replays in SQL)
+# ---------------------------------------------------------------------------
+
+RATINGS_W_CTE = (
+    "ratings AS (SELECT l_suppkey AS u, l_partkey AS it, "
+    "CAST(min(l_quantity) AS DOUBLE) / 50.0 AS r, "
+    "CAST(count(*) AS DOUBLE) AS w FROM lineitem GROUP BY 1, 2)")
+
+
+def sql_wals1_user_factors(iterations: int = 3, reg: float = 0.01) -> str:
+    init = sql_lcg_hash("b.id * 31 + 13")  # side=1, c=0 portable init
+    uv = f"""(SELECT r.u AS id,
+        sum(r.w * r.r * q.v) / (sum(r.w * q.v * q.v) + {reg!r}) AS v
+ FROM ratings r JOIN fac q ON q.side = 1 AND q.id = r.it
+ GROUP BY r.u)"""
+    iv = f"""(SELECT r.it AS id,
+        sum(r.w * r.r * p.v) / (sum(r.w * p.v * p.v) + {reg!r}) AS v
+ FROM ratings r JOIN {uv} p ON p.id = r.u
+ GROUP BY r.it)"""
+    return f"""
+WITH RECURSIVE
+{RATINGS_W_CTE},
+fac(iter, side, id, v) AS (
+  SELECT 0, 1, b.id, 0.1 * ({init} / 2147483648.0)
+  FROM (SELECT DISTINCT it AS id FROM ratings) b
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, 0 AS side, un.id, un.v
+    FROM {uv} un CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+    UNION ALL
+    SELECT m.iter + 1, 1, inew.id, inew.v
+    FROM {iv} inew CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+  )
+)
+SELECT id, round(v, 6) AS v FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
+# ---------------------------------------------------------------------------
+# MPLP MAP labels (mirrors algos/mplp.py; K=2, ln(PSI) Potts pairwise)
+# ---------------------------------------------------------------------------
+
+def sql_mplp_labels(iterations: int = 10) -> str:
+    import math as _math
+    u = sql_lcg_hash("id")
+    lth = [[repr(_math.log(p)) for p in row] for row in PSI_SQL]
+    lphi = (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+    alpha = ("alph AS (SELECT c.src, c.dst, "
+             "1.0 / greatest(u.dg, v.dg) AS alpha FROM canon c "
+             "JOIN fdeg u ON u.id = c.src JOIN fdeg v ON v.id = c.dst)")
+    sums = """(SELECT id, sum(s0) AS s0, sum(s1) AS s1 FROM (
+        SELECT src AS id, du0 AS s0, du1 AS s1 FROM mp
+        UNION ALL SELECT dst, dv0, dv1 FROM mp) GROUP BY id)"""
+    rec = f"""
+mp(iter, src, dst, du0, du1, dv0, dv1) AS (
+  SELECT 0, src, dst, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM canon
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, src, dst,
+           (1 - alpha) * du0 + alpha *
+           (-cu0 / 2 + greatest({lth[0][0]} + cv0, {lth[0][1]} + cv1) / 2)
+               AS du0,
+           (1 - alpha) * du1 + alpha *
+           (-cu1 / 2 + greatest({lth[1][0]} + cv0, {lth[1][1]} + cv1) / 2)
+               AS du1,
+           (1 - alpha) * dv0 + alpha *
+           (-cv0 / 2 + greatest({lth[0][0]} + cu0, {lth[1][0]} + cu1) / 2)
+               AS dv0,
+           (1 - alpha) * dv1 + alpha *
+           (-cv1 / 2 + greatest({lth[0][1]} + cu0, {lth[1][1]} + cu1) / 2)
+               AS dv1
+    FROM (
+      SELECT m.iter + 1 AS iter, m.src, m.dst, al.alpha,
+             m.du0, m.du1, m.dv0, m.dv1,
+             a.t0 + su.s0 - m.du0 AS cu0, a.t1 + su.s1 - m.du1 AS cu1,
+             b.t0 + sv.s0 - m.dv0 AS cv0, b.t1 + sv.s1 - m.dv1 AS cv1
+      FROM mp m
+      JOIN {sums} su ON su.id = m.src
+      JOIN {sums} sv ON sv.id = m.dst
+      JOIN lphi a ON a.id = m.src
+      JOIN lphi b ON b.id = m.dst
+      JOIN alph al ON al.src = m.src AND al.dst = m.dst
+      WHERE m.iter < {iterations}
+    )
+  )
+)"""
+    return (_rec(_VERTS, _SYM, _CANON, lphi, fdeg, alpha, rec) + """
+, fs AS (SELECT id, sum(s0) AS s0, sum(s1) AS s1 FROM (
+    SELECT src AS id, du0 AS s0, du1 AS s1 FROM mp
+    WHERE iter = (SELECT max(iter) FROM mp)
+    UNION ALL
+    SELECT dst, dv0, dv1 FROM mp
+    WHERE iter = (SELECT max(iter) FROM mp)) GROUP BY id)
+SELECT p.id,
+       CASE WHEN p.t1 + coalesce(fs.s1, 0.0) > p.t0 + coalesce(fs.s0, 0.0)
+            THEN 1 ELSE 0 END AS label
+FROM lphi p LEFT JOIN fs USING (id)""")

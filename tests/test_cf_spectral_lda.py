@@ -251,8 +251,8 @@ def test_biassgd_fits_and_beats_plain_sgd_on_biased_data(spark):
             for u in range(6) for i in range(5)]
     r = spark.createDataFrame(rows, "user long, item long, rating double")
     prev = None
-    for iters in (1, 10, 60):
-        uf, itf, mu = biassgd(r, k=2, iterations=iters, lr=0.08)
+    for iters in (1, 10, 25):
+        uf, itf, mu = biassgd(r, k=2, iterations=iters, lr=0.15)
         rmse = biassgd_rmse(r, uf, itf, mu).first()["rmse"]
         assert _math.isfinite(rmse)
         if prev is not None:
@@ -273,3 +273,119 @@ def test_biassgd_deterministic_and_bias_rows_present(spark):
     per_f = {r_["f"]: r_["n"] for r_ in
              uf1.groupBy("f").agg(F.count("*").alias("n")).collect()}
     assert per_f == {-1: 6, 0: 6, 1: 6}
+
+
+def test_svdpp_rmse_decreases_and_fits(spark):
+    import math as _math
+    from graphlab_spark.algos.svdpp import svdpp, svdpp_rmse
+    r = _toy_ratings(spark)
+    prev = None
+    for iters in (1, 5, 15):
+        uf, itf, yf, mu = svdpp(r, k=2, iterations=iters, lr=0.15)
+        rmse = svdpp_rmse(r, uf, itf, yf, mu).first()["rmse"]
+        assert _math.isfinite(rmse)
+        if prev is not None:
+            assert rmse < prev * 1.001
+        prev = rmse
+    assert prev < 0.05  # rank-1 structure fits through q.(p + implicit)
+
+
+def test_svdpp_deterministic_and_param_shapes(spark):
+    from graphlab_spark.algos.svdpp import svdpp
+    r = _toy_ratings(spark)
+    uf1, itf1, yf1, mu1 = svdpp(r, k=2, iterations=2)
+    uf2, _, yf2, mu2 = svdpp(r, k=2, iterations=2)
+    assert mu1 == mu2
+    assert sorted(map(tuple, uf1.collect())) == sorted(
+        map(tuple, uf2.collect()))
+    assert sorted(map(tuple, yf1.collect())) == sorted(
+        map(tuple, yf2.collect()))
+    # p/q carry bias rows at f=-1; y is factors-only
+    assert uf1.filter(F.col("f") == -1).count() == 6
+    assert itf1.filter(F.col("f") == -1).count() == 5
+    assert yf1.filter(F.col("f") == -1).count() == 0
+    assert yf1.count() == 5 * 2
+
+
+def test_wals_downweights_corrupted_cell(spark):
+    from graphlab_spark.algos.als import predict, wals
+    rows = []
+    for u in range(6):
+        for i in range(5):
+            clean = (0.2 + 0.1 * u) * (0.5 + 0.1 * i)
+            if (u, i) == (2, 3):
+                rows.append((u, i, clean + 5.0, 1e-6))  # corrupted, ~ignored
+            else:
+                rows.append((u, i, clean, 1.0))
+    r = spark.createDataFrame(
+        rows, "user long, item long, rating double, weight double")
+    uf, itf = wals(r, k=2, reg=0.01, iterations=8)
+    p = {(x["user"], x["item"]): x["prediction"]
+         for x in predict(r.select("user", "item", "rating"),
+                          uf, itf).collect()}
+    clean23 = (0.2 + 0.1 * 2) * (0.5 + 0.1 * 3)
+    # prediction tracks the clean low-rank value, not the outlier
+    assert abs(p[(2, 3)] - clean23) < 0.15
+    for u in range(6):
+        for i in range(5):
+            if (u, i) != (2, 3):
+                assert abs(p[(u, i)] - (0.2 + 0.1 * u) * (0.5 + 0.1 * i)) \
+                    < 0.05
+
+
+def test_sparse_als_respects_support_and_fits(spark):
+    from graphlab_spark.algos.als import rmse, sparse_als
+    r = _toy_ratings(spark)
+    uf, itf = sparse_als(r, k=4, user_sparsity=2, item_sparsity=3,
+                         iterations=4)
+    for row in uf.collect():
+        assert sum(1 for v in row["factor"] if abs(v) > 1e-12) <= 2
+    for row in itf.collect():
+        assert sum(1 for v in row["factor"] if abs(v) > 1e-12) <= 3
+    assert rmse(r, uf, itf) < 0.05  # rank-1 data needs only 1 coord
+
+
+def test_mplp_exact_map_on_tree(spark):
+    """MAP on a tree: damped MPLP labels must equal brute-force argmax
+    of the 3-node chain MRF (same potentials as the LBP test)."""
+    import itertools
+    from graphlab_spark.algos.lbp import PSI
+    from graphlab_spark.algos.mplp import mplp_labels
+
+    M, A, C = 2**31, 1103515245, 12345
+
+    def lcg(x):
+        x = (x % M + M) % M
+        x = (x * A + C) % M
+        return (x * A + C) % M
+
+    def phi(v):
+        p1 = 0.3 + 0.4 * (lcg(v) / M)
+        return (1.0 - p1, p1)
+
+    g = EdgeGraph(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long"),
+        num_edge_partitions=2)
+    got = {r["id"]: r["label"]
+           for r in mplp_labels(g, iterations=25).collect()}
+    best, best_p = None, -1.0
+    for x in itertools.product((0, 1), repeat=3):
+        p = (phi(0)[x[0]] * phi(1)[x[1]] * phi(2)[x[2]]
+             * PSI[x[0]][x[1]] * PSI[x[1]][x[2]])
+        if p > best_p:
+            best, best_p = x, p
+    assert tuple(got[v] for v in (0, 1, 2)) == best
+    g.unpersist()
+
+
+def test_mplp_dual_monotone_and_bounded(spark):
+    from graphlab_spark.algos.mplp import mplp_dual_objective, mplp_duals
+    g = _two_blocks(spark)
+    objs = [mplp_dual_objective(g, iterations=it) for it in (2, 5, 10)]
+    assert objs[0] >= objs[1] - 1e-9 and objs[1] >= objs[2] - 1e-9
+    d = mplp_duals(g, iterations=10)
+    mx = d.select(F.greatest(*[F.abs(F.col(c)) for c in
+                               ("du0", "du1", "dv0", "dv1")]).alias("m")) \
+        .agg(F.max("m")).first()[0]
+    assert mx < 10.0  # no synchronous-schedule explosion
+    g.unpersist()
