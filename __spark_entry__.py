@@ -464,6 +464,12 @@ def q_mplp_labels(spark, sf_dir):
     return mplp_labels(g, iterations=10)
 
 
+def q_dd_labels(spark, sf_dir):
+    from graphlab_spark.algos.dd import dd_labels
+    g = _graph(spark, sf_dir)
+    return dd_labels(g, iterations=10)
+
+
 def q_lda_word_topics(spark, sf_dir):
     from graphlab_spark.algos.lda import lda_cvb0, word_topics
     gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2)
@@ -524,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_word_topics": q_lda_word_topics,
         "graph_lbp_beliefs": q_lbp_beliefs,
         "graph_mplp_labels": q_mplp_labels,
+        "graph_dd_labels": q_dd_labels,
         "cf_nmf_user_factors": q_nmf_user_factors,
     }
 
@@ -701,6 +708,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),
         "graph_mplp_labels": O.sql_mplp_labels(iterations=10),
+        "graph_dd_labels": O.sql_dd_labels(iterations=10),
         "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem

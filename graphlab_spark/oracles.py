@@ -1094,3 +1094,82 @@ SELECT p.id,
        CASE WHEN p.t1 + coalesce(fs.s1, 0.0) > p.t0 + coalesce(fs.s0, 0.0)
             THEN 1 ELSE 0 END AS label
 FROM lphi p LEFT JOIN fs USING (id)""")
+
+
+# ---------------------------------------------------------------------------
+# dual decomposition (mirrors algos/dd.py; edge slaves, subgradient)
+# ---------------------------------------------------------------------------
+
+def sql_dd_labels(iterations: int = 10, step0: float = 0.5) -> str:
+    import math as _math
+    u = sql_lcg_hash("id")
+    lth = [[repr(_math.log(p)) for p in row] for row in PSI_SQL]
+    lphi = (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
+          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    base = ("base AS (SELECT c.src, c.dst, a.u0 AS au0, a.u1 AS au1, "
+            "b.u0 AS bv0, b.u1 AS bv1 FROM canon c "
+            "JOIN un a ON a.id = c.src JOIN un b ON b.id = c.dst)")
+
+    def choice(lu0, lu1, lv0, lv1):
+        s00 = f"(au0 + {lu0} + bv0 + {lv0} + {lth[0][0]})"
+        s01 = f"(au0 + {lu0} + bv1 + {lv1} + {lth[0][1]})"
+        s10 = f"(au1 + {lu1} + bv0 + {lv0} + {lth[1][0]})"
+        s11 = f"(au1 + {lu1} + bv1 + {lv1} + {lth[1][1]})"
+        m = f"greatest({s00}, {s01}, {s10}, {s11})"
+        xi = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 0 "
+              f"WHEN {s10} = {m} THEN 1 ELSE 1 END")
+        xj = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 1 "
+              f"WHEN {s10} = {m} THEN 0 ELSE 1 END")
+        return xi, xj
+
+    z = "CAST(0.0 AS DOUBLE)"
+    xi0, xj0 = choice(z, z, z, z)
+    nl = {
+        "lu0": f"(lu0 + alpha * (vu1 - xi))",
+        "lu1": f"(lu1 + alpha * (xi - vu1))",
+        "lv0": f"(lv0 + alpha * (vv1 - xj))",
+        "lv1": f"(lv1 + alpha * (xj - vv1))",
+    }
+    xi1, xj1 = choice(nl["lu0"], nl["lu1"], nl["lv0"], nl["lv1"])
+    votes = """(SELECT id, avg(x) AS v1 FROM (
+        SELECT src AS id, CAST(xi AS DOUBLE) AS x FROM dd
+        UNION ALL SELECT dst, CAST(xj AS DOUBLE) FROM dd) GROUP BY id)"""
+    rec = f"""
+dd(iter, src, dst, au0, au1, bv0, bv1, lu0, lu1, lv0, lv1, xi, xj) AS (
+  SELECT 0, src, dst, au0, au1, bv0, bv1, {z}, {z}, {z}, {z},
+         {xi0}, {xj0}
+  FROM base
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, src, dst, au0, au1, bv0, bv1,
+           {nl['lu0']} AS lu0, {nl['lu1']} AS lu1,
+           {nl['lv0']} AS lv0, {nl['lv1']} AS lv1,
+           {xi1} AS xi, {xj1} AS xj
+    FROM (
+      SELECT m.iter + 1 AS iter, m.src, m.dst,
+             m.au0, m.au1, m.bv0, m.bv1,
+             m.lu0, m.lu1, m.lv0, m.lv1,
+             CAST(m.xi AS DOUBLE) AS xi, CAST(m.xj AS DOUBLE) AS xj,
+             {step0!r} / (1.0 + m.iter) AS alpha,
+             su.v1 AS vu1, sv.v1 AS vv1
+      FROM dd m
+      JOIN {votes} su ON su.id = m.src
+      JOIN {votes} sv ON sv.id = m.dst
+      WHERE m.iter < {iterations}
+    )
+  )
+)"""
+    return (_rec(_VERTS, _SYM, _CANON, lphi, fdeg, un, base, rec) + """
+, fv AS (SELECT id, avg(x) AS v1 FROM (
+    SELECT src AS id, CAST(xi AS DOUBLE) AS x FROM dd
+    WHERE iter = (SELECT max(iter) FROM dd)
+    UNION ALL
+    SELECT dst, CAST(xj AS DOUBLE) FROM dd
+    WHERE iter = (SELECT max(iter) FROM dd)) GROUP BY id)
+SELECT id, CASE WHEN v1 > 0.5 THEN 1 ELSE 0 END AS label FROM fv""")

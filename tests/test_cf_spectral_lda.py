@@ -389,3 +389,70 @@ def test_mplp_dual_monotone_and_bounded(spark):
         .agg(F.max("m")).first()[0]
     assert mx < 10.0  # no synchronous-schedule explosion
     g.unpersist()
+
+
+def test_dd_map_on_decisive_tree_and_projection_invariant(spark):
+    """DD vote decoding recovers MAP when the optimum has margin (the
+    LCG potentials of ids 12/14/16 all prefer state 1 decisively; on a
+    near-tied chain the vote legitimately settles in the LP dual's
+    disagreement region, so that is NOT asserted).  Also asserts the
+    subgradient's zero-sum projection on the per-variable dual sums."""
+    import itertools
+    from graphlab_spark.algos.dd import dd_labels, dd_state
+    from graphlab_spark.algos.lbp import PSI
+
+    M, A, C = 2**31, 1103515245, 12345
+
+    def lcg(x):
+        x = (x % M + M) % M
+        x = (x * A + C) % M
+        return (x * A + C) % M
+
+    def phi(v):
+        p1 = 0.3 + 0.4 * (lcg(v) / M)
+        return (1.0 - p1, p1)
+
+    ids = (12, 14, 16)  # phi1 = .66/.68/.69 — MAP (1,1,1) with margin
+    g = EdgeGraph(
+        spark.createDataFrame([(ids[0], ids[1]), (ids[1], ids[2])],
+                              "src long, dst long"),
+        num_edge_partitions=2)
+    got = {r["id"]: r["label"] for r in dd_labels(g, iterations=30).collect()}
+    best, best_p = None, -1.0
+    for x in itertools.product((0, 1), repeat=3):
+        p = (phi(ids[0])[x[0]] * phi(ids[1])[x[1]] * phi(ids[2])[x[2]]
+             * PSI[x[0]][x[1]] * PSI[x[1]][x[2]])
+        if p > best_p:
+            best, best_p = x, p
+    assert tuple(got[v] for v in ids) == best
+    # zero-sum projection: sum of duals toward each variable is 0
+    d = dd_state(g, iterations=30)
+    sums = (
+        d.select(F.col("src").alias("id"), F.col("lu0").alias("l0"),
+                 F.col("lu1").alias("l1"))
+        .unionAll(d.select(F.col("dst").alias("id"), "lv0", "lv1"))
+        .groupBy("id").agg(F.sum("l0").alias("s0"), F.sum("l1").alias("s1"))
+        .collect())
+    for r in sums:
+        assert abs(r["s0"]) < 1e-9 and abs(r["s1"]) < 1e-9
+    g.unpersist()
+
+
+def test_dd_dual_bounds_map_energy(spark):
+    """The DD dual is an upper bound on any labeling's energy,
+    including the decoded one."""
+    import math as _math
+    from graphlab_spark.algos.dd import dd_dual_objective, dd_labels
+    from graphlab_spark.algos.lbp import PSI
+    from graphlab_spark.algos.mplp import _log_phi
+    g = _two_blocks(spark)
+    labels = {r["id"]: r["label"]
+              for r in dd_labels(g, iterations=15).collect()}
+    lphi = {r["id"]: (r["t0"], r["t1"])
+            for r in _log_phi(g.vertices).collect()}
+    energy = sum(lphi[v][labels[v]] for v in labels)
+    for r in g.canonical_undirected_edges.collect():
+        energy += _math.log(PSI[labels[r["src"]]][labels[r["dst"]]])
+    dual = dd_dual_objective(g, iterations=15)
+    assert dual >= energy - 1e-9
+    g.unpersist()
