@@ -231,6 +231,10 @@ def q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_clusters(spark, sf_dir):
+    return D.minhash_dup_clusters(_docs(spark, sf_dir))
+
+
 def q_simhash_sigs(spark, sf_dir):
     return D.simhash_signatures(_docs(spark, sf_dir))
 
@@ -502,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
+        "dedup_minhash_clusters": q_minhash_clusters,
         "dedup_simhash_signatures": q_simhash_sigs,
         "dedup_simhash_pairs": q_simhash_pairs,
         "sim_cosine_pairs": q_cosine_pairs,
@@ -659,6 +664,7 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "dedup_jaccard_pairs": D.sql_jaccard_pairs(),
         "dedup_minhash_signatures": D.sql_minhash_signatures(),
         "dedup_minhash_lsh_pairs": D.sql_minhash_lsh_pairs(),
+        "dedup_minhash_clusters": D.sql_minhash_dup_clusters(),
         "dedup_simhash_signatures": D.sql_simhash_signatures(),
         "dedup_simhash_pairs": D.sql_simhash_pairs(),
         "sim_cosine_pairs": S.sql_cosine_pairs(),

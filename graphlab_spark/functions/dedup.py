@@ -439,3 +439,65 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {ham_max}
 """
+
+
+def minhash_dup_clusters(docs: DataFrame, tau: float = JACCARD_TAU,
+                         n: int = SHINGLE_N,
+                         portable: bool = True) -> DataFrame:
+    """(doc_id, canonical_id): near-duplicate clusters — connected
+    components of the MinHash-LSH pair graph, canonical = smallest
+    doc_id in the cluster; singleton docs are their own canonical.
+
+    This is the step a production dedup pipeline runs after pair
+    generation: transitively closing the pair relation so A~B, B~C
+    collapse to one keeper even when (A, C) never collided in a band.
+    Scale path: the pair graph is tiny relative to the corpus (only
+    near-dups appear), so the hash-min iteration runs on the pair
+    endpoints alone and the corpus-sized side is one left join.
+    """
+    from ..algos.connected_components import connected_components
+    from ..graph import EdgeGraph
+
+    pairs = minhash_lsh_pairs(docs, tau, n, portable=portable)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    g = EdgeGraph(edges, num_edge_partitions=8)
+    state = connected_components(g, resume=False).state
+    out = (
+        docs.select("doc_id")
+        .join(state.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+    return out
+
+
+def sql_minhash_dup_clusters(tau: float = JACCARD_TAU, n: int = SHINGLE_N,
+                             table: str = "documents") -> str:
+    """Hash-min fixpoint over the (derived-table-wrapped) pair SQL."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({sql_minhash_lsh_pairs(tau, n, table)}) t),
+dverts AS (SELECT DISTINCT id FROM (SELECT doc_a AS id FROM pairs
+           UNION ALL SELECT doc_b FROM pairs)),
+dsym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+dcc(iter, id, component, nchanged) AS (
+  SELECT 0, id, id, CAST(1 AS BIGINT) FROM dverts
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           least(p.component, coalesce(m.received, p.component)) AS component,
+           sum(CASE WHEN coalesce(m.received, p.component) < p.component
+                    THEN 1 ELSE 0 END) OVER () AS nchanged
+    FROM dcc p
+    LEFT JOIN (SELECT s.dst AS mid, min(p2.component) AS received
+               FROM dcc p2 JOIN dsym s ON p2.id = s.src
+               GROUP BY s.dst) m ON p.id = m.mid
+    WHERE p.nchanged > 0 AND p.iter < 100
+  )
+),
+fin AS (SELECT id, component FROM dcc
+        WHERE iter = (SELECT max(iter) FROM dcc))
+SELECT d.doc_id, coalesce(f.component, d.doc_id) AS canonical_id
+FROM {table} d LEFT JOIN fin f ON f.id = d.doc_id"""

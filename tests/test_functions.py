@@ -209,3 +209,23 @@ def test_winnowing_parity_and_dup_property(spark, docs, duck):
     }
     assert by_doc[1] == by_doc[2]
     assert by_doc[1] != by_doc[3]
+
+
+def test_minhash_clusters_transitive_closure(spark):
+    """A~B and B~C near-dups must collapse into one cluster under the
+    smallest doc_id even if (A, C) never pair directly; unrelated docs
+    stay their own canonical."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    rows = [
+        (1, base + " alpha"),
+        (2, base + " alphb"),          # ~1 char from doc 1
+        (3, base + " alphc"),          # ~1 char from 1 and 2
+        (50, "completely different content about spark engines and "
+             "distributed joins nothing shared with the fox corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in D.minhash_dup_clusters(docs).collect()}
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[50] == 50
