@@ -468,6 +468,14 @@ def q_mplp_labels(spark, sf_dir):
     return mplp_labels(g, iterations=10)
 
 
+def q_tsc(spark, sf_dir):
+    """Rows-only: exp(H) is a dense driver-side matrix exponential no
+    ANSI SQL expresses (same class as the Lanczos contract)."""
+    from graphlab_spark.algos.tsc import tsc
+    g = _graph(spark, sf_dir)
+    return tsc(g, m=8).select("id", F.round("tsc", 4).alias("tsc"))
+
+
 def q_dd_labels(spark, sf_dir):
     from graphlab_spark.algos.dd import dd_labels
     g = _graph(spark, sf_dir)
@@ -536,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lbp_beliefs": q_lbp_beliefs,
         "graph_mplp_labels": q_mplp_labels,
         "graph_dd_labels": q_dd_labels,
+        "graph_tsc": q_tsc,
         "cf_nmf_user_factors": q_nmf_user_factors,
     }
 

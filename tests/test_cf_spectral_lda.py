@@ -456,3 +456,48 @@ def test_dd_dual_bounds_map_energy(spark):
     dual = dd_dual_objective(g, iterations=15)
     assert dual >= energy - 1e-9
     g.unpersist()
+
+
+def test_tsc_matches_dense_exponential(spark):
+    """Arnoldi TSC equals dense exp(A) b / exp(A) e_c on a small
+    symmetric graph (full Krylov budget -> machine precision)."""
+    import numpy as np
+    from graphlab_spark.algos.tsc import tsc
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                  num_edge_partitions=2)
+    M = np.zeros((5, 5))
+    for a, b in edges:
+        M[b][a] = 1.0
+    w, V = np.linalg.eigh(M)
+    expm = V @ np.diag(np.exp(w)) @ V.T
+    got = {r["id"]: r["tsc"] for r in tsc(g, m=6).collect()}
+    ref = expm @ np.ones(5)
+    assert max(abs(got[i] - ref[i]) for i in range(5)) < 1e-10
+    gotc = {r["id"]: r["tsc"] for r in tsc(g, m=6, column=2).collect()}
+    assert max(abs(gotc[i] - expm[i, 2]) for i in range(5)) < 1e-10
+    g.unpersist()
+
+
+def test_tsc_early_convergence_budget(spark):
+    """A Krylov budget far below n must still converge on a path graph
+    (communicability decays fast) and stay deterministic."""
+    from graphlab_spark.algos.tsc import tsc
+    und = [(i, i + 1) for i in range(12)]
+    edges = und + [(b, a) for a, b in und]
+    g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                  num_edge_partitions=2)
+    a = sorted(map(tuple, tsc(g, m=8).collect()))
+    b = sorted(map(tuple, tsc(g, m=8).collect()))
+    assert a == b
+    import numpy as np
+    M = np.zeros((13, 13))
+    for x, y in edges:
+        M[y][x] = 1.0
+    w, V = np.linalg.eigh(M)
+    ref = (V @ np.diag(np.exp(w)) @ V.T) @ np.ones(13)
+    got = dict(a)
+    # m=8 of 13: Krylov truncation error, not machine precision
+    assert max(abs(got[i] - ref[i]) / ref[i] for i in range(13)) < 1e-3
+    g.unpersist()
