@@ -85,3 +85,25 @@ def test_whole_stage_codegen_covers_text_ops(spark):
     # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
     plan = _plan(q)
     assert "*(1)" in plan and "Project" in plan
+
+
+def test_mplp_and_dd_node_reductions_are_partial_final(spark):
+    """The new graphical-model reductions (MPLP node sums, DD votes)
+    must keep the two-level HashAggregate shape (map-side combine +
+    final) — the property that makes per-superstep shuffles |V|-sized
+    instead of |E|-sized at scale."""
+    from graphlab_spark import EdgeGraph
+    from graphlab_spark.algos.dd import dd_state
+    from graphlab_spark.algos.mplp import _node_sums, mplp_duals
+    from graphlab_spark.sources.parsers import load_synthetic_powerlaw
+    g = EdgeGraph(load_synthetic_powerlaw(spark, 120), num_edge_partitions=4)
+    d = mplp_duals(g, iterations=1)
+    assert _plan(_node_sums(d)).count("HashAggregate") >= 2
+    s = dd_state(g, iterations=1)
+    votes = (
+        s.select(F.col("src").alias("id"), F.col("xi").alias("x"))
+        .unionAll(s.select(F.col("dst").alias("id"), F.col("xj").alias("x")))
+        .groupBy("id").agg(F.avg("x").alias("v1"))
+    )
+    assert _plan(votes).count("HashAggregate") >= 2
+    g.unpersist()
