@@ -56,6 +56,19 @@ def _graph(spark: SparkSession, sf_dir: str) -> "EdgeGraph":
     return _GRAPH_CACHE[key]
 
 
+# Trained-model cache, same rationale: the params and rmse contract
+# queries of each CF family member would otherwise train the identical
+# deterministic model twice per driver run.
+_MODEL_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def _trained(spark: SparkSession, sf_dir: str, name: str, fit):
+    key = (id(spark), sf_dir, name)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = fit()
+    return _MODEL_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -360,44 +373,59 @@ def q_spectral_clusters(spark, sf_dir):
     return spectral_clusters(g, k=2, iterations=15)
 
 
-def q_sgd_user_factors(spark, sf_dir):
+def _sgd_model(spark, sf_dir):
     from graphlab_spark.algos.sgd import sgd
-    uf, _ = sgd(_ratings(spark, sf_dir), k=4, iterations=3)
+    return _trained(spark, sf_dir, "sgd",
+                    lambda: sgd(_ratings(spark, sf_dir), k=4, iterations=3))
+
+
+def q_sgd_user_factors(spark, sf_dir):
+    uf, _ = _sgd_model(spark, sf_dir)
     return uf.select("id", "f", F.round("v", 6).alias("v"))
 
 
 def q_sgd_rmse(spark, sf_dir):
-    from graphlab_spark.algos.sgd import sgd, sgd_rmse
-    r = _ratings(spark, sf_dir)
-    uf, itf = sgd(r, k=4, iterations=3)
-    return sgd_rmse(r, uf, itf).select(F.round("rmse", 6).alias("rmse"))
+    from graphlab_spark.algos.sgd import sgd_rmse
+    uf, itf = _sgd_model(spark, sf_dir)
+    return sgd_rmse(_ratings(spark, sf_dir), uf, itf).select(
+        F.round("rmse", 6).alias("rmse"))
+
+
+def _biassgd_model(spark, sf_dir):
+    from graphlab_spark.algos.biassgd import biassgd
+    return _trained(
+        spark, sf_dir, "biassgd",
+        lambda: biassgd(_ratings(spark, sf_dir), k=4, iterations=3))
 
 
 def q_biassgd_user_params(spark, sf_dir):
-    from graphlab_spark.algos.biassgd import biassgd
-    uf, _, _ = biassgd(_ratings(spark, sf_dir), k=4, iterations=3)
+    uf, _, _ = _biassgd_model(spark, sf_dir)
     return uf.select("id", "f", F.round("v", 6).alias("v"))
 
 
 def q_biassgd_rmse(spark, sf_dir):
-    from graphlab_spark.algos.biassgd import biassgd, biassgd_rmse
-    r = _ratings(spark, sf_dir)
-    uf, itf, mu = biassgd(r, k=4, iterations=3)
-    return biassgd_rmse(r, uf, itf, mu).select(
+    from graphlab_spark.algos.biassgd import biassgd_rmse
+    uf, itf, mu = _biassgd_model(spark, sf_dir)
+    return biassgd_rmse(_ratings(spark, sf_dir), uf, itf, mu).select(
         F.round("rmse", 6).alias("rmse"))
 
 
-def q_svdpp_user_params(spark, sf_dir):
+def _svdpp_model(spark, sf_dir):
     from graphlab_spark.algos.svdpp import svdpp
-    uf, _, _, _ = svdpp(_ratings(spark, sf_dir), k=4, iterations=3)
+    return _trained(
+        spark, sf_dir, "svdpp",
+        lambda: svdpp(_ratings(spark, sf_dir), k=4, iterations=3))
+
+
+def q_svdpp_user_params(spark, sf_dir):
+    uf, _, _, _ = _svdpp_model(spark, sf_dir)
     return uf.select("id", "f", F.round("v", 6).alias("v"))
 
 
 def q_svdpp_rmse(spark, sf_dir):
-    from graphlab_spark.algos.svdpp import svdpp, svdpp_rmse
-    r = _ratings(spark, sf_dir)
-    uf, itf, yf, mu = svdpp(r, k=4, iterations=3)
-    return svdpp_rmse(r, uf, itf, yf, mu).select(
+    from graphlab_spark.algos.svdpp import svdpp_rmse
+    uf, itf, yf, mu = _svdpp_model(spark, sf_dir)
+    return svdpp_rmse(_ratings(spark, sf_dir), uf, itf, yf, mu).select(
         F.round("rmse", 6).alias("rmse"))
 
 
