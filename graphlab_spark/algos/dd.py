@@ -101,7 +101,7 @@ def dd_state(graph: EdgeGraph, iterations: int = 10,
         zero.alias("lu0"), zero.alias("lu1"),
         zero.alias("lv0"), zero.alias("lv1"),
         xi0.alias("xi"), xj0.alias("xj"))
-    d = truncate_lineage(d.persist())
+    d = truncate_lineage(d)
     for t in range(iterations):
         alpha = F.lit(step0 / (1.0 + t))
         votes = (

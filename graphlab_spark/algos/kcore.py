@@ -41,7 +41,7 @@ def kcore_subgraph(graph: EdgeGraph, k: int, max_rounds: int = 1000) -> DataFram
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        pruned = truncate_lineage(pruned.persist())
+        pruned = truncate_lineage(pruned)
         n = pruned.count()
         if prev_edges is not None and n == prev_count:
             edges.unpersist()

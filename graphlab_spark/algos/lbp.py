@@ -59,7 +59,7 @@ def lbp_beliefs(graph: EdgeGraph, iterations: int = 5) -> DataFrame:
     lm_init = math.log(0.5)
     msgs = sym.select(
         "src", "dst", F.lit(lm_init).alias("lm0"), F.lit(lm_init).alias("lm1"))
-    msgs = truncate_lineage(msgs.persist())
+    msgs = truncate_lineage(msgs)
     for _ in range(iterations):
         lp = msgs.groupBy(F.col("dst").alias("id")).agg(
             F.sum("lm0").alias("lp0"), F.sum("lm1").alias("lp1"))

@@ -75,7 +75,7 @@ def lda_cvb0(
     gamma = g0.select(
         "doc_id", "wid", "word", "cnt", "k",
         (F.col("raw") / F.sum("raw").over(norm)).alias("g"))
-    gamma = truncate_lineage(gamma.persist())
+    gamma = truncate_lineage(gamma)
     for _ in range(iterations):
         n_wk = gamma.groupBy("wid", "k").agg(
             F.sum(F.col("cnt") * F.col("g")).alias("nwk"))

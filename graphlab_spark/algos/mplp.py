@@ -97,7 +97,7 @@ def mplp_duals(graph: EdgeGraph, iterations: int = 10) -> DataFrame:
         "src", "dst", "alpha",
         F.lit(0.0).alias("du0"), F.lit(0.0).alias("du1"),
         F.lit(0.0).alias("dv0"), F.lit(0.0).alias("dv1"))
-    d = truncate_lineage(d.persist())
+    d = truncate_lineage(d)
     for _ in range(iterations):
         s = _node_sums(d)
         j = (

@@ -62,7 +62,7 @@ def spectral_embedding(graph: EdgeGraph, iterations: int = 15) -> DataFrame:
     total = deg.agg(F.sum("deg")).first()[0]
     v1 = deg.select(
         "id", (F.sqrt("deg") / F.lit(math.sqrt(float(total)))).alias("v1"))
-    v1 = truncate_lineage(v1.persist())
+    v1 = truncate_lineage(v1)
     x = v1.select(
         "id",
         ((lcg_hash(F.col("id")) / F.lit(2.0 ** 31)) - F.lit(0.5)).alias("xv"))

@@ -80,7 +80,7 @@ def lanczos_svd(ratings: DataFrame, m: int = 4,
     alphas: list[float] = []
     betas: list[float] = []
     for j in range(m):
-        qj = truncate_lineage(q.persist())
+        qj = truncate_lineage(q)
         basis.append(qj)
         y = _matvec(edges, qj, "item", "user")
         w = _matvec(edges, y, "user", "item")          # w = B q_j
@@ -105,7 +105,7 @@ def lanczos_svd(ratings: DataFrame, m: int = 4,
                 .select("id", (F.col("xv") - F.lit(d)
                                * F.coalesce("qv", F.lit(0.0))).alias("xv"))
             )
-        w = truncate_lineage(w.persist())
+        w = truncate_lineage(w)
         beta = math.sqrt(float(
             w.agg(F.sum(F.col("xv") ** 2)).first()[0] or 0.0))
         if j < m - 1:

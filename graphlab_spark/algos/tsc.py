@@ -78,7 +78,7 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
         beta = 1.0
         v0 = F.when(F.col("id") == column, 1.0).otherwise(0.0)
     state = verts.select("id", F.array(v0.cast("double")).alias("v"))
-    state = truncate_lineage(state.persist())
+    state = truncate_lineage(state)
 
     h = np.zeros((m + 1, m + 1))
     prev_tsc: np.ndarray | None = None
@@ -95,7 +95,7 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
         )
         ws = state.join(w, "id", "left").select(
             "id", "v", F.coalesce("w", F.lit(0.0)).alias("w"))
-        ws = truncate_lineage(ws.persist())
+        ws = truncate_lineage(ws)
         # all inner products H[i,j] in one aggregation pass
         dots = ws.agg(*[
             F.sum(F.col("w") * F.element_at("v", i + 1)).alias(f"d{i}")
@@ -108,7 +108,7 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
             (F.lit(h[i, j]) * F.element_at("v", i + 1) for i in range(j + 1)),
             start=F.lit(0.0))
         ws2 = ws.select("id", "v", ortho.alias("w"))
-        ws2 = truncate_lineage(ws2.persist())
+        ws2 = truncate_lineage(ws2)
         ws.unpersist()
         nrm2 = ws2.agg(F.sum(F.col("w") ** 2).alias("s")).first()["s"]
         hnext = math.sqrt(max(float(nrm2), 0.0))
@@ -117,7 +117,7 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
         if hnext > tol:
             nxt = ws2.select(
                 "id", F.concat("v", F.array(F.col("w") / hnext)).alias("v"))
-            nxt = truncate_lineage(nxt.persist())
+            nxt = truncate_lineage(nxt)
             state.unpersist()
             ws2.unpersist()
             state = nxt
