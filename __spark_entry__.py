@@ -264,6 +264,10 @@ def q_ann_brute(spark, sf_dir):
     return S.ann_topk_brute(_emb(spark, sf_dir))
 
 
+def q_ann_ivf(spark, sf_dir):
+    return S.ann_topk_ivf(_emb(spark, sf_dir))
+
+
 def q_ann_lsh(spark, sf_dir):
     """Planes pinned to the floor value so the DuckDB oracle replays the
     identical LCG hyperplanes; real runs pass n_planes=None to derive
@@ -548,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_pairs": q_cosine_pairs,
         "sim_ann_topk_brute": q_ann_brute,
         "sim_ann_topk_lsh": q_ann_lsh,
+        "sim_ann_topk_ivf": q_ann_ivf,
         "multimodal_media_stats": q_media_stats,
         "cluster_kmeans_assign1": q_kmeans_assign1,
         "cluster_kmeans_full": q_kmeans_full,
@@ -735,6 +740,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_approx_diameter": O.sql_approx_diameter(direction="all"),
         "cluster_kmeans_full": O.sql_kmeans_full(k=4, iterations=10),
         "sim_ann_topk_lsh": S.sql_ann_topk_lsh(),
+        "sim_ann_topk_ivf": S.sql_ann_topk_ivf(),
         "cascade_sir": O.sql_sir_cascade(source=-1, p_percent=30),
         "cascade_percolation": O.sql_bond_percolation(p_percent=50),
         "graph_topo_layers": O.sql_topo_layers(max_turns=12),

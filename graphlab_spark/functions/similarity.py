@@ -305,3 +305,140 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
 """
+
+
+# -- IVF ANN (k-means coarse quantizer; the second scale path) ---------------
+
+IVF_CELLS = 8
+IVF_PROBE = 3
+
+
+def ivf_assignments(emb: DataFrame, n_cells: int = IVF_CELLS,
+                    kmeans_iterations: int = 5):
+    """((vec_id, cell) assignments, centers): coarse quantization of
+    the embedding table by Lloyd k-means (``init='first'`` — engine
+    portable, so the DuckDB oracle rebuilds identical cells)."""
+    from ..algos.kmeans import kmeans
+    assign, centers = kmeans(
+        emb, k=n_cells, iterations=kmeans_iterations,
+        id_col="vec_id", vec_col="embedding", init="first")
+    return assign.withColumnRenamed("id", "vec_id") \
+                 .withColumnRenamed("cluster", "cell"), centers
+
+
+def ann_topk_ivf(emb: DataFrame, n_queries: int = ANN_QUERIES,
+                 k: int = ANN_K, n_cells: int = IVF_CELLS,
+                 n_probe: int = IVF_PROBE,
+                 kmeans_iterations: int = 5) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos): IVF approximate top-k — each
+    query probes its ``n_probe`` nearest k-means cells and brute-forces
+    cosine inside them only.
+
+    Scale shape: the centroid table is tiny (n_cells rows, broadcast),
+    so probing is an arithmetic pass over queries; the candidate join
+    is an equi-join on ``cell``, touching ~n_probe/n_cells of the
+    corpus per query instead of all of it.  ``n_probe = n_cells``
+    degrades to exact brute force (asserted by tests).  At 100 TB,
+    n_cells grows with corpus size (cells sized to fit an executor)
+    and the quantizer trains on a sample — the plan shape is unchanged.
+    """
+    from pyspark.sql import Window
+
+    assign, centers = ivf_assignments(emb, n_cells, kmeans_iterations)
+    spark = emb.sparkSession
+    cen = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>")
+
+    n = with_norm(emb).persist()
+    q = n.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"))
+    # probe ranking: distance(query, center), ties to smaller cell id
+    d2 = F.aggregate(
+        F.zip_with("eq", "center", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wp = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cell").asc())
+    probes = (
+        q.join(F.broadcast(cen), F.lit(True))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "eq", "nq", "cell")
+    )
+    c = (
+        n.join(assign, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ec"), F.col("nrm").alias("nc"),
+                "cell")
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_dot("eq", "ec") / (F.col("nq") * F.col("nc")), 6)
+                .alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+    return out
+
+
+def sql_ann_topk_ivf(n_queries: int = ANN_QUERIES, k: int = ANN_K,
+                     n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+                     kmeans_iterations: int = 5,
+                     table: str = "embeddings") -> str:
+    """DuckDB twin: reuses the k-means recursive CTE for the cells."""
+    from ..algos.kmeans import kmeans as _  # noqa: F401 (parity anchor)
+    from .. import oracles as O
+    km = O.sql_kmeans_full(k=n_cells, iterations=kmeans_iterations,
+                           table=table)
+    head = km[: km.rindex("SELECT id, cluster FROM (")]
+    dist = ("list_sum(list_transform(generate_series(1, len(p.v)),"
+            " i -> (p.v[i] - c2.center[i]) * (p.v[i] - c2.center[i])))")
+    qdist = ("list_sum(list_transform(generate_series(1, len(q.v)),"
+             " i -> (q.v[i] - c2.center[i]) * (q.v[i] - c2.center[i])))")
+    dot = ("list_sum(list_transform(generate_series(1, len(q.v)),"
+           " i -> q.v[i] * c.v[i]))")
+    return head + f"""
+, cenf AS (SELECT cluster AS cell, center FROM cen
+           WHERE iter = (SELECT max(iter) FROM cen)),
+assign AS (SELECT id AS vec_id, cell FROM (
+  SELECT p.id, c2.cell,
+         row_number() OVER (PARTITION BY p.id ORDER BY {dist}, c2.cell)
+             AS rn
+  FROM pts p CROSS JOIN cenf c2) WHERE rn = 1),
+nrm AS (SELECT id AS vec_id, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM pts),
+cen2 AS (SELECT cell, list(m ORDER BY pos) AS center FROM (
+  SELECT a.cell, g.pos, avg(p.v[g.pos]) AS m
+  FROM assign a JOIN pts p ON p.id = a.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1,
+      (SELECT len(v) FROM pts LIMIT 1))) AS pos) g
+  GROUP BY a.cell, g.pos) GROUP BY cell),
+cenp AS (SELECT f.cell, coalesce(n.center, f.center) AS center
+         FROM cenf f LEFT JOIN cen2 n ON n.cell = f.cell),
+probes AS (SELECT query_id, cell FROM (
+  SELECT q.id AS query_id, c2.cell,
+         row_number() OVER (PARTITION BY q.id
+             ORDER BY {qdist}, c2.cell) AS prn
+  FROM (SELECT id, v FROM pts WHERE id < {n_queries}) q
+  CROSS JOIN cenp c2) WHERE prn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({dot} / (q.nrm * c.nrm), 6) AS cos
+  FROM probes p
+  JOIN nrm q ON q.vec_id = p.query_id
+  JOIN assign a ON a.cell = p.cell
+  JOIN nrm c ON c.vec_id = a.vec_id
+  WHERE c.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}"""

@@ -229,3 +229,23 @@ def test_minhash_clusters_transitive_closure(spark):
            for r in D.minhash_dup_clusters(docs).collect()}
     assert got[1] == 1 and got[2] == 1 and got[3] == 1
     assert got[50] == 50
+
+
+def test_ivf_full_probe_equals_brute(spark, emb):
+    """Probing every cell degrades IVF to exact brute force — the
+    correctness anchor for the cell-restricted candidate join."""
+    brute = sorted(map(tuple, S.ann_topk_brute(emb).collect()))
+    full = sorted(map(tuple, S.ann_topk_ivf(
+        emb, n_cells=S.IVF_CELLS, n_probe=S.IVF_CELLS).collect()))
+    assert full == brute
+
+
+def test_ivf_default_probe_recall(spark, emb):
+    """Default n_probe keeps recall@k well above chance and candidate
+    work well below brute force."""
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.ann_topk_brute(emb).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in S.ann_topk_ivf(emb).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5  # 3 of 8 cells probed
