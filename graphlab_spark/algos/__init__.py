@@ -1,20 +1,42 @@
-from .als import als, predict, rmse
+from .als import als, predict, rmse, sparse_als, wals
+from .biassgd import biassgd, biassgd_predict, biassgd_rmse
+from .cascades import bond_percolation, sir_cascade
 from .coloring import count_conflicts, greedy_coloring
-from .jacobi import jacobi, residual_norm
-from .kmeans import kmeans
 from .connected_components import component_size_histogram, connected_components
+from .dd import dd_dual_objective, dd_labels, dd_state
+from .diameter import approx_diameter
 from .directed_triangles import directed_census_totals, directed_triangle_census
+from .jacobi import jacobi, residual_norm
 from .kcore import kcore_subgraph, kcore_table
+from .kmeans import kmeans
 from .label_propagation import label_propagation
+from .lbp import lbp_beliefs
+from .lda import lda_cvb0, word_topics
+from .mplp import mplp_dual_objective, mplp_duals, mplp_labels
+from .nmf import nmf, nmf_objective
 from .pagerank import pagerank, total_rank
+from .sgd import sgd, sgd_rmse
+from .spectral import normalized_adjacency, spectral_clusters, spectral_embedding
 from .sssp import sssp
+from .svd import lanczos_svd, power_iteration_svd
+from .svdpp import svdpp, svdpp_predict, svdpp_rmse
 from .triangles import triangle_count_per_vertex, triangle_count_total, triangle_list
+from .tsc import tsc
 
 __all__ = [
     "pagerank", "total_rank", "connected_components", "component_size_histogram",
     "label_propagation", "triangle_list", "triangle_count_total",
     "triangle_count_per_vertex", "sssp", "kcore_subgraph", "kcore_table",
     "greedy_coloring", "count_conflicts", "directed_triangle_census",
-    "directed_census_totals", "als", "predict", "rmse", "kmeans",
-    "jacobi", "residual_norm",
+    "directed_census_totals", "approx_diameter",
+    "als", "wals", "sparse_als", "predict", "rmse",
+    "sgd", "sgd_rmse", "biassgd", "biassgd_predict", "biassgd_rmse",
+    "svdpp", "svdpp_predict", "svdpp_rmse",
+    "power_iteration_svd", "lanczos_svd", "nmf", "nmf_objective",
+    "lda_cvb0", "word_topics",
+    "normalized_adjacency", "spectral_embedding", "spectral_clusters",
+    "lbp_beliefs", "mplp_duals", "mplp_labels", "mplp_dual_objective",
+    "dd_state", "dd_labels", "dd_dual_objective",
+    "sir_cascade", "bond_percolation", "tsc",
+    "kmeans", "jacobi", "residual_norm",
 ]
