@@ -81,9 +81,8 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
     state = truncate_lineage(state)
 
     h = np.zeros((m + 1, m + 1))
-    prev_tsc: np.ndarray | None = None
-    hleft_hist: list[np.ndarray] = []
-    j_done = 0
+    prev_hleft: np.ndarray | None = None
+    hleft = np.zeros(1)
     for j in range(m):
         # w(v) = sum over in-edges (u, v) of V_j(u)  (TSC.cpp:117-131)
         last = F.element_at("v", j + 1)
@@ -113,7 +112,6 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
         nrm2 = ws2.agg(F.sum(F.col("w") ** 2).alias("s")).first()["s"]
         hnext = math.sqrt(max(float(nrm2), 0.0))
         h[j + 1, j] = hnext
-        j_done = j + 1
         if hnext > tol:
             nxt = ws2.select(
                 "id", F.concat("v", F.array(F.col("w") / hnext)).alias("v"))
@@ -125,20 +123,18 @@ def tsc(graph: EdgeGraph, m: int = 12, column: int | None = None,
             ws2.unpersist()
         # convergence of successive exp(H) approximations (driver-side:
         # the basis is fixed, only the Hleft coefficients move)
-        eh = _expm(h[: j + 1 + 1, : j + 1 + 1])
+        eh = _expm(h[: j + 2, : j + 2])
         hleft = beta * eh[: j + 1, 0]
-        hleft_hist.append(hleft)
-        if prev_tsc is not None:
+        if prev_hleft is not None:
             a = np.zeros(j + 1)
-            a[: len(prev_tsc)] = prev_tsc
+            a[: len(prev_hleft)] = prev_hleft
             rel = np.max(np.abs(hleft - a) / (1e-15 + np.abs(hleft)))
             if rel < tol:
                 break
-        prev_tsc = hleft
+        prev_hleft = hleft
         if hnext <= tol:
             break
 
-    hleft = hleft_hist[-1]
     expr = sum(
         (F.lit(float(hleft[i])) * F.element_at("v", i + 1)
          for i in range(len(hleft))),
