@@ -468,6 +468,20 @@ def q_sparse_als_support(spark, sf_dir):
     return uf.select("id", nnz.alias("nnz"))
 
 
+def q_adpredictor_weights(spark, sf_dir):
+    from graphlab_spark.algos.adpredictor import (adpredictor,
+                                                  clicks_from_lineitem)
+    rows = clicks_from_lineitem(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    uw, iw = adpredictor(rows, iterations=3)
+    return (
+        uw.select(F.lit(1).alias("side"), "id", "mu", "sig")
+        .unionByName(iw.select(F.lit(2).alias("side"), "id", "mu", "sig"))
+        .select("side", "id", F.round("mu", 6).alias("mu"),
+                F.round("sig", 6).alias("sig"))
+    )
+
+
 def q_svd_power(spark, sf_dir):
     from graphlab_spark.algos.svd import power_iteration_svd
     v, _sigma = power_iteration_svd(_ratings(spark, sf_dir), iterations=8)
@@ -571,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_svdpp_rmse": q_svdpp_rmse,
         "cf_wals1_user_factors": q_wals1_user_factors,
         "cf_sparse_als_support": q_sparse_als_support,
+        "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
         "cf_svd_lanczos": q_svd_lanczos,
         "lda_word_topics": q_lda_word_topics,
@@ -753,6 +768,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_svdpp_user_params": O.sql_svdpp_user_params(k=4, iterations=3),
         "cf_svdpp_rmse": O.sql_svdpp_rmse(k=4, iterations=3),
         "cf_wals1_user_factors": O.sql_wals1_user_factors(iterations=3),
+        "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),

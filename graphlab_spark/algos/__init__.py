@@ -1,3 +1,4 @@
+from .adpredictor import adpredictor, clicks_from_lineitem, predict_ctr
 from .als import als, predict, rmse, sparse_als, wals
 from .biassgd import biassgd, biassgd_predict, biassgd_rmse
 from .cascades import bond_percolation, sir_cascade
@@ -38,5 +39,6 @@ __all__ = [
     "lbp_beliefs", "mplp_duals", "mplp_labels", "mplp_dual_objective",
     "dd_state", "dd_labels", "dd_dual_objective",
     "sir_cascade", "bond_percolation", "tsc",
+    "adpredictor", "clicks_from_lineitem", "predict_ctr",
     "kmeans", "jacobi", "residual_norm",
 ]

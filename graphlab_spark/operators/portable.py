@@ -10,6 +10,8 @@ into range first so no multiply can overflow ANSI BIGINT).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -78,3 +80,39 @@ def unit_interval(col: Column | str) -> Column:
 
 def sql_unit_interval(expr: str) -> str:
     return f"({sql_lcg_hash(expr)} / {float(M)!r})"
+
+
+# -- portable standard-normal CDF (A&S 7.1.26, as the reference's
+#    cdf.hpp uses verbatim) -------------------------------------------
+
+PHI_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027,
+         1.061405429)
+PHI_P = 0.3275911
+INV_SQRT_2PI = 0.3989422804014327  # 1/sqrt(2*pi)
+
+
+def phi_cdf(col: Column) -> Column:
+    """Standard-normal CDF by the Abramowitz-Stegun 7.1.26 erf
+    polynomial — the exact formula and constants of the reference's
+    ``cdf.hpp:29-50`` — so Spark and any SQL engine replaying the
+    same arithmetic agree to the last printed digit."""
+    sign = F.when(col < 0, -1.0).otherwise(1.0)
+    x = F.abs(col) / F.lit(math.sqrt(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(PHI_P) * x)
+    a1, a2, a3, a4, a5 = PHI_A
+    y = F.lit(1.0) - (((((F.lit(a5) * t + F.lit(a4)) * t) + F.lit(a3))
+                       * t + F.lit(a2)) * t + F.lit(a1)) * t \
+        * F.exp(-x * x)
+    return F.lit(0.5) * (F.lit(1.0) + sign * y)
+
+
+def sql_phi(expr: str) -> str:
+    """SQL twin of phi_cdf — inlines ``expr`` several times; feed it a
+    plain column reference."""
+    a1, a2, a3, a4, a5 = PHI_A
+    sign = f"(CASE WHEN {expr} < 0 THEN -1.0 ELSE 1.0 END)"
+    x = f"(abs({expr}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {PHI_P!r} * {x}))"
+    y = (f"(1.0 - ((((({a5!r} * {t} + {a4!r}) * {t}) + {a3!r}) * {t} "
+         f"+ {a2!r}) * {t} + {a1!r}) * {t} * exp(-{x} * {x}))")
+    return f"(0.5 * (1.0 + {sign} * {y}))"

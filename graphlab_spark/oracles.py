@@ -1173,3 +1173,55 @@ dd(iter, src, dst, au0, au1, bv0, bv1, lu0, lu1, lv0, lv1, xi, xj) AS (
     SELECT dst, CAST(xj AS DOUBLE) FROM dd
     WHERE iter = (SELECT max(iter) FROM dd)) GROUP BY id)
 SELECT id, CASE WHEN v1 > 0.5 THEN 1 ELSE 0 END AS label FROM fv""")
+
+
+# ---------------------------------------------------------------------------
+# AdPredictor (mirrors algos/adpredictor.py; A&S-polynomial probit)
+# ---------------------------------------------------------------------------
+
+def sql_adpredictor_weights(iterations: int = 3) -> str:
+    from .operators.portable import INV_SQRT_2PI, sql_phi
+    est = """(SELECT e.u, e.it, e.y, su.sig AS sig_u, si.sig AS sig_i,
+        su.mu + si.mu AS m, su.sig + si.sig AS s
+ FROM ex e JOIN st su ON su.side = 1 AND su.id = e.u
+           JOIN st si ON si.side = 2 AND si.id = e.it)"""
+    phi_t = sql_phi("t")
+    scored = f"""(SELECT u, it, y, sig_u, sig_i, s, vt,
+        vt * (vt + t) AS wt FROM
+  (SELECT *, {INV_SQRT_2PI!r} * exp(-t * t / 2)
+          / (CASE WHEN {phi_t} = 0.0 THEN 1e-5 ELSE {phi_t} END) AS vt
+   FROM (SELECT *, y * m / sqrt(s) AS t FROM {est})))"""
+    return f"""
+WITH RECURSIVE
+ex AS (SELECT l_suppkey AS u, l_partkey AS it,
+       CASE WHEN max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+            THEN 1.0 ELSE -1.0 END AS y
+       FROM lineitem GROUP BY 1, 2),
+st(iter, side, id, mu, sig) AS (
+  SELECT 0, sd.side, sd.id, CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+  FROM (SELECT 1 AS side, u AS id FROM (SELECT DISTINCT u FROM ex)
+        UNION ALL
+        SELECT 2, it FROM (SELECT DISTINCT it FROM ex)) sd
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.side, p.id,
+           p.mu + coalesce(g.dmu, 0.0) AS mu,
+           p.sig * exp(coalesce(g.lnf, 0.0)) AS sig
+    FROM st p
+    LEFT JOIN (
+      SELECT side, id, sum(dmu) AS dmu, sum(lnf) AS lnf FROM (
+        SELECT 1 AS side, u AS id,
+               (y * sig_u / sqrt(s)) * vt AS dmu,
+               ln(greatest(1.0 - (sig_u / s) * wt, 1e-6)) AS lnf
+        FROM {scored}
+        UNION ALL
+        SELECT 2, it, (y * sig_i / sqrt(s)) * vt,
+               ln(greatest(1.0 - (sig_i / s) * wt, 1e-6))
+        FROM {scored}
+      ) GROUP BY side, id
+    ) g ON p.side = g.side AND p.id = g.id
+    WHERE p.iter < {iterations}
+  )
+)
+SELECT side, id, round(mu, 6) AS mu, round(sig, 6) AS sig FROM st
+WHERE iter = (SELECT max(iter) FROM st)"""

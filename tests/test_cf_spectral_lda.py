@@ -501,3 +501,27 @@ def test_tsc_early_convergence_budget(spark):
     # m=8 of 13: Krylov truncation error, not machine precision
     assert max(abs(got[i] - ref[i]) / ref[i] for i in range(13)) < 1e-3
     g.unpersist()
+
+
+def test_adpredictor_learns_separable_clicks(spark):
+    """Users whose rows are all +1 must end with positive weight mean
+    and shrunken variance; all-negative users the mirror; CTR ranks
+    them accordingly."""
+    from graphlab_spark.algos.adpredictor import adpredictor, predict_ctr
+    rows = [(u, i, 1.0 if u < 3 else -1.0)
+            for u in range(6) for i in range(4)]
+    r = spark.createDataFrame(rows, "user long, item long, y double")
+    uw, iw = adpredictor(r, iterations=4)
+    w = {x["id"]: (x["mu"], x["sig"]) for x in uw.collect()}
+    for u in range(3):
+        assert w[u][0] > 0 and w[u][1] < 1.0
+    for u in range(3, 6):
+        assert w[u][0] < 0 and w[u][1] < 1.0
+    ctr = {(x["user"], x["item"]): x["ctr"]
+           for x in predict_ctr(r, uw, iw).collect()}
+    assert min(ctr[(u, 0)] for u in range(3)) \
+        > max(ctr[(u, 0)] for u in range(3, 6))
+    # deterministic
+    uw2, _ = adpredictor(r, iterations=4)
+    assert sorted(map(tuple, uw.collect())) == sorted(
+        map(tuple, uw2.collect()))
