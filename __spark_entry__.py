@@ -220,6 +220,10 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_bigram_lm_scores(spark, sf_dir):
+    return T.char_bigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_token_frequencies(spark, sf_dir):
     return T.token_frequencies(_docs(spark, sf_dir))
 
@@ -555,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_approx_diameter": q_approx_diameter,
         "text_stats": q_text_stats,
         "text_token_frequencies": q_token_frequencies,
+        "text_bigram_lm_scores": q_bigram_lm_scores,
         "text_winnowing_fingerprints": q_winnowing,
         "dedup_exact_groups": q_exact_dup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
@@ -716,6 +721,7 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
             f"{T.sql_fingerprint()} AS fp FROM documents"
         ),
         "text_token_frequencies": T.sql_token_frequencies(),
+        "text_bigram_lm_scores": T.sql_char_bigram_lm_scores(),
         "text_winnowing_fingerprints": T.sql_winnowing_fingerprints(),
         "dedup_exact_groups": D.sql_exact_dup_groups(),
         "dedup_jaccard_pairs": D.sql_jaccard_pairs(),

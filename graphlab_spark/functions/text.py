@@ -231,3 +231,69 @@ SELECT DISTINCT doc_id,
                for j in generate_series(1, greatest(len(g) - {w - 1}, 1))]) AS fp
 FROM grams
 """
+
+
+def char_bigram_lm_scores(docs, alpha: float = 0.5):
+    """(doc_id, n_bigrams, avg_logp): per-character-bigram average
+    log-probability of each document under the corpus's own
+    add-alpha-smoothed char-bigram model — the language-model quality
+    filter of a training-data pipeline (documents scoring far below
+    the corpus norm are boilerplate, garbled encodings, or wrong-
+    language contamination).
+
+    Scale shape: two corpus passes (bigram counts, then first-char
+    totals), both partial+final hash aggregations; the per-doc scoring
+    join fans out on the bigram key, whose domain is tiny (|charset|^2)
+    and hot — exactly what map-side combine absorbs.  Documents
+    shorter than one bigram keep NULL avg_logp.
+    """
+    bgs = docs.filter(F.length("text") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(lower(text)) - 1),"
+            " i -> substring(lower(text), i, 2))")).alias("bg"))
+    counts = bgs.groupBy("bg").agg(F.count("*").alias("n"))
+    c1 = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n").alias("n1"))
+    v = counts.select(
+        F.substring("bg", 2, 1).alias("c2")).distinct().count()
+    probs = (
+        counts.withColumn("c1", F.substring("bg", 1, 1))
+        .join(c1, "c1")
+        .select("bg", ((F.col("n") + F.lit(alpha))
+                       / (F.col("n1") + F.lit(alpha * v))).alias("p"))
+    )
+    scored = (
+        bgs.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg(F.log("p")), 6).alias("avg_logp"))
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                "avg_logp")
+    )
+
+
+def sql_char_bigram_lm_scores(alpha: float = 0.5,
+                              table: str = "documents") -> str:
+    return f"""
+WITH bgs AS (
+  SELECT doc_id, unnest([substring(lower(text), i, 2)
+          for i in generate_series(1, length(lower(text)) - 1)]) AS bg
+  FROM {table} WHERE length(text) >= 2),
+counts AS (SELECT bg, count(*) AS n FROM bgs GROUP BY bg),
+c1 AS (SELECT substring(bg, 1, 1) AS c1, CAST(sum(n) AS DOUBLE) AS n1
+       FROM counts GROUP BY 1),
+v AS (SELECT count(DISTINCT substring(bg, 2, 1)) AS v FROM counts),
+probs AS (SELECT co.bg,
+                 (co.n + {alpha!r}) / (c1.n1 + {alpha!r} * (SELECT v FROM v))
+                     AS p
+          FROM counts co JOIN c1 ON c1.c1 = substring(co.bg, 1, 1)),
+scored AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                  round(avg(ln(p.p)), 6) AS avg_logp
+           FROM bgs b JOIN probs p ON p.bg = b.bg GROUP BY b.doc_id)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logp
+FROM {table} d LEFT JOIN scored s ON s.doc_id = d.doc_id"""

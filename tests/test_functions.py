@@ -249,3 +249,20 @@ def test_ivf_default_probe_recall(spark, emb):
            for r in S.ann_topk_ivf(emb).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5  # 3 of 8 cells probed
+
+
+def test_bigram_lm_flags_garbled_text(spark, docs, duck):
+    assert_parity(T.char_bigram_lm_scores(docs), duck,
+                  T.sql_char_bigram_lm_scores())
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and "
+                "again with perfectly ordinary english text flowing on")
+            for i in range(20)]
+    rows.append((99, "zq xv jk qz wx vq kj zx qw vk xq zj wv qx kz jv"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logp"]
+           for r in T.char_bigram_lm_scores(d).collect()}
+    natural = [got[i] for i in range(20)]
+    assert got[99] < min(natural) - 0.5  # garbled text scores far below
+    short = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    r0 = T.char_bigram_lm_scores(short).collect()[0]
+    assert r0["n_bigrams"] == 0 and r0["avg_logp"] is None
