@@ -65,3 +65,45 @@ def run_windowed_counts_to_memory(spark, input_dir: str, checkpoint_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append").trigger(availableNow=True).start()
     )
+
+
+def stream_exact_dedup(
+    transcripts: DataFrame, watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated turns across micro-batches
+    on (conv_id, turn_idx, md5(text)) — the streaming analog of the
+    batch pipeline's ``functions.dedup.exact_dup_groups`` keeper pass
+    (first arrival wins).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes it, so a continuous firehose holds
+    O(keys-per-watermark-window) state instead of growing without
+    bound — re-deliveries inside the watermark horizon (the realistic
+    at-least-once-delivery failure mode) are suppressed; replays older
+    than the watermark are out of contract, as with any watermarked
+    operator.
+    """
+    keyed = transcripts.withColumn(
+        "text_md5", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text_md5"])
+        .drop("text_md5")
+    )
+
+
+def run_dedup_to_parquet(spark, input_dir: str, output_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int | None = None):
+    """Drain ``input_dir`` through stream_exact_dedup into parquet."""
+    from .ingest import TRANSCRIPT_SCHEMA
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deduped = stream_exact_dedup(reader.parquet(input_dir))
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append").trigger(availableNow=True).start()
+    )

@@ -117,3 +117,31 @@ def test_sequence_pairs_timeout_evicts():
     st = _FakeState(value=(7,), timed_out=True)
     assert list(fn(("c1",), iter([]), st)) == []
     assert st.removed
+
+
+def test_streamed_dedup_drops_cross_batch_redelivery(spark, tmp_path):
+    """The same turns delivered twice in two separate micro-batches
+    must come out once: state carries keys across batches."""
+    from graphlab_spark.streaming.windows import run_dedup_to_parquet
+    t = synthetic_transcripts(spark, n_convs=30).persist()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    t.coalesce(1).write.parquet(str(in_dir / "stage0"))
+    t.coalesce(1).write.parquet(str(in_dir / "stage1"))  # full re-delivery
+    import shutil
+    files = sorted(in_dir.rglob("*.parquet"))
+    for i, f in enumerate(files):
+        shutil.move(str(f), str(in_dir / f"{i:04d}.parquet"))
+    for sub in list(in_dir.iterdir()):
+        if sub.is_dir():
+            shutil.rmtree(sub)
+
+    out_dir, ck = tmp_path / "out", tmp_path / "ck"
+    q = run_dedup_to_parquet(spark, str(in_dir), str(out_dir), str(ck),
+                             max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(str(out_dir))
+                 .select("conv_id", "turn_idx").collect()))
+    want = sorted(map(tuple, t.select("conv_id", "turn_idx").collect()))
+    assert got == want  # each turn exactly once despite double delivery
+    t.unpersist()
