@@ -333,6 +333,24 @@ def _ratings(spark, sf_dir):
     )
 
 
+def q_jacobi(spark, sf_dir):
+    """Jacobi on the diagonally-dominant system (deg+1) x_i - sum_nbr
+    x_j = b_i with portable pseudo-random b — the Laplacian-plus-shift
+    system of the linear-solvers toolkit, run to the 1e-9 fixpoint."""
+    from graphlab_spark.algos.jacobi import jacobi
+    from graphlab_spark.operators.portable import unit_interval
+    g = _graph(spark, sf_dir)
+    sym = g.symmetric_edges.select("src", "dst")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("dg"))
+    vertices = g.vertices.join(deg, "id").select(
+        "id", unit_interval(F.col("id")).alias("b"),
+        (F.col("dg") + 1.0).alias("diag"))
+    edges = sym.select("src", "dst", F.lit(-1.0).alias("a"))
+    res = jacobi(edges, vertices, tol=1e-9, resume=False)
+    return res.state.select("id", F.round("x", 6).alias("x"))
+
+
 def q_sir(spark, sf_dir):
     from graphlab_spark.algos.cascades import sir_cascade
     g = _graph(spark, sf_dir)
@@ -576,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans_assign1": q_kmeans_assign1,
         "cluster_kmeans_full": q_kmeans_full,
         "cf_als_factor_norms": q_als_factors,
+        "lin_jacobi": q_jacobi,
         "cascade_sir": q_sir,
         "cascade_percolation": q_percolation,
         "graph_topo_layers": q_topo_layers,
@@ -762,6 +781,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cluster_kmeans_full": O.sql_kmeans_full(k=4, iterations=10),
         "sim_ann_topk_lsh": S.sql_ann_topk_lsh(),
         "sim_ann_topk_ivf": S.sql_ann_topk_ivf(),
+        "lin_jacobi": O.sql_jacobi(tol=1e-9),
         "cascade_sir": O.sql_sir_cascade(source=-1, p_percent=30),
         "cascade_percolation": O.sql_bond_percolation(p_percent=50),
         "graph_topo_layers": O.sql_topo_layers(max_turns=12),

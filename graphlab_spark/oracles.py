@@ -188,7 +188,8 @@ pr(iter, id, rank, md) AS (
 # ---------------------------------------------------------------------------
 
 from .algos.lbp import PSI as PSI_SQL
-from .operators.portable import sql_edge_hash, sql_lcg_hash, sql_mix31
+from .operators.portable import (sql_edge_hash, sql_lcg_hash, sql_mix31,
+                                 sql_unit_interval)
 
 _portable_hash_sql = sql_lcg_hash
 
@@ -1225,3 +1226,35 @@ st(iter, side, id, mu, sig) AS (
 )
 SELECT side, id, round(mu, 6) AS mu, round(sig, 6) AS sig FROM st
 WHERE iter = (SELECT max(iter) FROM st)"""
+
+
+# ---------------------------------------------------------------------------
+# Jacobi solver on the link graph (mirrors algos/jacobi.py on the
+# Laplacian-derived diagonally-dominant system of q_jacobi)
+# ---------------------------------------------------------------------------
+
+def sql_jacobi(tol: float = 1e-9, max_supersteps: int = 500) -> str:
+    b = sql_unit_interval("v.id")
+    vb = (f"vb AS (SELECT v.id, {b} AS b, d.dg + 1.0 AS diag "
+          f"FROM verts v JOIN (SELECT src AS id, count(*) AS dg "
+          f"FROM sym GROUP BY 1) d ON d.id = v.id)")
+    rec = f"""
+jac(iter, id, x, md) AS (
+  SELECT 0, id, b / diag, CAST(1e12 AS DOUBLE) FROM vb
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           (vb.b - coalesce(m.s, 0.0)) / vb.diag AS x,
+           max(abs((vb.b - coalesce(m.s, 0.0)) / vb.diag - p.x))
+               OVER () AS md
+    FROM jac p
+    JOIN vb ON vb.id = p.id
+    LEFT JOIN (SELECT s.dst, sum(-1.0 * p2.x) AS s
+               FROM jac p2 JOIN sym s ON p2.id = s.src
+               GROUP BY s.dst) m ON p.id = m.dst
+    WHERE p.md > {tol!r} AND p.iter < {max_supersteps}
+  )
+)"""
+    return (_rec(_VERTS, _SYM, vb, rec) + """
+SELECT id, round(x, 6) AS x FROM jac
+WHERE iter = (SELECT max(iter) FROM jac)""")
