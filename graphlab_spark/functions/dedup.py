@@ -461,7 +461,10 @@ def minhash_dup_clusters(docs: DataFrame, tau: float = JACCARD_TAU,
     pairs = minhash_lsh_pairs(docs, tau, n, portable=portable)
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
-    g = EdgeGraph(edges, num_edge_partitions=8)
+    # partition count follows the session's shuffle setting (EdgeGraph
+    # default) — the pair graph is corpus-size-dependent, never a
+    # constant
+    g = EdgeGraph(edges)
     state = connected_components(g, resume=False).state
     out = (
         docs.select("doc_id")
