@@ -159,6 +159,18 @@ def q_sssp(spark, sf_dir):
     return out.filter(~F.isnan("distance") & (F.col("distance") != float("inf")))
 
 
+def q_catpath(spark, sf_dir):
+    """Category-mediated typed BFS (apps/our_algo) from the min event
+    id, over membership (event↔type-hub) and type-co-occurrence links."""
+    from graphlab_spark.algos.catpath import (
+        catpath, catpath_articles, events_typed_edges)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    source = ev.agg(F.min("event_id")).first()[0]
+    membership, catlinks = events_typed_edges(ev)
+    res = catpath(membership, catlinks, sources=[int(source)], resume=False)
+    return catpath_articles(res.state)
+
+
 def q_neighbors_of_hubs(spark, sf_dir):
     """1-hop in-neighborhood expansion of the hub vertex set (id < 0)."""
     g = _graph(spark, sf_dir)
@@ -569,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_lpa,
         "graph_kcore_k2": q_kcore_k2,
         "graph_sssp_from_hub": q_sssp,
+        "graph_catpath": q_catpath,
         "graph_neighbors_of_hubs": q_neighbors_of_hubs,
         "graph_vset_inout": q_vset_inout,
         "graph_directed_census": q_directed_census,
@@ -772,6 +785,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_connected_components": O.sql_connected_components(),
         "graph_cc_sizes": O.sql_cc_sizes(),
         "graph_sssp_from_hub": O.sql_sssp_from_hub(source=-1),
+        "graph_catpath": O.sql_catpath(),
         "graph_lpa": O.sql_lpa(max_supersteps=10),
         "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
         "graph_kcore_k2": O.sql_kcore_k2(),

@@ -2,6 +2,7 @@ from .adpredictor import adpredictor, clicks_from_lineitem, predict_ctr
 from .als import als, predict, rmse, sparse_als, wals
 from .biassgd import biassgd, biassgd_predict, biassgd_rmse
 from .cascades import bond_percolation, sir_cascade
+from .catpath import catpath, catpath_articles, events_typed_edges
 from .coloring import count_conflicts, greedy_coloring
 from .connected_components import component_size_histogram, connected_components
 from .dd import dd_dual_objective, dd_labels, dd_state
@@ -39,6 +40,7 @@ __all__ = [
     "lbp_beliefs", "mplp_duals", "mplp_labels", "mplp_dual_objective",
     "dd_state", "dd_labels", "dd_dual_objective",
     "sir_cascade", "bond_percolation", "tsc",
+    "catpath", "catpath_articles", "events_typed_edges",
     "adpredictor", "clicks_from_lineitem", "predict_ctr",
     "kmeans", "jacobi", "residual_norm",
 ]

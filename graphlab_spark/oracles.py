@@ -1258,3 +1258,70 @@ jac(iter, id, x, md) AS (
     return (_rec(_VERTS, _SYM, vb, rec) + """
 SELECT id, round(x, 6) AS x FROM jac
 WHERE iter = (SELECT max(iter) FROM jac)""")
+
+
+# ---------------------------------------------------------------------------
+# category-mediated shortest paths (mirrors algos/catpath.py on the
+# events-derived typed graph: articles = event ids, categories = type hubs)
+# ---------------------------------------------------------------------------
+
+_CATPATH_EDGES = """
+catc AS (
+    SELECT DISTINCT least(ha.dst, hb.dst) AS a, greatest(ha.dst, hb.dst) AS b
+    FROM seq s JOIN hub ha ON s.src = ha.src JOIN hub hb ON s.dst = hb.src
+    WHERE s.dst IS NOT NULL AND ha.dst <> hb.dst
+),
+tedges AS (
+    SELECT src, dst, TRUE AS src_is_art FROM hub
+    UNION ALL SELECT dst AS src, src AS dst, FALSE FROM hub
+    UNION ALL SELECT a AS src, b AS dst, FALSE FROM catc
+    UNION ALL SELECT b AS src, a AS dst, FALSE FROM catc
+)"""
+
+
+def sql_catpath(max_supersteps: int = 200) -> str:
+    """Typed BFS fixpoint of algos/catpath.catpath on the events graph
+    (source = min event id).  Each level accumulates the reached set
+    and keeps, per vertex, the lexicographically smallest
+    (dist, hops, last_art) triple — the same deterministic tie-break
+    the Spark loop applies via its min-struct aggregation."""
+    rec = f"""
+cp(iter, id, dist, hops, last_art, nchanged) AS (
+  SELECT 0, (SELECT min(event_id) FROM events), CAST(0.0 AS DOUBLE),
+         CAST(0 AS BIGINT), CAST(4611686018427387904 AS BIGINT),
+         CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, n.id, n.dist, n.hops, n.last_art,
+           sum(CASE WHEN q.id IS NULL
+                      OR (n.dist, n.hops, n.last_art)
+                         < (q.dist, q.hops, q.last_art)
+                    THEN 1 ELSE 0 END) OVER () AS nchanged
+    FROM (
+      SELECT id, dist, hops, last_art FROM (
+        SELECT id, dist, hops, last_art,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY dist, hops, last_art) AS rn
+        FROM (
+          SELECT id, dist, hops, last_art FROM cp
+          UNION ALL
+          SELECT t.dst AS id, p.dist + 1.0 AS dist,
+                 CASE WHEN t.src_is_art THEN CAST(1 AS BIGINT)
+                      ELSE p.hops + 1 END AS hops,
+                 CASE WHEN t.src_is_art THEN t.src
+                      ELSE p.last_art END AS last_art
+          FROM cp p JOIN tedges t ON p.id = t.src
+        )
+      ) WHERE rn = 1
+    ) n
+    LEFT JOIN cp q ON n.id = q.id
+    CROSS JOIN (SELECT DISTINCT iter, nchanged FROM cp) m
+    WHERE m.nchanged > 0 AND m.iter < {max_supersteps}
+  )
+)"""
+    return (_rec(_CATPATH_EDGES.strip(), rec) + """
+SELECT id, dist AS distance,
+       CASE WHEN dist = 0 THEN NULL ELSE last_art END AS prev_art,
+       CASE WHEN dist = 0 THEN CAST(0 AS BIGINT) ELSE hops END AS cat_hops
+FROM cp
+WHERE iter = (SELECT max(iter) FROM cp) AND id >= 0""")
