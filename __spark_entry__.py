@@ -122,6 +122,15 @@ def q_pagerank_converged(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_delta(spark, sf_dir):
+    """Delta-cached dynamic PageRank (post_delta gather caching,
+    icontext.hpp:254 + pagerank.cpp:124-127): frontier-proportional
+    supersteps over a cached gather total."""
+    g = _graph(spark, sf_dir)
+    res = pagerank(g, tol=1e-6, delta_cache=True, resume=False)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_triangle_total(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return triangle_list(g).agg(F.count("*").alias("triangles"))
@@ -574,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_degrees,
         "graph_pagerank_iter2": q_pagerank_iter2,
         "graph_pagerank_converged": q_pagerank_converged,
+        "graph_pagerank_delta": q_pagerank_delta,
         "graph_triangle_total": q_triangle_total,
         "graph_triangles_per_vertex": q_triangles_per_vertex,
         "graph_connected_components": q_connected_components,
@@ -788,6 +798,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_catpath": O.sql_catpath(),
         "graph_lpa": O.sql_lpa(max_supersteps=10),
         "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
+        "graph_pagerank_delta": O.sql_pagerank_delta(tol=1e-6),
         "graph_kcore_k2": O.sql_kcore_k2(),
         "graph_kcore_table": O.sql_kcore_table(kmin=1, kmax=4),
         "graph_coloring": O.sql_coloring(),

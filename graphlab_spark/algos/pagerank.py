@@ -45,6 +45,7 @@ def pagerank(
     verbose: bool = False,
     gather: str = "expr",
     salt_hubs: int | None = None,
+    delta_cache: bool = False,
 ) -> BSPResult:
     """Returns BSPResult whose state is ``(id long, rank double)``.
 
@@ -66,6 +67,16 @@ def pagerank(
             "pagerank: salt_hubs applies only to the expression gather "
             "path; the arrow/CSR kernel does its own per-partition "
             "partial sums (combine gather='arrow' with salt_hubs=None)")
+    if delta_cache:
+        if gather == "arrow" or salt_hubs or fixed_supersteps is not None:
+            raise ValueError(
+                "pagerank: delta_cache is the dynamic tolerance mode — "
+                "it composes with neither gather='arrow', salt_hubs, nor "
+                "fixed_supersteps (the reference likewise gates the delta "
+                "cache on the dynamic scheduler, pagerank.cpp:108-127)")
+        return _pagerank_delta(
+            graph, tol=tol, max_supersteps=max_supersteps,
+            checkpoint=checkpoint, resume=resume, verbose=verbose)
     contribs = (
         graph.edges.join(
             graph.out_degrees.withColumnRenamed("id", "src"), "src"
@@ -148,6 +159,121 @@ def pagerank(
     )
     contribs.unpersist()
     return result
+
+
+def _pagerank_delta(
+    graph: EdgeGraph,
+    tol: float = 1e-6,
+    max_supersteps: int = 200,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = True,
+    verbose: bool = False,
+) -> BSPResult:
+    """Delta-cached dynamic PageRank (``context.post_delta`` gather
+    caching, ``icontext.hpp:254`` + ``pagerank.cpp:124-127``).
+
+    Instead of re-gathering every in-edge each superstep, each vertex
+    keeps its gather total cached in the state (``total``); a vertex
+    whose rank changed by ``change`` posts ``change * cw`` to each
+    out-neighbor's cache, so a superstep's edge work is proportional to
+    the ACTIVE frontier (``|change| > tol``), not to |E| — the whole
+    point of the reference's delta cache, and at scale the reason late
+    supersteps cost almost nothing.
+
+    Deliberate deviation from the reference, documented for parity
+    review: ``pagerank.cpp:124-127`` posts the RAW ``last_change`` (not
+    scaled by the gather's ``1/num_out_edges`` edge weight) and its
+    scatter signals unconditionally (``:128-134``), which makes the
+    reference's delta mode approximate and non-terminating under the
+    synchronous engine.  We post the correctly scaled delta and signal
+    only above tolerance, which preserves the exact gather-cache
+    invariant ``total == Σ_in rank(src)/out_deg(src)`` up to the
+    below-tolerance changes the dynamic scheduler drops — the fixpoint
+    every GraphLab dynamic-mode run targets.
+
+    State: ``(id long, rank double, total double, change double)``;
+    the returned BSPResult's state is trimmed to ``(id, rank)``.
+    """
+    contribs = (
+        graph.edges.join(
+            graph.out_degrees.withColumnRenamed("id", "src"), "src"
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("cw"))
+        .repartition(graph.num_edge_partitions, "src")
+        .persist()
+    )
+    # Superstep 0 = signal_all: a full gather at rank 1.0 seeds the
+    # cache, then apply + scatter as usual.
+    tot0 = contribs.groupBy("dst").agg(F.sum("cw").alias("t0"))
+    init = (
+        graph.vertices.join(
+            tot0, graph.vertices["id"] == tot0["dst"], "left")
+        .select(
+            "id",
+            (F.lit(BASE) + F.lit(DAMPING) * F.coalesce("t0", F.lit(0.0))).alias("rank"),
+            F.coalesce("t0", F.lit(0.0)).alias("total"),
+            (F.lit(BASE) + F.lit(DAMPING) * F.coalesce("t0", F.lit(0.0))
+             - F.lit(1.0)).alias("change"),
+        )
+    )
+
+    def step(state: DataFrame, i: int):
+        scat = state.filter(F.abs(F.col("change")) > tol).select(
+            F.col("id").alias("sid"), F.col("change").alias("sc"))
+        msgs = (
+            contribs.join(scat, contribs["src"] == scat["sid"])
+            .select("dst", (F.col("sc") * F.col("cw")).alias("m"))
+            .groupBy("dst").agg(F.sum("m").alias("d"))
+        )
+        joined = state.join(msgs, state["id"] == msgs["dst"], "left")
+        signaled = F.col("d").isNotNull()
+        new_total = F.col("total") + F.coalesce(F.col("d"), F.lit(0.0))
+        new_rank = F.when(
+            signaled, F.lit(BASE) + F.lit(DAMPING) * new_total
+        ).otherwise(F.col("rank"))
+        new_state = joined.select(
+            "id",
+            new_rank.alias("rank"),
+            new_total.alias("total"),
+            F.when(signaled, new_rank - F.col("rank"))
+             .otherwise(F.lit(0.0)).alias("change"),
+        )
+        from pyspark.sql import Observation
+        obs = Observation(f"pagerank_delta_{i}")
+        observed = new_state.observe(
+            obs,
+            F.max(F.abs(F.col("change"))).alias("max_delta"),
+            F.sum(
+                F.when(F.abs(F.col("change")) > tol, 1).otherwise(0)
+            ).alias("active"),
+        )
+
+        def finish():
+            row = obs.get
+            active = int(row["active"] or 0)
+            return (
+                {"active": active,
+                 "max_delta": float(row["max_delta"] or 0.0)},
+                active == 0,
+            )
+
+        return observed, finish
+
+    result = run_bsp(
+        init,
+        step,
+        max_supersteps=max_supersteps,
+        checkpoint=checkpoint,
+        resume=resume,
+        verbose=verbose,
+    )
+    contribs.unpersist()
+    return BSPResult(
+        state=result.state.select("id", "rank"),
+        supersteps=result.supersteps,
+        converged=result.converged,
+        history=result.history,
+    )
 
 
 def total_rank(ranks: DataFrame) -> float:

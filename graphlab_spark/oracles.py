@@ -183,6 +183,54 @@ pr(iter, id, rank, md) AS (
               "WHERE iter = (SELECT max(iter) FROM pr)")
 
 
+def sql_pagerank_delta(tol: float = 1e-6, max_supersteps: int = 200) -> str:
+    """Twin of algos/pagerank._pagerank_delta: gather totals cached in
+    the level, frontier = |change| > tol, deltas scaled by the edge's
+    contribution weight, apply only on vertices receiving a delta."""
+    outd = ("outd AS (SELECT src AS id, count(*) AS out_degree "
+            "FROM edges GROUP BY 1)")
+    cont = ("cont AS (SELECT e.src, e.dst, 1.0 / d.out_degree AS cw "
+            "FROM edges e JOIN outd d ON e.src = d.id)")
+    rec = f"""
+prd(iter, id, rank, total, change, nactive) AS (
+  SELECT 0, id, rank, total, change,
+         sum(CASE WHEN abs(change) > {tol!r} THEN 1 ELSE 0 END) OVER ()
+  FROM (
+    SELECT v.id, 0.15 + 0.85 * coalesce(t.t0, 0.0) AS rank,
+           coalesce(t.t0, 0.0) AS total,
+           0.15 + 0.85 * coalesce(t.t0, 0.0) - 1.0 AS change
+    FROM verts v
+    LEFT JOIN (SELECT dst, sum(cw) AS t0 FROM cont GROUP BY 1) t
+      ON v.id = t.dst
+  )
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, id, rank, total, change,
+           sum(CASE WHEN abs(change) > {tol!r} THEN 1 ELSE 0 END)
+             OVER () AS nactive
+    FROM (
+      SELECT p.iter + 1 AS iter, p.id,
+             CASE WHEN m.d IS NOT NULL
+                  THEN 0.15 + 0.85 * (p.total + m.d)
+                  ELSE p.rank END AS rank,
+             p.total + coalesce(m.d, 0.0) AS total,
+             CASE WHEN m.d IS NOT NULL
+                  THEN 0.15 + 0.85 * (p.total + m.d) - p.rank
+                  ELSE 0.0 END AS change
+      FROM prd p
+      LEFT JOIN (SELECT c.dst, sum(p2.change * c.cw) AS d
+                 FROM prd p2 JOIN cont c ON p2.id = c.src
+                 WHERE abs(p2.change) > {tol!r}
+                 GROUP BY c.dst) m ON p.id = m.dst
+      WHERE p.nactive > 0 AND p.iter < {max_supersteps}
+    )
+  )
+)"""
+    return (_rec(_VERTS, outd, cont, rec)
+            + "SELECT id, round(rank, 6) AS rank FROM prd "
+              "WHERE iter = (SELECT max(iter) FROM prd)")
+
+
 # ---------------------------------------------------------------------------
 # k-core peeling (mirrors algos/kcore.py)
 # ---------------------------------------------------------------------------
