@@ -812,6 +812,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_topo_layers": O.sql_topo_layers(max_turns=12),
         "graph_laplacian": O.sql_laplacian(),
         "spectral_embedding2": O.sql_spectral_embedding(iterations=15),
+        "spectral_clusters2": O.sql_spectral_clusters(k=2, iterations=15),
         "cf_sgd_user_factors": O.sql_sgd_user_factors(k=4, iterations=3),
         "cf_sgd_rmse": O.sql_sgd_rmse(k=4, iterations=3),
         "cf_biassgd_user_params": O.sql_biassgd_user_params(k=4, iterations=3),
@@ -829,7 +830,5 @@ SELECT id, cluster FROM r WHERE rn = 1
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs
-        # closed forms and numpy.linalg.svd) and spectral_clusters2
-        # (k-means over a computed embedding; embedding itself is
-        # oracle-verified, clustering by pytest two-block recovery).
+        # closed forms and numpy.linalg.svd).
     }

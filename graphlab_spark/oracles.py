@@ -666,9 +666,9 @@ SELECT u.src, u.dst,
 FROM und u JOIN udeg d1 ON u.src = d1.id JOIN udeg d2 ON u.dst = d2.id""")
 
 
-def sql_spectral_embedding(iterations: int = 15) -> str:
+def _spectral_rec(iterations: int) -> str:
     x0 = sql_lcg_hash("id")
-    rec = f"""
+    return f"""
 v1 AS (SELECT id, sqrt(deg) / sqrt((SELECT sum(deg) FROM udeg)) AS v1
        FROM udeg),
 nadj AS (SELECT u.src, u.dst, 1.0 / sqrt(d1.deg * d2.deg) AS w
@@ -694,9 +694,58 @@ se(iter, id, xv) AS (
     )
   )
 )"""
-    return (_rec(_SYM, _UND, _UDEG, rec)
+
+
+def sql_spectral_embedding(iterations: int = 15) -> str:
+    return (_rec(_SYM, _UND, _UDEG, _spectral_rec(iterations))
             + "SELECT id, round(xv, 6) AS comp FROM se "
               "WHERE iter = (SELECT max(iter) FROM se)")
+
+
+def sql_spectral_clusters(k: int = 2, iterations: int = 15,
+                          lloyd_iterations: int = 20) -> str:
+    """spectral_clusters = the embedding recursion above feeding a 1-D
+    Lloyd's k-means recursion (mirrors algos/spectral.py:96 →
+    algos/kmeans.py init='first').  The Spark loop stops early when the
+    centers repeat; Lloyd's updates are idempotent at that fixpoint, so
+    a fixed ``lloyd_iterations - 1``-update unroll lands on the same
+    assignment."""
+    d = "(p.v - c2.center) * (p.v - c2.center)"
+    # MATERIALIZED: without it DuckDB inlines the embedding recursion
+    # into every Lloyd level and re-runs it lloyd_iterations times.
+    pts = ("pts AS MATERIALIZED (SELECT id, xv AS v FROM se "
+           "WHERE iter = (SELECT max(iter) FROM se))")
+    cen = f"""
+cen(iter, cluster, center) AS (
+  SELECT 0, CAST(row_number() OVER (ORDER BY id) - 1 AS INT), v
+  FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k})
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, c.cluster,
+           coalesce(nc.center, c.center) AS center
+    FROM (SELECT DISTINCT iter FROM cen) m
+    JOIN cen c ON TRUE
+    LEFT JOIN (
+      SELECT cluster, avg(v) AS center
+      FROM (
+        SELECT p.id, p.v, c2.cluster,
+               row_number() OVER (PARTITION BY p.id
+                   ORDER BY {d}, c2.cluster) AS rn
+        FROM pts p CROSS JOIN cen c2
+      ) WHERE rn = 1
+      GROUP BY cluster
+    ) nc ON c.cluster = nc.cluster
+    WHERE m.iter < {lloyd_iterations - 1}
+  )
+)"""
+    return (_rec(_SYM, _UND, _UDEG, _spectral_rec(iterations), pts, cen)
+            + f"""
+SELECT id, cluster FROM (
+  SELECT p.id, c2.cluster,
+         row_number() OVER (PARTITION BY p.id ORDER BY {d}, c2.cluster) AS rn
+  FROM pts p CROSS JOIN (SELECT * FROM cen
+                         WHERE iter = (SELECT max(iter) FROM cen)) c2
+) WHERE rn = 1""")
 
 
 # ---------------------------------------------------------------------------
