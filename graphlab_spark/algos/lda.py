@@ -39,14 +39,25 @@ ALPHA = 0.5
 BETA = 0.1
 
 
-def doc_word_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, wid, word, cnt) with wid = dense 1-based rank of the
-    word (the portable 'hash' domain, like dedup's shingle dim)."""
+def doc_word_counts(docs: DataFrame, portable: bool = True) -> DataFrame:
+    """(doc_id, wid, word, cnt).
+
+    ``portable=True``: wid = dense 1-based rank of the word (the
+    portable 'hash' domain the DuckDB oracle replays, like dedup's
+    shingle dim).  The dense rank is a single-partition window sort
+    over the *vocabulary* — fine at test scale, a bottleneck on a
+    100 TB corpus (vocab ~10^8).  ``portable=False`` is the scale
+    path: wid = xxhash64(word), no global sort anywhere (same split
+    as ``functions.dedup``'s portable flag); init seeds differ, so it
+    is a different — equally valid — random initialization."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
     ).filter(F.length("word") > 0)
     counts = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    if not portable:
+        return counts.select(
+            "doc_id", F.xxhash64("word").alias("wid"), "word", "cnt")
     dim = (
         counts.select("word").distinct()
         .select("word", F.row_number().over(Window.orderBy("word"))
@@ -61,14 +72,25 @@ def lda_cvb0(
     iterations: int = 2,
     alpha: float = ALPHA,
     beta: float = BETA,
+    portable: bool = True,
 ) -> DataFrame:
     """Returns the converged responsibilities ``(doc_id, wid, word,
-    cnt, k, g)`` after ``iterations`` CVB0 sweeps."""
-    dw = doc_word_counts(docs).persist()
+    cnt, k, g)`` after ``iterations`` CVB0 sweeps.
+
+    ``portable=False`` switches word ids (and hence the pseudo-random
+    init) to the sort-free xxhash64 scale path — see
+    ``doc_word_counts``."""
+    dw = doc_word_counts(docs, portable=portable).persist()
     n_vocab = dw.select("wid").distinct().count()
     topics = docs.sparkSession.range(k).select(
         F.col("id").cast("int").alias("k"))
-    seed = (F.col("doc_id") * 1009 + F.col("wid") * 101 + F.col("k"))
+    # pmod keeps the seed arithmetic inside int64 under ANSI mode when
+    # ids are full-range xxhash64 values (portable=False); for the
+    # portable dense-rank domain pmod is the identity, so the oracle's
+    # seed expression (doc_id * 1009 + wid * 101 + k) is unchanged.
+    wid_s = F.pmod(F.col("wid"), F.lit(2 ** 31))
+    doc_s = F.pmod(F.col("doc_id"), F.lit(2 ** 31))
+    seed = (doc_s * 1009 + wid_s * 101 + F.col("k"))
     raw = (F.lit(1.0) + lcg_hash(seed) / F.lit(2.0 ** 31)).alias("raw")
     g0 = dw.crossJoin(topics).select("doc_id", "wid", "word", "cnt", "k", raw)
     norm = Window.partitionBy("doc_id", "wid")

@@ -131,6 +131,34 @@ def test_lda_invariants(spark):
     assert a == b
 
 
+def test_lda_scale_path_invariants(spark):
+    """portable=False (xxhash64 word ids, no global vocab sort) is a
+    different random init but must satisfy the same CVB0 invariants
+    and stay deterministic; its physical plan must carry no
+    single-partition window."""
+    from graphlab_spark.algos.lda import doc_word_counts, lda_cvb0, word_topics
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "delta epsilon delta")
+         for i in range(20)],
+        "doc_id long, text string")
+    plan = doc_word_counts(docs, portable=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    gamma = lda_cvb0(docs, k=3, iterations=2, portable=False)
+    norms = (gamma.groupBy("doc_id", "wid")
+             .agg(F.sum("g").alias("s")).collect())
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in norms)
+    wt = word_topics(gamma)
+    totals = {r["word"]: r["t"] for r in
+              wt.groupBy("word").agg(F.sum("weight").alias("t")).collect()}
+    assert abs(totals["delta"] - 20.0) < 1e-4
+    assert abs(totals["alpha"] - 10.0) < 1e-4
+    a = sorted(map(tuple, wt.collect()))
+    b = sorted(map(tuple, word_topics(
+        lda_cvb0(docs, k=3, iterations=2, portable=False)).collect()))
+    assert a == b
+
+
 def test_sir_cascade_is_bfs_on_transmitting_subgraph(spark):
     from graphlab_spark.algos.cascades import sir_cascade, transmitting_edges
     g = _two_blocks(spark)
