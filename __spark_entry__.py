@@ -245,6 +245,15 @@ def q_bigram_lm_scores(spark, sf_dir):
     return T.char_bigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_repetition_signals(spark, sf_dir):
+    return T.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_line_dedup(spark, sf_dir):
+    return D.line_dedup(
+        D.chunk_into_lines(_docs(spark, sf_dir).select("doc_id", "text")))
+
+
 def q_token_frequencies(spark, sf_dir):
     return T.token_frequencies(_docs(spark, sf_dir))
 
@@ -602,7 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_frequencies": q_token_frequencies,
         "text_bigram_lm_scores": q_bigram_lm_scores,
         "text_winnowing_fingerprints": q_winnowing,
+        "text_repetition_signals": q_repetition_signals,
         "dedup_exact_groups": q_exact_dup,
+        "dedup_cross_doc_lines": q_line_dedup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
@@ -765,7 +776,16 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "text_token_frequencies": T.sql_token_frequencies(),
         "text_bigram_lm_scores": T.sql_char_bigram_lm_scores(),
         "text_winnowing_fingerprints": T.sql_winnowing_fingerprints(),
+        "text_repetition_signals": T.sql_repetition_signals(),
         "dedup_exact_groups": D.sql_exact_dup_groups(),
+        "dedup_cross_doc_lines": D.sql_line_dedup(
+            table="chunked",
+            prelude_ctes=(
+                "chunked AS (SELECT doc_id, "
+                + D.sql_chunk_into_lines()
+                + " AS text FROM documents),\n"
+            ),
+        ),
         "dedup_jaccard_pairs": D.sql_jaccard_pairs(),
         "dedup_minhash_signatures": D.sql_minhash_signatures(),
         "dedup_minhash_lsh_pairs": D.sql_minhash_lsh_pairs(),

@@ -504,3 +504,110 @@ fin AS (SELECT id, component FROM dcc
         WHERE iter = (SELECT max(iter) FROM dcc))
 SELECT d.doc_id, coalesce(f.component, d.doc_id) AS canonical_id
 FROM {table} d LEFT JOIN fin f ON f.id = d.doc_id"""
+
+
+# -- cross-document line dedup (C4 / CCNet style) ----------------------------
+
+LINE_MAX_DOC_FREQ = 2   # drop lines appearing in more docs than this
+LINE_WORDS = 8          # pseudo-line width for corpora without newlines
+
+
+def chunk_into_lines(docs: DataFrame, words_per_line: int = LINE_WORDS,
+                     text_col: str = "text") -> DataFrame:
+    """Rewrite ``text`` with a newline after every ``words_per_line``
+    whitespace tokens — a deterministic pseudo-line segmentation for
+    corpora whose documents carry no newlines (like the synthetic
+    testdata), so line-level operators stay exercisable end-to-end.
+    Pure column expressions; pipelines into the scan."""
+    w = words_per_line
+    lined = F.expr(
+        f"CASE WHEN length(trim({text_col})) = 0 THEN {text_col} ELSE "
+        f"array_join(transform("
+        f"  sequence(0, CAST(ceil(size(split(trim({text_col}), '\\\\s+')) "
+        f"                   / {w}.0) AS INT) - 1),"
+        f"  i -> array_join(slice(split(trim({text_col}), '\\\\s+'),"
+        f"                        i * {w} + 1, {w}), ' ')), '\\n') END"
+    )
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, lined.alias(text_col))
+
+
+def sql_chunk_into_lines(words_per_line: int = LINE_WORDS,
+                         text_col: str = "text") -> str:
+    """Expression twin of chunk_into_lines for one SQL column."""
+    w = words_per_line
+    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN {text_col} ELSE "
+        f"array_to_string([array_to_string("
+        f"list_slice({toks}, i * {w} + 1, i * {w} + {w}), ' ')"
+        f" for i in generate_series(0,"
+        f" CAST(ceil(len({toks}) / {w}.0) AS INT) - 1)], chr(10)) END"
+    )
+
+
+def line_dedup(docs: DataFrame,
+               max_doc_freq: int = LINE_MAX_DOC_FREQ) -> DataFrame:
+    """Cross-document line deduplication (the C4 / CCNet boilerplate
+    filter): drop every line whose trimmed form occurs in more than
+    ``max_doc_freq`` distinct documents, and return
+    ``(doc_id, text, n_kept, n_dropped)`` with each document's
+    surviving lines rejoined in their original order.
+
+    Scale shape: lines explode once; the document-frequency pass is a
+    partial+final aggregation on ``md5(line)`` (fixed-width shuffle
+    key; the hot boilerplate lines are exactly the skew that map-side
+    combine absorbs); the verdict joins back on the same key; ordered
+    reassembly is ``array_sort(collect_list(struct(pos, line)))`` —
+    grouped, never a global window sort.  No Python in the plan.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n", -1)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.trim("line")))
+    freq = (lines.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("n_docs_line")))
+    flagged = lines.join(freq, "h").withColumn(
+        "keep", F.col("n_docs_line") <= F.lit(max_doc_freq))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(
+                F.when(F.col("keep"), F.struct("pos", "line")))).alias("ks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+             .cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+             .cast("long").alias("n_dropped"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.expr("transform(ks, s -> s.line)"), "\n")
+             .alias("text"),
+            "n_kept", "n_dropped",
+        )
+    )
+
+
+def sql_line_dedup(max_doc_freq: int = LINE_MAX_DOC_FREQ,
+                   table: str = "documents",
+                   prelude_ctes: str = "") -> str:
+    """``prelude_ctes``: extra CTE definitions (each ending with a
+    comma) spliced into the single WITH list so callers can stack a
+    derived input view without illegal nested WITHs."""
+    return f"""
+WITH {prelude_ctes}lines AS (
+  SELECT doc_id, s.pos, s.line, md5(trim(s.line)) AS h FROM (
+    SELECT doc_id,
+           unnest([struct_pack(pos := i - 1, line := ls[i])
+                   for i in generate_series(1, len(ls))]) AS s
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {table}))),
+freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs_line
+         FROM lines GROUP BY h),
+flagged AS (SELECT l.*, f.n_docs_line <= {max_doc_freq} AS keep
+            FROM lines l JOIN freq f USING (h))
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id"""

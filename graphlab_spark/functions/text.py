@@ -233,6 +233,107 @@ FROM grams
 """
 
 
+REP_N = 3  # word n-gram order for the repetition signal
+
+
+def repetition_signals(docs, n: int = REP_N):
+    """Gopher-style repetition quality signals, per document:
+    ``(doc_id, n_toks, dup_unigram_frac, top_ngram_frac,
+    top_ngram_char_frac)`` — repeated-content fractions used to filter
+    boilerplate/spam out of LLM training corpora (Rae et al. 2021,
+    "Scaling Language Models", §A1.1):
+
+    - ``dup_unigram_frac``: fraction of tokens whose (lowercased)
+      token occurs more than once in the document;
+    - ``top_ngram_frac``: occurrences of the most frequent word
+      n-gram / total n-grams;
+    - ``top_ngram_char_frac``: characters covered by occurrences of
+      that n-gram / total characters.
+
+    The most-frequent n-gram tie-breaks deterministically to the
+    lexicographically largest via ``max(struct(count, ngram))`` — no
+    window sort.  Scale shape: two explode + partial/final hash
+    aggregations keyed by (doc_id, gram); the per-key domain is
+    bounded per document, so there is no corpus-wide hot key.  Docs
+    with fewer than ``n`` tokens report 0.0 n-gram fractions.
+    """
+    toks_arr = F.when(
+        F.length(F.trim("text")) == 0, F.expr("array()")
+    ).otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+    base = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), toks_arr.alias("toks")
+    ).select("doc_id", "n_chars", "toks", F.size("toks").alias("n_toks"))
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+              / F.sum("c")).alias("dup_uni"))
+    )
+    ngram_expr = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> array_join(slice(toks, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    top = (
+        base.select("doc_id", F.explode(ngram_expr).alias("ng"))
+        .groupBy("doc_id", "ng").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("total_ng"),
+             F.max(F.struct(F.col("c"), F.col("ng"))).alias("top"))
+    )
+    return (
+        base.join(uni, "doc_id", "left").join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_toks",
+            F.round(F.coalesce("dup_uni", F.lit(0.0)), 6)
+             .alias("dup_unigram_frac"),
+            F.round(F.coalesce(F.col("top.c") / F.col("total_ng"),
+                               F.lit(0.0)), 6).alias("top_ngram_frac"),
+            F.round(F.coalesce(
+                F.col("top.c") * F.length(F.col("top.ng"))
+                / F.col("n_chars"), F.lit(0.0)), 6)
+             .alias("top_ngram_char_frac"),
+        )
+    )
+
+
+def sql_repetition_signals(n: int = REP_N, table: str = "documents") -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+  FROM {table}),
+b2 AS (SELECT doc_id, n_chars, toks, len(toks) AS n_toks FROM base),
+uni AS (
+  SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c) AS dup_uni
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM b2)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+ngc AS (
+  SELECT doc_id, ng, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                   for i in generate_series(1, len(toks) - {n - 1})]) AS ng
+    FROM b2 WHERE len(toks) >= {n})
+  GROUP BY doc_id, ng),
+top AS (
+  SELECT doc_id, sum(c) AS total_ng,
+         max(struct_pack(c := c, ng := ng)) AS top
+  FROM ngc GROUP BY doc_id)
+SELECT b2.doc_id, n_toks,
+       round(coalesce(uni.dup_uni, 0.0), 6) AS dup_unigram_frac,
+       round(coalesce(CAST(top.top.c AS DOUBLE) / top.total_ng, 0.0), 6)
+           AS top_ngram_frac,
+       round(coalesce(CAST(top.top.c AS DOUBLE) * length(top.top.ng)
+                      / b2.n_chars, 0.0), 6) AS top_ngram_char_frac
+FROM b2 LEFT JOIN uni USING (doc_id) LEFT JOIN top USING (doc_id)"""
+
+
 def char_bigram_lm_scores(docs, alpha: float = 0.5):
     """(doc_id, n_bigrams, avg_logp): per-character-bigram average
     log-probability of each document under the corpus's own

@@ -266,3 +266,63 @@ def test_bigram_lm_flags_garbled_text(spark, docs, duck):
     short = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     r0 = T.char_bigram_lm_scores(short).collect()[0]
     assert r0["n_bigrams"] == 0 and r0["avg_logp"] is None
+
+
+def test_repetition_signals_parity(spark, docs, duck):
+    assert_parity(T.repetition_signals(docs), duck,
+                  T.sql_repetition_signals())
+
+
+def test_repetition_signals_planted(spark):
+    """A fully-repeated doc scores ~1 everywhere; an all-distinct doc
+    scores 0; empty text scores 0 without errors."""
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "one two three four five six"),
+         (3, ""), (4, "a b")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.repetition_signals(d).collect()}
+    assert rows[1]["dup_unigram_frac"] == 1.0
+    assert rows[1]["top_ngram_frac"] == 1.0
+    assert rows[1]["top_ngram_char_frac"] > 0.9
+    assert rows[2]["dup_unigram_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == pytest.approx(0.25)  # 4-way tie
+    assert rows[3]["n_toks"] == 0
+    assert rows[3]["dup_unigram_frac"] == 0.0
+    assert rows[4]["top_ngram_frac"] == 0.0  # shorter than n
+
+
+def test_line_dedup_parity(spark, docs, duck):
+    chunked = D.chunk_into_lines(docs.select("doc_id", "text"))
+    prelude = ("chunked AS (SELECT doc_id, "
+               + D.sql_chunk_into_lines() + " AS text FROM documents),\n")
+    assert_parity(D.line_dedup(chunked), duck,
+                  D.sql_line_dedup(table="chunked", prelude_ctes=prelude))
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    boiler = "all rights reserved"
+    d = spark.createDataFrame(
+        [(1, f"alpha\n{boiler}\nbeta"),
+         (2, f"{boiler}\ngamma"),
+         (3, f"delta\n{boiler}"),
+         (4, "unique only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.line_dedup(d, max_doc_freq=2).collect()}
+    assert out[1]["text"] == "alpha\nbeta"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "gamma"
+    assert out[3]["text"] == "delta"
+    assert out[4]["text"] == "unique only"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_chunk_into_lines_preserves_tokens(spark, docs):
+    """Chunking only inserts newlines: token sequence is unchanged."""
+    before = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    after = D.chunk_into_lines(docs.select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim("text"), r"[\s\n]+").alias("t"))
+    joined = before.alias("b").join(after.alias("a"), "doc_id")
+    bad = joined.filter(F.col("b.t") != F.col("a.t")).count()
+    assert bad == 0
