@@ -1,5 +1,7 @@
 from .parsers import load_format, load_synthetic_powerlaw, save_edges
-from .transcripts import synthetic_transcripts, transcripts_to_edges
+from .transcripts import (read_transcripts, synthetic_transcripts,
+                          transcripts_to_edges)
 
 __all__ = ["load_format", "load_synthetic_powerlaw", "save_edges",
-           "synthetic_transcripts", "transcripts_to_edges"]
+           "read_transcripts", "synthetic_transcripts",
+           "transcripts_to_edges"]

@@ -1,5 +1,6 @@
 """Transcript synthesis + edge derivation tests (FIXTURES.md §1-2)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphlab_spark import EdgeGraph
@@ -88,3 +89,34 @@ def test_roles_are_hubs(spark):
     # the two role vertices absorb one edge per turn between them
     assert sum(r.in_degree for r in top) == n_turns
     g.unpersist()
+
+
+def test_read_transcripts_parquet_and_table(spark, tmp_path):
+    from graphlab_spark.sources import read_transcripts
+    t = synthetic_transcripts(spark, n_convs=20)
+    path = str(tmp_path / "tr.parquet")
+    # extra column must be dropped; contract columns conformed
+    t.withColumn("extra", F.lit(1)).write.parquet(path)
+    got = read_transcripts(spark, path)
+    assert got.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert got.count() == t.count()
+    assert got.schema["turn_idx"].dataType.simpleString() == "int"
+    got.createOrReplaceTempView("tr_contract_view")
+    via_table = read_transcripts(spark, "tr_contract_view")
+    assert via_table.count() == t.count()
+
+
+def test_read_transcripts_missing_columns_raises(spark):
+    from graphlab_spark.sources import read_transcripts
+    bad = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
+    bad.createOrReplaceTempView("tr_bad_view")
+    with pytest.raises(ValueError, match="lacks contract columns"):
+        read_transcripts(spark, "tr_bad_view")
+
+
+def test_read_transcripts_iceberg_dispatch_errors_clearly(spark):
+    """Without the iceberg runtime jar the path must fail with a
+    message naming the missing dependency, not an opaque stack."""
+    from graphlab_spark.sources import read_transcripts
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_transcripts(spark, "cat.db.transcripts", source_format="iceberg")
