@@ -4,3 +4,5 @@ from .join_ops import injective_vertex_join
 from .salting import hub_ids, salted_agg, with_salt
 from .vertex_ops import (select_vertices, transform_edges, transform_vertices,
                          vset_intersect, vset_invert, vset_minus, vset_union)
+from .vertex_program import (CC_PROGRAM, MERGES, PAGERANK_PROGRAM,
+                             VertexProgram)
