@@ -121,3 +121,37 @@ def test_jaccard_df_cap_bounds_hot_shingle(spark):
     assert n_cand < n_docs * 20  # vs ~n_docs^2/2 = 80k uncapped
     sh.unpersist()
     docs.unpersist()
+
+
+def test_new_text_ops_have_no_window_or_cartesian(spark):
+    """repetition_signals / line_dedup must stay grouped-aggregation
+    plans: no single-partition Window, no cartesian product."""
+    from graphlab_spark.functions import text as T
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma tok{i}") for i in range(50)],
+        "doc_id long, text string")
+    for df in (
+        T.repetition_signals(docs),
+        D.line_dedup(D.chunk_into_lines(docs)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "Cartesian" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_line_dedup_hot_line_stays_aggregated(spark):
+    """A boilerplate line in EVERY doc must not blow up the plan: the
+    frequency pass is one hash aggregation keyed by line hash, and the
+    join back is a plain equi-join (row counts stay linear in lines)."""
+    n = 5_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("COMMON FOOTER\nunique-"),
+                 F.col("id").cast("string")).alias("text"))
+    out = D.line_dedup(docs, max_doc_freq=10)
+    rows = out.count()
+    assert rows == n
+    kept = out.agg(F.sum("n_kept"), F.sum("n_dropped")).collect()[0]
+    assert kept[0] == n          # each unique line survives
+    assert kept[1] == n          # the hot footer dropped everywhere
