@@ -126,6 +126,29 @@ def stream_edges_from_transcripts(
         F.col("src") != F.col("dst"))
 
 
+def refinalize(spark: Any, edges_dir: str, table: str,
+               num_buckets: int | None = None):
+    """The dynamic graph's ``finalize()`` after incremental growth
+    (``dynamic_local_graph.hpp`` re-finalize;
+    ``tests/synchronous_engine_test.cpp:78-86``): compact the
+    append-only streamed edge directory — many small micro-batch files
+    with no useful clustering — into the durable bucketed analytics
+    layout, and return the ready-to-iterate ``EdgeGraph``.
+
+    One shuffle, paid once per growth epoch and amortized over every
+    subsequent analytics run (``EdgeGraph.save_bucketed``): at scale
+    this is the compaction job a streaming ingest pipeline schedules
+    between micro-batch windows, and the returned graph's
+    per-superstep joins shuffle only vertex state.
+    """
+    from ..graph import EdgeGraph
+
+    g = EdgeGraph(spark.read.parquet(edges_dir),
+                  num_edge_partitions=num_buckets, persist=False)
+    g.save_bucketed(table)
+    return EdgeGraph.load_bucketed(spark, table)
+
+
 def run_stream_to_parquet(
     spark: Any, input_dir: str, output_dir: str, checkpoint_dir: str,
     max_files_per_trigger: int | None = None, available_now: bool = True,

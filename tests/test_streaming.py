@@ -145,3 +145,35 @@ def test_streamed_dedup_drops_cross_batch_redelivery(spark, tmp_path):
     want = sorted(map(tuple, t.select("conv_id", "turn_idx").collect()))
     assert got == want  # each turn exactly once despite double delivery
     t.unpersist()
+
+
+def test_refinalize_streamed_edges_into_bucketed_graph(spark, tmp_path):
+    """Grow-then-finalize (dynamic_local_graph re-finalize analog):
+    streamed micro-batch edge files compact into the bucketed layout
+    and the resulting graph matches the batch-derived one exactly."""
+    from graphlab_spark.algos.pagerank import pagerank
+    from graphlab_spark.streaming.ingest import refinalize
+
+    t = synthetic_transcripts(spark, n_convs=40).persist()
+    in_dir, out_dir, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    t.coalesce(1).write.parquet(str(in_dir))
+    q = run_stream_to_parquet(spark, str(in_dir), str(out_dir), str(ck))
+    q.awaitTermination(120)
+
+    spark.sql("DROP TABLE IF EXISTS refinalized_edges_test")
+    g = refinalize(spark, str(out_dir), "refinalized_edges_test",
+                   num_buckets=8)
+    try:
+        from graphlab_spark import EdgeGraph
+        gb = EdgeGraph(transcripts_to_edges(t), num_edge_partitions=8)
+        assert g.num_edges == gb.num_edges
+        a = {r["id"]: r["rank"]
+             for r in pagerank(g, fixed_supersteps=3).state.collect()}
+        b = {r["id"]: r["rank"]
+             for r in pagerank(gb, fixed_supersteps=3).state.collect()}
+        assert a.keys() == b.keys()
+        assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+        gb.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS refinalized_edges_test")
+        t.unpersist()
