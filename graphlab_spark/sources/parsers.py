@@ -116,3 +116,42 @@ def load_synthetic_powerlaw(
     if in_degree:
         out = out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return out
+
+
+def load_synthetic_clusters(
+    spark: SparkSession, ndata: int, num_clusters: int = 2, dim: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Synthetic Gaussian-blob clustering dataset
+    (``toolkits/clustering/generate_synthetic.cpp:29-59``): each of
+    ``num_clusters`` centers is uniform in [-10, 10]^dim, each point is
+    its (hash-uniformly assigned) center plus N(0,1) noise per
+    dimension.  Deterministic via seeded hashes; normals via
+    Box-Muller over two hash-uniforms — fully vectorized range ->
+    column expressions, no per-row Python.
+
+    Returns ``(vec_id long, cluster int, embedding array<double>)`` —
+    ``cluster`` is the ground-truth label the reference prints to
+    stdout, kept as a column for recovery tests.
+    """
+    import math
+
+    def u(*cols) -> F.Column:
+        return (F.pmod(F.xxhash64(*cols), F.lit(1_000_003)) + 0.5) / 1_000_003.0
+
+    assign = F.pmod(
+        F.xxhash64(F.col("id"), F.lit("c"), F.lit(seed)),
+        F.lit(num_clusters),
+    ).cast("int")
+    base = spark.range(ndata).select(
+        F.col("id").alias("vec_id"), assign.alias("cluster"))
+    dims = []
+    for j in range(dim):
+        center_j = u(F.lit("center"), F.col("cluster"), F.lit(j),
+                     F.lit(seed)) * 20.0 - 10.0
+        u1 = u(F.col("vec_id"), F.lit(2 * j), F.lit(seed))
+        u2 = u(F.col("vec_id"), F.lit(2 * j + 1), F.lit(seed))
+        z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2 * math.pi) * u2)
+        dims.append(center_j + z)
+    return base.select(
+        "vec_id", "cluster", F.array(*dims).alias("embedding"))

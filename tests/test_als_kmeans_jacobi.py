@@ -104,3 +104,30 @@ def test_jacobi_solves_diagonally_dominant_system(spark):
     for i in range(3):
         assert abs(x[i] - expect[i]) < 1e-9
     assert residual_norm(edges, vertices, res.state) < 1e-9
+
+
+def test_synthetic_clusters_kmeans_recovery(spark):
+    """generate_synthetic.cpp analog: blobs at U(-10,10)^dim centers
+    with N(0,1) noise are recoverable by the shipped kmeans — cluster
+    purity > 95% — and the generator is deterministic."""
+    from graphlab_spark.sources import load_synthetic_clusters
+    from graphlab_spark.algos.kmeans import kmeans
+
+    pts = load_synthetic_clusters(spark, 600, num_clusters=3, dim=4,
+                                  seed=11).persist()
+    a = sorted(map(tuple, pts.collect()))
+    b = sorted(map(tuple, load_synthetic_clusters(
+        spark, 600, num_clusters=3, dim=4, seed=11).collect()))
+    assert a == b
+    assigned, _ = kmeans(pts, k=3, iterations=20)
+    found = assigned.select(F.col("id").alias("vec_id"),
+                            F.col("cluster").alias("found"))
+    joined = pts.select("vec_id", F.col("cluster").alias("truth")) \
+                .join(found, "vec_id")
+    # purity: majority true-label share within each found cluster
+    maj = (joined.groupBy("found", "truth").count()
+           .groupBy("found").agg(F.max("count").alias("m"),
+                                 F.sum("count").alias("n")))
+    m, n = maj.agg(F.sum("m"), F.sum("n")).collect()[0]
+    assert m / n > 0.95
+    pts.unpersist()
