@@ -34,7 +34,7 @@ from .graph import EdgeGraph
 from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
-         "kcore", "sssp", "diameter", "convert")
+         "kcore", "sssp", "diameter", "convert", "extension")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -60,6 +60,16 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["tsv", "snap", "csv", "parquet"],
                    help="target format for the convert verb")
     p.add_argument("--partitions", type=int, default=None)
+    # extension verb: a GAS program declared on the command line — the
+    # analog of the reference's runtime extension driver
+    # (toolkits/extensions/extension_main.cpp + extension_pagerank.cpp)
+    p.add_argument("--init", help="extension: init SQL expr")
+    p.add_argument("--gather", help="extension: gather SQL expr")
+    p.add_argument("--merge", default="sum",
+                   help="extension: merge aggregate (sum/min/max/count/avg)")
+    p.add_argument("--apply", dest="apply_expr",
+                   help="extension: apply SQL expr")
+    p.add_argument("--gather-edges", default="in", choices=["in", "out", "all"])
     p.add_argument("--cores", type=int, default=None,
                    help="local[] cores when no session exists")
     return p
@@ -152,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
         from .algos.diameter import approx_diameter
         d = approx_diameter(g)
         state = spark.createDataFrame([(int(d["diameter"]),)], "diameter int")
+    elif args.algo == "extension":
+        if not (args.init and args.gather and args.apply_expr):
+            raise SystemExit(
+                "extension requires --init, --gather and --apply")
+        from .operators.vertex_program import VertexProgram
+        prog = VertexProgram(
+            init=args.init, gather=args.gather, merge=args.merge,
+            apply=args.apply_expr, gather_edges=args.gather_edges)
+        res = prog.run(g, tol=args.tol, max_supersteps=args.max_supersteps,
+                       fixed_supersteps=args.iterations,
+                       checkpoint=ckpt, resume=args.resume)
+        state, supersteps, converged = res.state, res.supersteps, res.converged
 
     if args.output:
         state.write.mode("overwrite").parquet(args.output)

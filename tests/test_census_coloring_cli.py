@@ -138,3 +138,28 @@ def test_cli_convert_roundtrip(spark, tmp_path):
     assert rc == 0
     back = sorted(map(tuple, load_format(spark, str(out), "snap").collect()))
     assert back == [(1, 2), (2, 3), (3, 1)]
+
+
+def test_cli_extension_pagerank(spark, tmp_path, capsys):
+    """The extension verb (extension_main.cpp analog): PageRank
+    declared entirely on the command line reproduces the builtin's
+    fixture values."""
+    from graphlab_spark.cli import main
+    tsv = tmp_path / "edges_ext.tsv"
+    tsv.write_text("0\t5\n1\t0\n1\t5\n2\t0\n2\t5\n3\t0\n3\t5\n")
+    out = tmp_path / "ext_ranks"
+    rc = main([
+        "extension", "--input", str(tsv), "--format", "tsv",
+        "--output", str(out), "--tol", "1e-6",
+        "--init", "cast(1.0 as double)",
+        "--gather", "val / out_degree",
+        "--merge", "sum",
+        "--apply", "0.15 + 0.85 * coalesce(total, cast(0.0 as double))",
+    ])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["algo"] == "extension" and metrics["converged"]
+    vals = {r["id"]: r["val"]
+            for r in spark.read.parquet(str(out)).collect()}
+    assert abs(vals[5] - 0.6313125) < 1e-6
+    assert abs(vals[0] - 0.34125) < 1e-6
