@@ -6,3 +6,4 @@ from .vertex_ops import (select_vertices, transform_edges, transform_vertices,
                          vset_intersect, vset_invert, vset_minus, vset_union)
 from .vertex_program import (CC_PROGRAM, MERGES, PAGERANK_PROGRAM,
                              VertexProgram)
+from .skew import key_skew_report, partition_balance

@@ -197,3 +197,29 @@ def test_cc_deterministic_across_partitioning(spark):
         outs.append(sorted(map(tuple, comp.collect())))
         g.unpersist()
     assert outs[0] == outs[1]
+
+
+def test_key_skew_report_flags_hub_and_sizes_salts(spark):
+    from graphlab_spark.operators import key_skew_report
+    # one hub key with 5000 rows, 100 cold keys with 1 row each
+    df = spark.range(5000).select(F.lit(7).alias("dst")).unionAll(
+        spark.range(100).select((F.col("id") + 100).alias("dst")))
+    rep = key_skew_report(df, ["dst"], top_k=3, target_rows=1000)
+    assert rep["n_keys"] == 101
+    assert rep["rows"] == 5100
+    assert rep["max"] == 5000
+    assert rep["top"][0] == {"dst": 7, "count": 5000}
+    assert rep["recommended_salts"] == 5      # ceil(5000/1000)
+    assert rep["p50"] == 1.0
+
+
+def test_partition_balance_reports_imbalance(spark):
+    from graphlab_spark.operators import partition_balance
+    even = spark.range(1000).repartition(4)
+    b = partition_balance(even)
+    assert b["partitions"] == 4 and b["rows"] == 1000
+    assert b["balance"] < 1.5
+    skewed = spark.range(1000).repartition(4, (F.col("id") * 0).alias("k"))
+    b2 = partition_balance(skewed)
+    # AQE-free repartition by a constant: everything in one partition
+    assert b2["max"] == 1000
