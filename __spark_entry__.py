@@ -34,6 +34,7 @@ from graphlab_spark.algos.triangles import (
     triangle_count_per_vertex,
     triangle_list,
 )
+from graphlab_spark.functions import curation as C
 from graphlab_spark.functions import dedup as D
 from graphlab_spark.functions import multimodal as M
 from graphlab_spark.functions import similarity as S
@@ -580,6 +581,27 @@ def q_dd_labels(spark, sf_dir):
     return dd_labels(g, iterations=10)
 
 
+_STRATA = {"en": 1.0, "es": 0.5, "zh": 0.1}
+
+
+def q_hash_sample(spark, sf_dir):
+    return C.hash_sample(_docs(spark, sf_dir), rate=0.25).select("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    return C.stratified_sample(
+        _docs(spark, sf_dir), "lang", _STRATA, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def q_scrub_pii(spark, sf_dir):
+    return C.scrub_pii(_docs(spark, sf_dir))
+
+
+def q_cosine_dup_clusters(spark, sf_dir):
+    return S.cosine_dup_clusters(_emb(spark, sf_dir))
+
+
 def q_lda_word_topics(spark, sf_dir):
     from graphlab_spark.algos.lda import lda_cvb0, word_topics
     gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2)
@@ -621,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_signatures": q_simhash_sigs,
         "dedup_simhash_pairs": q_simhash_pairs,
         "sim_cosine_pairs": q_cosine_pairs,
+        "sim_cosine_dup_clusters": q_cosine_dup_clusters,
         "sim_ann_topk_brute": q_ann_brute,
         "sim_ann_topk_lsh": q_ann_lsh,
         "sim_ann_topk_ivf": q_ann_ivf,
@@ -652,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dd_labels": q_dd_labels,
         "graph_tsc": q_tsc,
         "cf_nmf_user_factors": q_nmf_user_factors,
+        "curation_hash_sample": q_hash_sample,
+        "curation_stratified_sample": q_stratified_sample,
+        "curation_scrub_pii": q_scrub_pii,
     }
 
 
@@ -793,6 +819,16 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "dedup_simhash_signatures": D.sql_simhash_signatures(),
         "dedup_simhash_pairs": D.sql_simhash_pairs(),
         "sim_cosine_pairs": S.sql_cosine_pairs(),
+        "sim_cosine_dup_clusters": S.sql_cosine_dup_clusters(),
+        "curation_hash_sample": (
+            f"SELECT doc_id FROM ({C.sql_hash_sample(0.25)})"
+        ),
+        "curation_stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            + C.sql_stratified_sample("lang", _STRATA, default_rate=0.05)
+            + ")"
+        ),
+        "curation_scrub_pii": C.sql_scrub_pii(),
         "sim_ann_topk_brute": S.sql_ann_topk_brute(),
         "multimodal_media_stats": M.sql_media_stats(),
         "cluster_kmeans_assign1": """

@@ -442,3 +442,58 @@ ranked AS (
               ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
   FROM scored)
 SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}"""
+
+
+def cosine_dup_clusters(emb: DataFrame, tau: float = COSINE_TAU) -> DataFrame:
+    """(vec_id, canonical_id): semantic near-duplicate clusters —
+    connected components over the cosine>=tau pair graph, canonical =
+    smallest vec_id (the embedding-space twin of
+    ``dedup.minhash_dup_clusters``; same transitive-closure rationale).
+    At scale feed the pair stage from LSH/IVF candidates instead of
+    the exact quadratic verify — the clustering step is unchanged."""
+    from ..algos.connected_components import connected_components
+    from ..graph import EdgeGraph
+
+    pairs = cosine_pairs(emb, tau)
+    edges = pairs.select(F.col("vec_a").alias("src"),
+                         F.col("vec_b").alias("dst"))
+    g = EdgeGraph(edges)
+    state = connected_components(g, resume=False).state
+    return (
+        emb.select("vec_id")
+        .join(state.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select("vec_id",
+                F.coalesce("component", "vec_id").alias("canonical_id"))
+    )
+
+
+def sql_cosine_dup_clusters(tau: float = COSINE_TAU,
+                            table: str = "embeddings") -> str:
+    """Hash-min fixpoint over the cosine pair SQL (same recursive
+    shape as dedup.sql_minhash_dup_clusters)."""
+    return f"""
+WITH RECURSIVE
+cpairs AS (SELECT vec_a, vec_b FROM ({sql_cosine_pairs(tau, table)}) t),
+cverts AS (SELECT DISTINCT id FROM (SELECT vec_a AS id FROM cpairs
+           UNION ALL SELECT vec_b FROM cpairs)),
+csym AS (SELECT vec_a AS src, vec_b AS dst FROM cpairs
+         UNION ALL SELECT vec_b, vec_a FROM cpairs),
+ccc(iter, id, component, nchanged) AS (
+  SELECT 0, id, id, CAST(1 AS BIGINT) FROM cverts
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           least(p.component, coalesce(m.received, p.component)) AS component,
+           sum(CASE WHEN coalesce(m.received, p.component) < p.component
+                    THEN 1 ELSE 0 END) OVER () AS nchanged
+    FROM ccc p
+    LEFT JOIN (SELECT s.dst AS mid, min(p2.component) AS received
+               FROM ccc p2 JOIN csym s ON p2.id = s.src
+               GROUP BY s.dst) m ON p.id = m.mid
+    WHERE p.nchanged > 0 AND p.iter < 100
+  )
+),
+cfin AS (SELECT id, component FROM ccc
+         WHERE iter = (SELECT max(iter) FROM ccc))
+SELECT e.vec_id, coalesce(f.component, e.vec_id) AS canonical_id
+FROM {table} e LEFT JOIN cfin f ON f.id = e.vec_id"""

@@ -1,0 +1,106 @@
+"""Corpus-curation operators: deterministic sampling, PII scrubbing,
+and embedding-space near-duplicate clustering.
+
+The sampling tests pin the properties the docstrings promise —
+stability (pure function of id+seed, independent of partitioning) and
+monotonicity (raising the rate only adds rows) — because those, not
+any particular kept-set, are what make the operator safe to re-run on
+a 1000-executor cluster mid-pipeline.  PII scrubbing is tested on
+planted spans (the synthetic corpus contains none).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.functions.curation import (
+    hash_sample,
+    scrub_pii,
+    stratified_sample,
+)
+from graphlab_spark.functions.similarity import cosine_dup_clusters
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc number {i} body text", ["en", "es", "zh"][i % 3])
+            for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).collect())
+    b = sorted(r.doc_id for r in
+               hash_sample(docs.repartition(7), 0.3).collect())
+    assert a == b and 0 < len(a) < 300
+
+
+def test_hash_sample_monotone_in_rate(spark, docs):
+    small = {r.doc_id for r in hash_sample(docs, 0.2).collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.6).collect()}
+    assert small < big  # strictly grows, never swaps
+
+
+def test_hash_sample_rate_roughly_honored(spark, docs):
+    n = hash_sample(docs, 0.5).count()
+    assert 0.35 * 300 <= n <= 0.65 * 300
+
+
+def test_stratified_rates_per_stratum(spark, docs):
+    kept = stratified_sample(
+        docs, "lang", {"en": 1.0, "es": 0.0}, default_rate=0.5)
+    by_lang = {r.lang: r.n for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == 100          # rate 1.0 keeps all
+    assert "es" not in by_lang               # rate 0.0 keeps none
+    assert 25 <= by_lang.get("zh", 0) <= 75  # default 0.5
+
+
+def test_stratified_subset_of_hash_sample(spark, docs):
+    """Same draw per doc => a stratum at rate r equals hash_sample(r)
+    restricted to that stratum (the cross-operator consistency that
+    makes staged curation reproducible)."""
+    strat = {r.doc_id for r in stratified_sample(
+        docs, "lang", {"en": 0.4}, default_rate=0.0).collect()}
+    plain = {r.doc_id for r in hash_sample(
+        docs.filter(F.col("lang") == "en"), 0.4).collect()}
+    assert strat == plain
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "mail bob@example.com and alice@test.org now"),
+        (2, "call 555-123-4567 or +1 555.987.6543 ok"),
+        (3, "host 10.0.0.1 and 192.168.1.255 up"),
+        (4, "clean text, no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].n_emails == 2 and out[1].text.count("<EMAIL>") == 2
+    assert "bob@" not in out[1].text
+    assert out[2].n_phones == 2 and "<PHONE>" in out[2].text
+    assert out[3].n_ips == 2 and out[3].text.count("<IP>") == 2
+    assert out[4].text == "clean text, no pii here"
+    assert (out[4].n_emails, out[4].n_phones, out[4].n_ips) == (0, 0, 0)
+
+
+def test_scrub_pii_email_not_rescanned_as_phone(spark):
+    # digit-heavy email: local part would phone-match if scrubbed late
+    df = spark.createDataFrame(
+        [(1, "x 555-123-4567@example.com y")], "doc_id long, text string")
+    r = scrub_pii(df).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 0
+
+
+def test_cosine_dup_clusters_transitive(spark):
+    # a~b and b~c above tau but a~c below: CC must still merge all three
+    va = [1.0, 0.0]
+    vb = [0.9, 0.4358898943540674]   # cos(a,b) ~= 0.9
+    vc = [0.62, 0.7846018098373213]  # cos(b,c) ~= 0.9, cos(a,c) ~= 0.62
+    rows = [(0, va), (1, vb), (2, vc), (3, [-1.0, 0.0]), (4, [-1.0, 0.01])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.canonical_id
+           for r in cosine_dup_clusters(emb, tau=0.85).collect()}
+    assert out[0] == out[1] == out[2] == 0   # one transitive cluster
+    assert out[3] == out[4] == 3             # near-parallel negatives
+    assert len(out) == 5
