@@ -598,6 +598,17 @@ def q_scrub_pii(spark, sf_dir):
     return C.scrub_pii(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+    return C.decontaminate(docs.filter(F.col("doc_id") % 10 != 0),
+                           docs.filter(F.col("doc_id") % 10 == 0))
+
+
+def q_pack_sequences(spark, sf_dir):
+    return C.pack_sequences(_docs(spark, sf_dir))
+
+
 def q_cosine_dup_clusters(spark, sf_dir):
     return S.cosine_dup_clusters(_emb(spark, sf_dir))
 
@@ -678,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_hash_sample": q_hash_sample,
         "curation_stratified_sample": q_stratified_sample,
         "curation_scrub_pii": q_scrub_pii,
+        "curation_decontaminate": q_decontaminate,
+        "curation_pack_sequences": q_pack_sequences,
     }
 
 
@@ -829,6 +842,9 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
             + ")"
         ),
         "curation_scrub_pii": C.sql_scrub_pii(),
+        "curation_decontaminate": C.sql_decontaminate(
+            "doc_id % 10 <> 0", "doc_id % 10 = 0"),
+        "curation_pack_sequences": C.sql_pack_sequences(),
         "sim_ann_topk_brute": S.sql_ann_topk_brute(),
         "multimodal_media_stats": M.sql_media_stats(),
         "cluster_kmeans_assign1": """

@@ -1,10 +1,13 @@
-"""Corpus-curation operators: deterministic sampling + PII scrubbing.
+"""Corpus-curation operators: deterministic sampling, PII scrubbing,
+eval-set decontamination, and token-budget sequence packing.
 
 The last mile of a training-data pipeline after dedup/quality scoring:
 pick a reproducible subset (optionally with per-stratum rates — e.g.
-keep 100% of high-quality docs, 10% of mid, 0% of low) and redact
-obvious PII spans.  All pure column expressions with DuckDB-replayable
-SQL twins (the portability rule from ``operators/portable``):
+keep 100% of high-quality docs, 10% of mid, 0% of low), redact obvious
+PII spans, drop documents that leak benchmark/eval text, and pack what
+survives into fixed-token training chunks.  All pure column
+expressions with DuckDB-replayable SQL twins (the portability rule
+from ``operators/portable``):
 
 - ``hash_sample`` / ``stratified_sample``: membership decided by a
   2-round LCG hash of the document id — the SAME rows are kept on any
@@ -12,17 +15,25 @@ SQL twins (the portability rule from ``operators/portable``):
   re-rolls per task retry);
 - ``scrub_pii``: email / phone / IPv4 redaction via regexes restricted
   to the RE2-safe subset (char classes, bounded repeats, ``\\b``) so
-  Spark's Java regex and DuckDB's RE2 agree byte-for-byte.
+  Spark's Java regex and DuckDB's RE2 agree byte-for-byte;
+- ``decontaminate``: per-document word n-gram overlap against a
+  benchmark corpus (the GPT-3/PaLM 13-gram-collision rule);
+- ``pack_sequences``: deterministic concat-and-chop packing of
+  documents into ``budget``-token chunks within hash shards.
 
-Scale shape: everything pipelines into the scan — zero shuffles.
+Scale shape: sampling/scrubbing pipeline into the scan (zero
+shuffles); decontamination broadcasts the benchmark n-gram set;
+packing's only ordering is a per-shard window (shard count = the
+parallelism knob, the same layout real packing pipelines use).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.portable import M, lcg_hash, sql_lcg_hash
+from .text import sql_ws_token_count, ws_token_count
 
 SAMPLE_SEED = 104_729  # prime offset mixed into the id before hashing
 
@@ -110,6 +121,181 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
         n_p.cast("long").alias("n_phones"),
         n_i.cast("long").alias("n_ips"),
     )
+
+
+DECON_N = 5  # word n-gram order; real corpora use 13 (GPT-3 App. C) —
+#              5 keeps hit variance on the tiny-vocab synthetic testdata
+PACK_BUDGET = 64     # tokens per training chunk (testdata-sized)
+PACK_SHARDS = 8      # packing shards = parallelism of the chop
+PACK_SEED = 15_485_863
+
+
+def _word_ngram_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_ngrams, ngs): lowercased whitespace-token word
+    n-grams per document (empty array when the doc has < n tokens)."""
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.expr("array()")
+    ).otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+    ngs = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> array_join(slice(toks, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (docs.select("doc_id", toks.alias("toks"))
+                .select("doc_id", ngs.alias("ngs"))
+                .select("doc_id", F.size("ngs").cast("long")
+                        .alias("n_ngrams"), "ngs"))
+
+
+def _sql_word_ngrams(n: int, source: str) -> str:
+    """DuckDB twin of ``_word_ngram_arrays`` exploded to one row per
+    n-gram position: SELECT doc_id, ng FROM <derived>."""
+    return f"""
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                   for i in generate_series(1, len(toks) - {n - 1})]) AS ng
+    FROM (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                 END AS toks
+          FROM {source})
+    WHERE len(toks) >= {n}"""
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = DECON_N, portable: bool = True) -> DataFrame:
+    """(doc_id, n_ngrams, n_hits, hit_frac, contaminated): per-document
+    benchmark-leak check — how many of the doc's word ``n``-gram
+    positions also occur anywhere in ``benchmark`` (the eval-set
+    decontamination rule of GPT-3 Appendix C / PaLM §8: a training doc
+    is contaminated if it shares any length-n token span with an eval
+    document).  Docs with < n tokens report 0 n-grams, uncontaminated.
+
+    Scale shape: the benchmark n-gram set is distinct-reduced and
+    **broadcast** (eval sets are tiny next to a training corpus), so
+    the corpus side never shuffles for the membership probe; the only
+    corpus shuffle is the final partial+final count by doc_id.
+    ``portable=False`` joins on ``xxhash64`` of the n-gram instead of
+    the string — narrower rows at 100 TB; the portable string form is
+    what the DuckDB oracle replays.
+    """
+    corpus = _word_ngram_arrays(docs, n)
+    key = (lambda c: F.xxhash64(c)) if not portable else (lambda c: c)
+    bench = (_word_ngram_arrays(benchmark, n)
+             .select(F.explode("ngs").alias("ng"))
+             .select(key(F.col("ng")).alias("k")).distinct())
+    pos = corpus.select("doc_id", F.explode("ngs").alias("ng")) \
+                .select("doc_id", key(F.col("ng")).alias("k"))
+    hits = (pos.join(F.broadcast(bench), "k", "left_semi")
+               .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (corpus.select("doc_id", "n_ngrams")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id", "n_ngrams",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.when(F.col("n_ngrams") > 0,
+                       F.round(F.coalesce("n_hits", F.lit(0))
+                               / F.col("n_ngrams"), 6))
+                 .otherwise(F.lit(0.0)).alias("hit_frac"),
+                (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
+                 .alias("contaminated"),
+            ))
+
+
+def sql_decontaminate(corpus_where: str, bench_where: str,
+                      n: int = DECON_N, table: str = "documents") -> str:
+    return f"""
+WITH corpus AS (SELECT * FROM {table} WHERE {corpus_where}),
+bench_ngs AS (SELECT DISTINCT ng FROM (
+  {_sql_word_ngrams(n, f'(SELECT * FROM {table} WHERE {bench_where})')})),
+base AS (
+  SELECT doc_id,
+         CAST(greatest(0, CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              END - {n - 1}) AS BIGINT) AS n_ngrams
+  FROM corpus),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM ({_sql_word_ngrams(n, 'corpus')}) p
+  WHERE ng IN (SELECT ng FROM bench_ngs)
+  GROUP BY doc_id)
+SELECT base.doc_id, n_ngrams,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN n_ngrams > 0
+            THEN round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
+            ELSE 0.0 END AS hit_frac,
+       CAST(coalesce(n_hits, 0) > 0 AS INT) AS contaminated
+FROM base LEFT JOIN hits USING (doc_id)"""
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                   shards: int = PACK_SHARDS,
+                   seed: int = PACK_SEED) -> DataFrame:
+    """(doc_id, shard, chunk_idx, tok_from, tok_to): deterministic
+    concat-and-chop sequence packing — documents are hashed into
+    ``shards`` streams, laid end-to-end in hash order within each
+    stream, and chopped every ``budget`` whitespace tokens into
+    training chunks.  A document spanning a chunk boundary is split:
+    each output row says which token slice [tok_from, tok_to) of the
+    doc lands in chunk (shard, chunk_idx).  Invariants: slices of one
+    doc are contiguous and sum to its token count; every chunk except
+    the last of each shard holds exactly ``budget`` tokens.
+
+    Scale shape: the only sort is a window per shard — shard count is
+    the parallelism knob (a 1000-executor run uses thousands of
+    shards), exactly the sharded-greedy layout real packing pipelines
+    use; placement is a pure function of (doc_id, seed) so retries and
+    repartitioning cannot move a document.  Empty docs are dropped.
+    """
+    base = (docs.select(
+                "doc_id", ws_token_count(F.col("text")).alias("n_toks"))
+            .filter(F.col("n_toks") >= 1)
+            .withColumn("shard",
+                        (lcg_hash(F.col("doc_id") + F.lit(seed))
+                         % shards).cast("long"))
+            .withColumn("ord", lcg_hash(F.col("doc_id") + F.lit(seed + 1))))
+    w = (Window.partitionBy("shard").orderBy("ord", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (base.withColumn("fin", F.sum("n_toks").over(w))
+                 .withColumn("beg", F.col("fin") - F.col("n_toks")))
+    b = F.lit(budget)
+    chunk = F.explode(F.sequence(
+        F.floor(F.col("beg") / b), F.floor((F.col("fin") - 1) / b)))
+    return (spans.select("doc_id", "shard", "beg", "fin",
+                         chunk.alias("chunk_idx"))
+            .select(
+                "doc_id", "shard", F.col("chunk_idx").cast("long"),
+                (F.greatest(F.col("chunk_idx") * b, F.col("beg"))
+                 - F.col("beg")).cast("long").alias("tok_from"),
+                (F.least((F.col("chunk_idx") + 1) * b, F.col("fin"))
+                 - F.col("beg")).cast("long").alias("tok_to"),
+            ))
+
+
+def sql_pack_sequences(budget: int = PACK_BUDGET, shards: int = PACK_SHARDS,
+                       seed: int = PACK_SEED,
+                       table: str = "documents") -> str:
+    nt = sql_ws_token_count("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({nt} AS BIGINT) AS n_toks,
+         CAST({sql_lcg_hash(f'(doc_id + {seed})')} % {shards} AS BIGINT)
+             AS shard,
+         {sql_lcg_hash(f'(doc_id + {seed + 1})')} AS ord
+  FROM {table} WHERE {nt} >= 1),
+spans AS (
+  SELECT doc_id, shard, n_toks,
+         CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+  FROM base),
+s2 AS (SELECT doc_id, shard, fin - n_toks AS beg, fin FROM spans)
+SELECT doc_id, shard, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(greatest(ci * {budget}, beg) - beg AS BIGINT) AS tok_from,
+       CAST(least((ci + 1) * {budget}, fin) - beg AS BIGINT) AS tok_to
+FROM (SELECT *, unnest(generate_series(beg // {budget},
+                                       (fin - 1) // {budget})) AS ci
+      FROM s2)"""
 
 
 def sql_scrub_pii(table: str = "documents") -> str:

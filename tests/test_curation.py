@@ -104,3 +104,81 @@ def test_cosine_dup_clusters_transitive(spark):
     assert out[0] == out[1] == out[2] == 0   # one transitive cluster
     assert out[3] == out[4] == 3             # near-parallel negatives
     assert len(out) == 5
+
+
+def test_decontaminate_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy: every 5-gram position hits
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # partial overlap: one leaked 5-token span inside fresh text
+            (2, "one two three alpha beta gamma delta epsilon nine ten"),
+            # disjoint vocabulary: zero hits
+            (3, "red orange yellow green blue indigo violet pink"),
+            # shorter than n: zero n-grams, uncontaminated
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string")
+    from graphlab_spark.functions.curation import decontaminate
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert out[1].n_hits == out[1].n_ngrams == 4
+    assert out[1].hit_frac == 1.0 and out[1].contaminated == 1
+    assert out[2].n_hits == 1 and out[2].contaminated == 1
+    assert out[3].n_hits == 0 and out[3].contaminated == 0
+    assert out[4].n_ngrams == 0 and out[4].hit_frac == 0.0
+    assert out[4].contaminated == 0
+
+
+def test_decontaminate_hash_path_matches_portable(spark, docs):
+    from graphlab_spark.functions.curation import decontaminate
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    a = sorted(map(tuple, decontaminate(corpus, bench, n=3,
+                                        portable=True).collect()))
+    b = sorted(map(tuple, decontaminate(corpus, bench, n=3,
+                                        portable=False).collect()))
+    assert a == b
+
+
+def test_pack_sequences_invariants(spark):
+    from graphlab_spark.functions.curation import pack_sequences
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 13) % 37 + 1)))
+            for i in range(120)] + [(999, "   ")]  # blank doc dropped
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=16, shards=4).collect()
+    assert {r.doc_id for r in out} == set(range(120))
+    # slices of one doc are contiguous from 0 and sum to its tokens
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r.tok_from)
+        assert rs[0].tok_from == 0
+        assert all(a.tok_to == b.tok_from for a, b in zip(rs, rs[1:]))
+        assert rs[-1].tok_to == (did * 13) % 37 + 1
+        # one shard per doc; chunk indices consecutive
+        assert len({r.shard for r in rs}) == 1
+        cis = [r.chunk_idx for r in rs]
+        assert cis == list(range(cis[0], cis[0] + len(cis)))
+    # every chunk except the last of each shard holds exactly budget
+    fill, last = {}, {}
+    for r in out:
+        key = (r.shard, r.chunk_idx)
+        fill[key] = fill.get(key, 0) + (r.tok_to - r.tok_from)
+        last[r.shard] = max(last.get(r.shard, -1), r.chunk_idx)
+    for (sh, ci), tot in fill.items():
+        assert tot == 16 or ci == last[sh]
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from graphlab_spark.functions.curation import pack_sequences
+    rows = [(i, " ".join("tok" for _ in range(i % 9 + 1)))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(df, budget=8).collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(df.repartition(13), budget=8).collect()))
+    assert a == b
