@@ -155,3 +155,34 @@ def test_line_dedup_hot_line_stays_aggregated(spark):
     kept = out.agg(F.sum("n_kept"), F.sum("n_dropped")).collect()[0]
     assert kept[0] == n          # each unique line survives
     assert kept[1] == n          # the hot footer dropped everywhere
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram membership probe must be a broadcast join
+    (the corpus side never shuffles for it) — at 100 TB the corpus
+    cannot afford a shuffle against a tiny eval set."""
+    from graphlab_spark.functions.curation import decontaminate
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i} zeta") for i in range(60)],
+        "doc_id long, text string")
+    out = decontaminate(docs.filter(F.col("doc_id") % 10 != 0),
+                        docs.filter(F.col("doc_id") % 10 == 0), n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """Packing's window must partition by shard (parallel chop), never
+    a single-partition global sort."""
+    from graphlab_spark.functions.curation import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(40)], "doc_id long, text string")
+    plan = (pack_sequences(docs, budget=8, shards=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in plan, plan
+    # the window's required distribution is hash partitioning on shard,
+    # not SinglePartition
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan.split("Window")[1].split("Sort")[0], plan
