@@ -162,6 +162,23 @@ def q_kcore_k2(spark, sf_dir):
     return kcore_subgraph(g, k=2)
 
 
+def q_hits(spark, sf_dir):
+    from graphlab_spark.algos.hits import hits
+    g = _graph(spark, sf_dir)
+    res = hits(g, supersteps=3, resume=False)
+    return res.state.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"))
+
+
+BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_scores(spark, sf_dir):
+    scored = T.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_sssp(spark, sf_dir):
     g = _graph(spark, sf_dir)
     # source: hub node -1 (the lexicographically-first event type)
@@ -632,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_sizes": q_cc_sizes,
         "graph_lpa": q_lpa,
         "graph_kcore_k2": q_kcore_k2,
+        "graph_hits": q_hits,
+        "text_bm25_scores": q_bm25_scores,
         "graph_sssp_from_hub": q_sssp,
         "graph_catpath": q_catpath,
         "graph_neighbors_of_hubs": q_neighbors_of_hubs,
@@ -869,6 +888,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_sssp_from_hub": O.sql_sssp_from_hub(source=-1),
         "graph_catpath": O.sql_catpath(),
         "graph_lpa": O.sql_lpa(max_supersteps=10),
+        "graph_hits": O.sql_hits(supersteps=3),
+        "text_bm25_scores": T.sql_bm25(BM25_TERMS),
         "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
         "graph_pagerank_delta": O.sql_pagerank_delta(tol=1e-6),
         "graph_kcore_k2": O.sql_kcore_k2(),

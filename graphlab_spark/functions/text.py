@@ -398,3 +398,69 @@ scored AS (SELECT b.doc_id, count(*) AS n_bigrams,
            FROM bgs b JOIN probs p ON p.bg = b.bg GROUP BY b.doc_id)
 SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logp
 FROM {table} d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+
+# -- BM25 ranking -------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs, terms: list[str], k1: float = BM25_K1,
+                b: float = BM25_B):
+    """Okapi BM25 scores of every document against a fixed term set —
+    the relevance-ranking pass of a corpus curation / retrieval
+    pipeline (idf uses the Robertson ``ln(1 + (N-df+.5)/(df+.5))``
+    form, always positive).
+
+    Returns ``(doc_id, score double)`` for docs matching >=1 term.
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    aggregation (the scan emits ~|terms| rows per doc, not |tokens|);
+    the per-term df table and the 1-row corpus stats are broadcast;
+    the only |corpus|-sized shuffles are the two doc-keyed groupBys,
+    both with map-side partial aggregation.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"),
+                   F.count("*").alias("n_docs"))
+    tf = (toks.filter(F.col("tok").isin(list(terms)))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * norm).alias("s"))
+        .groupBy("doc_id").agg(F.sum("s").alias("score"))
+    )
+
+
+def sql_bm25(terms: list[str], k1: float = BM25_K1, b: float = BM25_B,
+             table: str = "documents") -> str:
+    quoted = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM {table}) WHERE length(tok) > 0),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({quoted}) GROUP BY doc_id, tok)
+, df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * ({k1!r} + 1.0))
+                 / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / s.avgdl))), 6)
+           AS score
+FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY tf.doc_id"""

@@ -1422,3 +1422,46 @@ SELECT id, dist AS distance,
        CASE WHEN dist = 0 THEN CAST(0 AS BIGINT) ELSE hops END AS cat_hops
 FROM cp
 WHERE iter = (SELECT max(iter) FROM cp) AND id >= 0""")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (mirrors algos/hits.py, fixed supersteps)
+# ---------------------------------------------------------------------------
+
+def sql_hits(supersteps: int = 3) -> str:
+    """Fixed-superstep HITS unroll.  Per level: new auth = in-gather of
+    the previous hubs; new hub = out-gather of the NEW auths (the inner
+    derived table recomputes them — each recursive-term reference sees
+    the previous level only, so the auth gather is repeated verbatim).
+    All intermediate values are exact small integers in double, so
+    Spark and DuckDB agree exactly; one terminal L2 normalization per
+    score, rounded to 6dp."""
+    rec = f"""
+hits(iter, id, hub, auth) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM verts
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           coalesce(hn.t, 0.0) AS hub,
+           coalesce(an.t, 0.0) AS auth
+    FROM hits p
+    LEFT JOIN (SELECT e.dst AS id, sum(p2.hub) AS t
+               FROM hits p2 JOIN edges e ON p2.id = e.src
+               GROUP BY e.dst) an ON p.id = an.id
+    LEFT JOIN (SELECT e2.src AS id, sum(na.t2) AS t
+               FROM edges e2
+               JOIN (SELECT e3.dst AS id, sum(p3.hub) AS t2
+                     FROM hits p3 JOIN edges e3 ON p3.id = e3.src
+                     GROUP BY e3.dst) na ON e2.dst = na.id
+               GROUP BY e2.src) hn ON p.id = hn.id
+    WHERE p.iter < {supersteps}
+  )
+)"""
+    return (_rec(_VERTS, rec) + f"""
+, fin AS (SELECT id, hub, auth FROM hits WHERE iter = {supersteps}),
+nrm AS (SELECT sqrt(sum(hub * hub)) AS nh, sqrt(sum(auth * auth)) AS na
+        FROM fin)
+SELECT f.id,
+       round(CASE WHEN n.nh > 0 THEN f.hub / n.nh ELSE 0.0 END, 6) AS hub,
+       round(CASE WHEN n.na > 0 THEN f.auth / n.na ELSE 0.0 END, 6) AS auth
+FROM fin f CROSS JOIN nrm n""")

@@ -84,21 +84,35 @@ def build_input() -> None:
 
 
 def run_one(cores: int) -> dict:
-    """One warmup + one timed run; executed inside a fresh subprocess."""
+    """One warmup + one timed run; executed inside a fresh subprocess.
+
+    ``SCALING_LOCAL_DIR`` (optional): overrides ``spark.local.dir`` for
+    shuffle/spill files.  In this single-node sandbox /tmp sits on one
+    virtio disk whose bandwidth does not grow with executor threads; a
+    tmpfs local dir (/dev/shm) is the stand-in for the per-node local
+    SSDs every real multi-executor cluster gives each executor.
+    """
     from graphlab_spark import EdgeGraph, get_spark
     from graphlab_spark.algos.pagerank import pagerank
+    extra = {}
+    local_dir = os.environ.get("SCALING_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        extra["spark.local.dir"] = local_dir
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=SHUFFLE_PARTITIONS)
+                      shuffle_partitions=SHUFFLE_PARTITIONS,
+                      extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     edges = spark.read.parquet(EDGES_PATH)
     g = EdgeGraph(edges, num_edge_partitions=SHUFFLE_PARTITIONS)
     n_edges = g.num_edges
     pagerank(g, fixed_supersteps=2, resume=False)  # warmup (untimed)
     t0 = time.time()
-    pagerank(g, fixed_supersteps=SUPERSTEPS, resume=False)
+    res = pagerank(g, fixed_supersteps=SUPERSTEPS, resume=False)
     wall = time.time() - t0
     spark.stop()
-    return {"cores": cores, "edges": n_edges, "wall_sec": round(wall, 2)}
+    return {"cores": cores, "edges": n_edges, "wall_sec": round(wall, 2),
+            "superstep_ms": [m["wall_ms"] for m in res.history]}
 
 
 def main() -> None:
