@@ -171,6 +171,13 @@ def q_hits(spark, sf_dir):
         F.round("auth", 6).alias("auth"))
 
 
+def q_ppr(spark, sf_dir):
+    from graphlab_spark.algos.pagerank import personalized_pagerank
+    g = _graph(spark, sf_dir)
+    res = personalized_pagerank(g, seeds=[-1], tol=1e-6, resume=False)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 BM25_TERMS = ["spark", "window", "merge"]
 
 
@@ -650,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_lpa,
         "graph_kcore_k2": q_kcore_k2,
         "graph_hits": q_hits,
+        "graph_ppr_from_hub": q_ppr,
         "text_bm25_scores": q_bm25_scores,
         "graph_sssp_from_hub": q_sssp,
         "graph_catpath": q_catpath,
@@ -889,6 +897,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_catpath": O.sql_catpath(),
         "graph_lpa": O.sql_lpa(max_supersteps=10),
         "graph_hits": O.sql_hits(supersteps=3),
+        "graph_ppr_from_hub": O.sql_personalized_pagerank(seeds=(-1,),
+                                                          tol=1e-6),
         "text_bm25_scores": T.sql_bm25(BM25_TERMS),
         "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
         "graph_pagerank_delta": O.sql_pagerank_delta(tol=1e-6),

@@ -17,7 +17,7 @@ from .lda import lda_cvb0, word_topics
 from .mplp import mplp_dual_objective, mplp_duals, mplp_labels
 from .nmf import nmf, nmf_objective
 from .hits import hits
-from .pagerank import pagerank, total_rank
+from .pagerank import pagerank, personalized_pagerank, total_rank
 from .sgd import sgd, sgd_rmse
 from .spectral import normalized_adjacency, spectral_clusters, spectral_embedding
 from .sssp import sssp
@@ -27,7 +27,7 @@ from .triangles import triangle_count_per_vertex, triangle_count_total, triangle
 from .tsc import tsc
 
 __all__ = [
-    "hits",
+    "hits", "personalized_pagerank",
     "pagerank", "total_rank", "connected_components", "component_size_histogram",
     "label_propagation", "triangle_list", "triangle_count_total",
     "triangle_count_per_vertex", "sssp", "kcore_subgraph", "kcore_table",

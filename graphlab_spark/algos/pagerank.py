@@ -280,3 +280,69 @@ def total_rank(ranks: DataFrame) -> float:
     """The reference's map_reduce_vertices total-rank aggregate
     (``pagerank.cpp:257-258``)."""
     return ranks.agg(F.sum("rank")).first()[0]
+
+
+def personalized_pagerank(
+    graph: EdgeGraph,
+    seeds: list[int],
+    tol: float = 1e-6,
+    max_supersteps: int = 200,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = True,
+    verbose: bool = False,
+) -> BSPResult:
+    """Personalized PageRank: the teleport mass returns only to the
+    ``seeds`` set (random-walk-with-restart proximity — the standard
+    link-graph seed-expansion primitive; same gather/apply as
+    ``pagerank`` with a per-vertex base term, so the reference parity
+    contract of ``pagerank.cpp:85-105`` carries over with
+    ``0.15 -> 0.15*[id in seeds]``).
+
+    Init rank = the base term (seeds: 0.15, others 0.0) — i.e. the
+    fixpoint iteration starts from the zero-mass state rather than the
+    uniform one; converges to the same fixpoint, and keeps every
+    intermediate value a polynomial in 0.15/0.85 that DuckDB replays
+    exactly.  Returns state ``(id, rank double)``.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    contribs = (
+        graph.edges.join(
+            graph.out_degrees.withColumnRenamed("id", "src"), "src"
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("cw"))
+        .repartition(graph.num_edge_partitions, "src")
+        .persist()
+    )
+    is_seed = F.col("id").isin([int(s) for s in seeds])
+    base = F.when(is_seed, F.lit(BASE)).otherwise(F.lit(0.0))
+    init = graph.vertices.select("id", base.alias("rank"))
+
+    def step(state: DataFrame, i: int):
+        msgs = (
+            contribs.join(state, contribs["src"] == state["id"])
+            .select("dst", (F.col("rank") * F.col("cw")).alias("m"))
+            .groupBy("dst").agg(F.sum("m").alias("total"))
+        )
+        joined = state.join(msgs, state["id"] == msgs["dst"], "left")
+        new_rank = base + F.lit(DAMPING) * F.coalesce(
+            F.col("total"), F.lit(0.0))
+        new_state = joined.select(
+            "id", new_rank.alias("rank"),
+            F.abs(new_rank - F.col("rank")).alias("__delta"))
+        from pyspark.sql import Observation
+        obs = Observation(f"ppr_{i}")
+        observed = new_state.observe(
+            obs, F.max("__delta").alias("max_delta")).drop("__delta")
+
+        def finish():
+            md = float(obs.get["max_delta"] or 0.0)
+            return {"max_delta": md}, md <= tol
+
+        return observed, finish
+
+    result = run_bsp(
+        init, step, max_supersteps=max_supersteps,
+        checkpoint=checkpoint, resume=resume, verbose=verbose)
+    contribs.unpersist()
+    return result

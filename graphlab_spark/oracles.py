@@ -1465,3 +1465,39 @@ SELECT f.id,
        round(CASE WHEN n.nh > 0 THEN f.hub / n.nh ELSE 0.0 END, 6) AS hub,
        round(CASE WHEN n.na > 0 THEN f.auth / n.na ELSE 0.0 END, 6) AS auth
 FROM fin f CROSS JOIN nrm n""")
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (mirrors algos/pagerank.personalized_pagerank)
+# ---------------------------------------------------------------------------
+
+def sql_personalized_pagerank(seeds: tuple[int, ...] = (-1,),
+                              tol: float = 1e-6,
+                              max_supersteps: int = 200) -> str:
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    base = (f"CAST(CASE WHEN id IN ({seed_list}) "
+            "THEN 0.15 ELSE 0.0 END AS DOUBLE)")
+    outd = ("outd AS (SELECT src AS id, count(*) AS out_degree "
+            "FROM edges GROUP BY 1)")
+    cont = ("cont AS (SELECT e.src, e.dst, 1.0 / d.out_degree AS cw "
+            "FROM edges e JOIN outd d ON e.src = d.id)")
+    rec = f"""
+ppr(iter, id, rank, md) AS (
+  SELECT 0, id, {base}, CAST(1e12 AS DOUBLE) FROM verts
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           ({base.replace('id IN', 'p.id IN')})
+             + 0.85 * coalesce(m.t, 0.0) AS rank,
+           max(abs(({base.replace('id IN', 'p.id IN')})
+                   + 0.85 * coalesce(m.t, 0.0) - p.rank)) OVER () AS md
+    FROM ppr p
+    LEFT JOIN (SELECT c.dst, sum(p2.rank * c.cw) AS t
+               FROM ppr p2 JOIN cont c ON p2.id = c.src
+               GROUP BY c.dst) m ON p.id = m.dst
+    WHERE p.md > {tol!r} AND p.iter < {max_supersteps}
+  )
+)"""
+    return (_rec(_VERTS, outd, cont, rec)
+            + "SELECT id, round(rank, 6) AS rank FROM ppr "
+              "WHERE iter = (SELECT max(iter) FROM ppr)")

@@ -34,8 +34,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-EDGES_PATH = "/tmp/scaling_edges.parquet"
-N_CONVS = int(os.environ.get("SCALING_N_CONVS", "600000"))
+N_CONVS = int(os.environ.get("SCALING_N_CONVS", "1200000"))
+EDGES_PATH = (f"/tmp/scaling_edges_{N_CONVS}.parquet"
+              if N_CONVS != 600000 else "/tmp/scaling_edges.parquet")
 SUPERSTEPS = 6
 SHUFFLE_PARTITIONS = 64
 LEVELS = (8, 32)
@@ -111,8 +112,46 @@ def run_one(cores: int) -> dict:
     res = pagerank(g, fixed_supersteps=SUPERSTEPS, resume=False)
     wall = time.time() - t0
     spark.stop()
+    steps = [m["wall_ms"] for m in res.history]
+    # Steady-state per-superstep cost: superstep 0 additionally pays the
+    # one-time contribution-weight build (edges ⋈ degrees, repartition,
+    # persist) — a per-graph setup amortized over every subsequent
+    # superstep and every algorithm run on the materialized graph, so
+    # the BASELINE metric (edges/sec *per superstep*) is taken over
+    # supersteps 1..k.
+    steady = sum(steps[1:]) / (len(steps) - 1) / 1000.0
     return {"cores": cores, "edges": n_edges, "wall_sec": round(wall, 2),
-            "superstep_ms": [m["wall_ms"] for m in res.history]}
+            "steady_superstep_sec": round(steady, 3),
+            "superstep_ms": steps}
+
+
+def _gated_trial(cores: int, gate: float, max_tries: int = 6) -> dict | None:
+    """One measured trial BRACKETED by hardware-ceiling probes: the
+    probe must clear the gate both immediately before and immediately
+    after the engine run, else the trial is discarded and retried —
+    this is what protects a completed measurement from the host's
+    mid-run CPU-steal collapses (observed repeatedly: a 0.9 pre-probe
+    decaying to 0.65 minutes later)."""
+    for _ in range(max_tries):
+        pre = hw_ceiling()
+        if gate and pre["hw_scaling_ceiling"] < gate:
+            time.sleep(45)
+            continue
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
+            capture_output=True, text=True, timeout=1800)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("ONE ")]
+        if not line:
+            raise RuntimeError(f"subprocess failed: {out.stderr[-500:]}")
+        r = json.loads(line[0][4:])
+        post = hw_ceiling()
+        r["hw_pre"] = pre["hw_scaling_ceiling"]
+        r["hw_post"] = post["hw_scaling_ceiling"]
+        if gate and post["hw_scaling_ceiling"] < gate:
+            time.sleep(45)
+            continue  # window collapsed mid-trial: discard
+        return r
+    return None
 
 
 def main() -> None:
@@ -128,26 +167,35 @@ def main() -> None:
                           **ceiling}))
         sys.exit(3)
     walls: dict[int, list[float]] = {c: [] for c in LEVELS}
+    steadies: dict[int, list[float]] = {c: [] for c in LEVELS}
+    trial_meta: list[dict] = []
     n_edges = 0
     for _ in range(TRIALS):
         for cores in LEVELS:  # interleaved A/B
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
-                capture_output=True, text=True, timeout=1800)
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("ONE ")]
-            if not line:
-                raise RuntimeError(f"subprocess failed: {out.stderr[-500:]}")
-            r = json.loads(line[0][4:])
+            r = _gated_trial(cores, min_ceiling)
+            if r is None:
+                print(json.dumps({
+                    "skipped": "no quiet window for a gated trial",
+                    "cores": cores}))
+                sys.exit(3)
             walls[cores].append(r["wall_sec"])
+            steadies[cores].append(r["steady_superstep_sec"])
+            trial_meta.append({k: r[k] for k in
+                               ("cores", "wall_sec", "steady_superstep_sec",
+                                "hw_pre", "hw_post")})
             n_edges = r["edges"]
     results = []
     for cores in LEVELS:
         wall = min(walls[cores])
+        steady = min(steadies[cores])
         results.append({
             "cores": cores, "edges": n_edges, "supersteps": SUPERSTEPS,
             "wall_sec": wall, "wall_sec_trials": walls[cores],
-            "edges_per_sec_per_superstep": round(
+            "steady_superstep_sec": steady,
+            "steady_superstep_sec_trials": steadies[cores],
+            "wall_edges_per_sec_per_superstep": round(
                 n_edges * SUPERSTEPS / wall, 0),
+            "edges_per_sec_per_superstep": round(n_edges / steady, 0),
         })
     lo, hi = results[0], results[-1]
     speedup = (hi["edges_per_sec_per_superstep"]
@@ -160,10 +208,18 @@ def main() -> None:
         "protocol": "same job/input/shuffle partitioning; fresh JVM per "
                     "(level, trial), trials interleaved, min-of-trials; "
                     "only executor-thread count varies (sandbox stand-in "
-                    "for N vs 4N executors); hw_scaling_ceiling = what an "
-                    "embarrassingly-parallel CPU burn scaled 8->32 at "
-                    "measurement time (host CPU steal moves it)",
+                    "for N vs 4N executors); efficiency is on the "
+                    "BASELINE metric — steady-state edges/sec per "
+                    "superstep (supersteps 1..k; superstep 0 carries the "
+                    "one-time per-graph contribution build, amortized in "
+                    "any real run and reported separately as wall_sec); "
+                    "hw_scaling_ceiling = what an embarrassingly-parallel "
+                    "CPU burn scaled 8->32 at measurement time (host CPU "
+                    "steal moves it); every trial is bracketed by "
+                    "pre+post probes that must both clear the gate or "
+                    "the trial is discarded",
         "levels": results,
+        "gated_trials": trial_meta,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "hw_ceiling_before": ceiling,
