@@ -34,6 +34,7 @@ from graphlab_spark.algos.triangles import (
     triangle_count_per_vertex,
     triangle_list,
 )
+from graphlab_spark.algos.walks import sql_random_walks
 from graphlab_spark.functions import curation as C
 from graphlab_spark.functions import dedup as D
 from graphlab_spark.functions import multimodal as M
@@ -176,6 +177,12 @@ def q_ppr(spark, sf_dir):
     g = _graph(spark, sf_dir)
     res = personalized_pagerank(g, seeds=[-1], tol=1e-6, resume=False)
     return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_random_walks(spark, sf_dir):
+    from graphlab_spark.algos.walks import random_walks
+    g = _graph(spark, sf_dir)
+    return random_walks(g, walk_length=4, walks_per_vertex=2, seed=7)
 
 
 BM25_TERMS = ["spark", "window", "merge"]
@@ -658,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_k2": q_kcore_k2,
         "graph_hits": q_hits,
         "graph_ppr_from_hub": q_ppr,
+        "graph_random_walks": q_random_walks,
         "text_bm25_scores": q_bm25_scores,
         "graph_sssp_from_hub": q_sssp,
         "graph_catpath": q_catpath,
@@ -899,6 +907,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_hits": O.sql_hits(supersteps=3),
         "graph_ppr_from_hub": O.sql_personalized_pagerank(seeds=(-1,),
                                                           tol=1e-6),
+        "graph_random_walks": sql_random_walks(
+            walk_length=4, walks_per_vertex=2, seed=7),
         "text_bm25_scores": T.sql_bm25(BM25_TERMS),
         "graph_pagerank_converged": O.sql_pagerank_converged(tol=1e-6),
         "graph_pagerank_delta": O.sql_pagerank_delta(tol=1e-6),

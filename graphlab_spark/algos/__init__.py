@@ -18,6 +18,7 @@ from .mplp import mplp_dual_objective, mplp_duals, mplp_labels
 from .nmf import nmf, nmf_objective
 from .hits import hits
 from .pagerank import pagerank, personalized_pagerank, total_rank
+from .walks import random_walks
 from .sgd import sgd, sgd_rmse
 from .spectral import normalized_adjacency, spectral_clusters, spectral_embedding
 from .sssp import sssp
@@ -27,7 +28,7 @@ from .triangles import triangle_count_per_vertex, triangle_count_total, triangle
 from .tsc import tsc
 
 __all__ = [
-    "hits", "personalized_pagerank",
+    "hits", "personalized_pagerank", "random_walks",
     "pagerank", "total_rank", "connected_components", "component_size_histogram",
     "label_propagation", "triangle_list", "triangle_count_total",
     "triangle_count_per_vertex", "sssp", "kcore_subgraph", "kcore_table",
