@@ -42,6 +42,10 @@ from graphlab_spark.functions import similarity as S
 from graphlab_spark.functions import text as T
 from graphlab_spark import oracles as O
 from graphlab_spark.sources.events import EDGES_CTES, events_graph
+from graphlab_spark.sources.transcripts import transcript_ctes
+
+_T_N_CONVS = 400
+_T_CTES = transcript_ctes(_T_N_CONVS)
 
 
 # One EdgeGraph per (session, sf_dir): the driver runs ~25 graph
@@ -644,6 +648,42 @@ def q_cosine_dup_clusters(spark, sf_dir):
     return S.cosine_dup_clusters(_emb(spark, sf_dir))
 
 
+# --- transcript-shaped input contract (the north-rule input_hint) ------
+# The testdata ships no transcripts.parquet, so the corpus is synthesized
+# deterministically at fixed size (the driver compares Spark vs DuckDB on
+# the SAME generated table — `transcript_ctes` regenerates it in SQL).
+
+
+def _transcripts(spark, sf_dir):
+    from graphlab_spark.sources.transcripts import synthetic_transcripts_portable
+    return synthetic_transcripts_portable(spark, _T_N_CONVS)
+
+
+def q_transcript_corpus(spark, sf_dir):
+    """The contract table itself (conv_id, turn_idx, role, text, tool, ts)
+    — value-oracles the deterministic synthesis + per-turn text equality
+    under stable turn ordering (ts as epoch seconds: engine-neutral)."""
+    t = _transcripts(spark, sf_dir)
+    return t.select("conv_id", "turn_idx", "role", "text", "tool",
+                    F.col("ts").cast("long").alias("ts_epoch"))
+
+
+def q_transcript_edges(spark, sf_dir):
+    """conv_id/role/tool co-occurrence edge induction under stable turn
+    ordering (sequence + tool + role families), portable vertex ids."""
+    from graphlab_spark.sources.transcripts import transcripts_to_edges_portable
+    return transcripts_to_edges_portable(_transcripts(spark, sf_dir))
+
+
+def q_transcript_pagerank_iter2(spark, sf_dir):
+    """End-to-end north-rule pipeline: transcript table → induced link
+    graph → 2 PageRank supersteps, every value DuckDB-replayed."""
+    from graphlab_spark.sources.transcripts import transcripts_to_edges_portable
+    g = EdgeGraph(transcripts_to_edges_portable(_transcripts(spark, sf_dir)))
+    res = pagerank(g, fixed_supersteps=2, resume=False)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_lda_word_topics(spark, sf_dir):
     from graphlab_spark.algos.lda import lda_cvb0, word_topics
     gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2)
@@ -726,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_scrub_pii": q_scrub_pii,
         "curation_decontaminate": q_decontaminate,
         "curation_pack_sequences": q_pack_sequences,
+        "transcript_corpus": q_transcript_corpus,
+        "transcript_edges": q_transcript_edges,
+        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
     }
 
 
@@ -740,6 +783,30 @@ verts AS (SELECT DISTINCT id FROM
 outd AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY 1),
 ind AS (SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY 1)
 """
+
+_PR_UNROLL2 = """,
+prverts AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+proutd AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY 1),
+cont AS (SELECT e.src, e.dst, 1.0 / d.out_degree AS cw
+         FROM edges e JOIN proutd d ON e.src = d.id),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM prverts),
+m1 AS (SELECT c.dst AS id, sum(r.rank * c.cw) AS t
+       FROM cont c JOIN r0 r ON c.src = r.id GROUP BY 1),
+r1 AS (SELECT v.id, 0.15 + 0.85 * coalesce(m1.t, 0.0) AS rank
+       FROM r0 v LEFT JOIN m1 ON v.id = m1.id),
+m2 AS (SELECT c.dst AS id, sum(r.rank * c.cw) AS t
+       FROM cont c JOIN r1 r ON c.src = r.id GROUP BY 1),
+r2 AS (SELECT v.id, 0.15 + 0.85 * coalesce(m2.t, 0.0) AS rank
+       FROM r1 v LEFT JOIN m2 ON v.id = m2.id)
+SELECT id, round(rank, 6) AS rank FROM r2"""
+
+
+def _pr_iter2_sql(edge_ctes: str) -> str:
+    """2-superstep PageRank unroll over any CTE list ending in
+    ``edges(src, dst)`` — shared by the events and transcript graphs."""
+    return f"WITH {edge_ctes}{_PR_UNROLL2}"
+
 
 _PR_PRELUDE = f"""
 {_GRAPH_PRELUDE},
@@ -940,6 +1007,12 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_mplp_labels": O.sql_mplp_labels(iterations=10),
         "graph_dd_labels": O.sql_dd_labels(iterations=10),
         "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
+        "transcript_corpus": (
+            f"WITH {_T_CTES} SELECT conv_id, turn_idx, role, text, tool, "
+            "ts_epoch FROM transcripts"
+        ),
+        "transcript_edges": f"WITH {_T_CTES} SELECT src, dst FROM edges",
+        "transcript_pagerank_iter2": _pr_iter2_sql(_T_CTES),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.portable import lcg_hash, sql_lcg_hash
+
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
@@ -154,6 +156,158 @@ def synthetic_transcripts(
         tool.alias("tool"),
         ts.alias("ts"),
     )
+
+
+def synthetic_transcripts_portable(
+    spark: SparkSession, n_convs: int, n_tools: int | None = None, seed: int = 42
+) -> DataFrame:
+    """Contract-shaped synthetic corpus with *engine-portable* randomness.
+
+    Same table shape and structural laws as ``synthetic_transcripts``
+    (heavy-tailed turn counts capped at 64, alternating user/assistant
+    roles, every 3rd assistant turn tool-tagged, byte-checkable
+    ``text = 'txt-'||conv_id||'-'||turn_idx``), but every stochastic
+    decision runs through ``operators.portable.lcg_hash`` in plain
+    BIGINT arithmetic — no ``xxhash64``, no ``pow`` — so DuckDB can
+    regenerate the identical corpus from ``transcript_ctes()`` for
+    value-level oracle comparison.  The turn-count tail is an integer
+    bucket law (90% short / 9% medium / 1% long, max 64) instead of the
+    Pareto ``pow`` of the production generator: exact cross-engine
+    equality beats distribution elegance for the verification corpus.
+    """
+    if n_tools is None:
+        n_tools = max(4, n_convs // 50)
+    convs = spark.range(n_convs).select(F.col("id").alias("i"))
+    v = lcg_hash(F.col("i") * 65599 + F.lit(seed)) % 1000
+    n_turns = (
+        F.when(v < 900, 2 + v % 7)
+        .when(v < 990, 9 + v % 31)
+        .otherwise(40 + v % 25)
+    ).cast("int")
+    turns = convs.select(
+        "i", F.explode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx")
+    )
+    role = F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    has_tool = (F.col("turn_idx") % 2 == 1) & (
+        F.expr("((turn_idx - 1) div 2) % 3") == 2
+    )
+    tool = F.when(
+        has_tool,
+        F.concat(
+            F.lit("tool_"),
+            (lcg_hash(F.col("i") * 131 + F.col("turn_idx")) % n_tools).cast("string"),
+        ),
+    )
+    ts_epoch = (
+        F.lit(1_700_000_000)
+        + lcg_hash(F.col("i") * 31 + F.lit(seed + 1)) % 1_000_000
+        + F.col("turn_idx")
+    )
+    conv_id = F.concat(F.lit("c"), F.col("i").cast("string"))
+    return turns.select(
+        conv_id.alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(
+            F.lit("txt-c"), F.col("i").cast("string"), F.lit("-"),
+            F.col("turn_idx").cast("string"),
+        ).alias("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(ts_epoch).alias("ts"),
+    )
+
+
+def transcripts_to_edges_portable(transcripts: DataFrame) -> DataFrame:
+    """Edge induction with SQL-portable vertex ids (verification path).
+
+    Same three edge families as ``transcripts_to_edges`` but vertex ids
+    are plain arithmetic on the synthetic naming scheme instead of
+    ``xxhash64`` (which no ANSI engine reproduces):
+
+    - turn node:  ``conv_i * 64 + turn_idx`` (turn counts are capped at
+      64, so this is collision-free) where ``conv_i`` is parsed from
+      ``conv_id = 'c'||i``;
+    - role hubs:  user → -1, assistant (or any other role) → -2;
+    - tool hubs:  ``tool_k`` → ``-(10 + k)``.
+
+    Production ingest stays on the hash path (``transcripts_to_edges``);
+    this twin exists so the driver's DuckDB oracle can replay the exact
+    derivation end-to-end over the north-rule input shape.  Requires
+    the synthetic id scheme (``synthetic_transcripts*``).
+    """
+    t = transcripts.withColumn(
+        "ci", F.expr("CAST(substr(conv_id, 2) AS BIGINT)")
+    )
+    turn = F.col("ci") * 64 + F.col("turn_idx")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        t.select("conv_id", "ci", "turn_idx",
+                 F.lead("turn_idx").over(w).alias("next_idx"))
+        .filter(F.col("next_idx").isNotNull())
+        .select(
+            turn.alias("src"),
+            (F.col("ci") * 64 + F.col("next_idx")).alias("dst"),
+        )
+    )
+    tool_e = t.filter(F.col("tool").isNotNull()).select(
+        turn.alias("src"),
+        (-(F.lit(10) + F.expr("CAST(substr(tool, 6) AS BIGINT)"))).alias("dst"),
+    )
+    role_e = t.select(
+        turn.alias("src"),
+        F.when(F.col("role") == "user", F.lit(-1))
+        .otherwise(F.lit(-2)).cast("long").alias("dst"),
+    )
+    return seq.unionAll(tool_e).unionAll(role_e)
+
+
+def transcript_ctes(n_convs: int, n_tools: int | None = None, seed: int = 42) -> str:
+    """Flattened CTE list (no leading WITH) regenerating the portable
+    corpus and its induced edge table in ANSI SQL — the DuckDB twin of
+    ``synthetic_transcripts_portable`` + ``transcripts_to_edges_portable``.
+
+    Ends in a CTE named ``edges`` so every graph-oracle prelude in
+    ``graphlab_spark.oracles`` / ``__spark_entry__`` composes over it
+    unchanged (the same contract ``sources.events.EDGES_CTES`` honors).
+    """
+    if n_tools is None:
+        n_tools = max(4, n_convs // 50)
+    h_turns = sql_lcg_hash(f"(i * 65599 + {seed})")
+    h_tool = sql_lcg_hash("(t.i * 131 + r.range)")
+    h_ts = sql_lcg_hash(f"(t.i * 31 + {seed + 1})")
+    return f"""
+tconv AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_convs})),
+tlaw AS (SELECT i, {h_turns} % 1000 AS v FROM tconv),
+tn AS (SELECT i, CASE WHEN v < 900 THEN 2 + v % 7
+                      WHEN v < 990 THEN 9 + v % 31
+                      ELSE 40 + v % 25 END AS n_turns FROM tlaw),
+transcripts AS (
+    SELECT 'c' || t.i AS conv_id,
+           CAST(r.range AS INT) AS turn_idx,
+           CASE WHEN r.range % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           'txt-c' || t.i || '-' || r.range AS text,
+           CASE WHEN r.range % 2 = 1 AND ((r.range - 1) // 2) % 3 = 2
+                THEN 'tool_' || ({h_tool} % {n_tools})
+           END AS tool,
+           1700000000 + {h_ts} % 1000000 + r.range AS ts_epoch
+    FROM tn t, range(64) r WHERE r.range < t.n_turns),
+tparsed AS (SELECT CAST(substr(conv_id, 2) AS BIGINT) AS ci, * FROM transcripts),
+tseq AS (SELECT ci * 64 + turn_idx AS src,
+                ci * 64 + lead(turn_idx) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) AS dst
+         FROM tparsed),
+ttool AS (SELECT ci * 64 + turn_idx AS src,
+                 -(10 + CAST(substr(tool, 6) AS BIGINT)) AS dst
+          FROM tparsed WHERE tool IS NOT NULL),
+trole AS (SELECT ci * 64 + turn_idx AS src,
+                 CASE WHEN role = 'user' THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(-2 AS BIGINT) END AS dst
+          FROM tparsed),
+edges AS (SELECT src, dst FROM tseq WHERE dst IS NOT NULL
+          UNION ALL SELECT src, dst FROM ttool
+          UNION ALL SELECT src, dst FROM trole)"""
 
 
 def transcripts_to_edges(transcripts: DataFrame, weighted: bool = False) -> DataFrame:

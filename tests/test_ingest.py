@@ -120,3 +120,54 @@ def test_read_transcripts_iceberg_dispatch_errors_clearly(spark):
     from graphlab_spark.sources import read_transcripts
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_transcripts(spark, "cat.db.transcripts", source_format="iceberg")
+
+
+def test_portable_corpus_matches_sql_twin(spark):
+    """The portable synthetic corpus is byte-identical to its DuckDB
+    regeneration (transcript_ctes) — the basis of the transcript_*
+    contract oracles."""
+    import duckdb
+    from graphlab_spark.sources.transcripts import (
+        synthetic_transcripts_portable, transcript_ctes)
+    t = synthetic_transcripts_portable(spark, 150)
+    sp = sorted(tuple(r) for r in t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col("ts").cast("long")).collect())
+    dk = sorted(duckdb.sql(
+        f"WITH {transcript_ctes(150)} SELECT conv_id, turn_idx, role, "
+        "text, tool, ts_epoch FROM transcripts").fetchall())
+    assert sp == dk
+
+
+def test_portable_corpus_honors_contract_invariants(spark):
+    from graphlab_spark.sources.transcripts import (
+        synthetic_transcripts_portable, verify_turn_order_invariant)
+    t = synthetic_transcripts_portable(spark, 100)
+    assert verify_turn_order_invariant(t) == 0
+    # roles alternate; turn counts within [2, 64]
+    assert t.filter(
+        ((F.col("turn_idx") % 2 == 0) & (F.col("role") != "user"))
+        | ((F.col("turn_idx") % 2 == 1) & (F.col("role") != "assistant"))
+    ).count() == 0
+    per_conv = t.groupBy("conv_id").count()
+    lo, hi = per_conv.agg(F.min("count"), F.max("count")).first()
+    assert lo >= 2 and hi <= 64
+
+
+def test_portable_edges_isomorphic_to_hash_edges(spark):
+    """Portable-id induction is the same multigraph as the production
+    xxhash64 induction: same edge count and identical out-degree
+    multiset (vertex ids differ by a relabeling only)."""
+    from graphlab_spark.sources.transcripts import (
+        synthetic_transcripts_portable, transcripts_to_edges,
+        transcripts_to_edges_portable)
+    t = synthetic_transcripts_portable(spark, 80)
+    a = transcripts_to_edges(t)
+    b = transcripts_to_edges_portable(t)
+    assert a.count() == b.count()
+
+    def degree_multiset(e):
+        return sorted(
+            r["count"] for r in e.groupBy("src").count().collect())
+
+    assert degree_multiset(a) == degree_multiset(b)
