@@ -46,6 +46,7 @@ def pagerank(
     gather: str = "expr",
     salt_hubs: int | None = None,
     delta_cache: bool = False,
+    fuse: int = 1,
 ) -> BSPResult:
     """Returns BSPResult whose state is ``(id long, rank double)``.
 
@@ -61,7 +62,32 @@ def pagerank(
     destinations whose in-degree exceeds any single-partition budget.
     Results are exactly equal (double addition is reordered the same
     way Spark's own partial aggregation already reorders it).
+
+    ``fuse``: chain this many gather/apply rounds into ONE materialized
+    plan per driver job, paying the per-job fixed costs (scheduler
+    round-trip, |V|-row cache write, lineage cut, observe all-reduce)
+    once per ``fuse`` supersteps.  Semantics: fixed-superstep results
+    equal ``fuse=1`` up to partial-sum order (same plan chained;
+    measured <= 1e-15); in tolerance mode
+    convergence is checked once per chunk, so a run may execute up to
+    ``fuse-1`` below-tol extra supersteps.  **Measured verdict (33M
+    edges, local[32], 6 fixed supersteps, fresh JVM per trial): keep
+    the default of 1.**  Steady-state per-superstep wall was a wash
+    (6.39s fused-2 vs 6.32s unfused) and the first chunk ~3x slower —
+    each round consumes its input state twice (gather join + apply
+    join), so an unmaterialized intermediate round recomputes instead
+    of reading the superstep cache; per-superstep persist +
+    localCheckpoint is already the right plan on Spark (same finding as
+    ``run_bsp``'s truncate_every note).  The knob stays as the recorded
+    form of that experiment and for barrier-deferral semantics tests.
     """
+    if fuse < 1:
+        raise ValueError("pagerank: fuse must be >= 1")
+    if fuse > 1 and (delta_cache or gather == "arrow"):
+        raise ValueError(
+            "pagerank: fuse>1 composes only with the expression gather "
+            "(chained pandas-UDF stages stall Catalyst analysis, and the "
+            "delta mode's frontier is re-evaluated per superstep)")
     if gather == "arrow" and salt_hubs:
         raise ValueError(
             "pagerank: salt_hubs applies only to the expression gather "
@@ -111,29 +137,37 @@ def pagerank(
             )
         return msgs.groupBy("dst").agg(F.sum("m").alias("total"))
 
-    def step(state: DataFrame, i: int):
+    def one_round(state: DataFrame) -> DataFrame:
         msgs = gather_msgs(state)
         joined = state.join(msgs, state["id"] == msgs["dst"], "left")
-        new_state = joined.select(
+        new_rank = (F.lit(BASE)
+                    + F.lit(DAMPING) * F.coalesce(F.col("total"), F.lit(0.0)))
+        return joined.select(
             "id",
-            (F.lit(BASE) + F.lit(DAMPING) * F.coalesce(F.col("total"), F.lit(0.0))).alias(
-                "rank"
-            ),
-            F.abs(
-                F.lit(BASE)
-                + F.lit(DAMPING) * F.coalesce(F.col("total"), F.lit(0.0))
-                - F.col("rank")
-            ).alias("__delta"),
+            new_rank.alias("rank"),
+            F.abs(new_rank - F.col("rank")).alias("__delta"),
         )
+
+    def step(state: DataFrame, i: int):
+        # i counts CHUNKS of `fuse` supersteps; rounds in this chunk:
         if fixed_supersteps is not None:
-            converged = i + 1 >= fixed_supersteps
-            metrics = {"active": -1, "max_delta": float("nan")}
-            return new_state.drop("__delta"), metrics, converged
+            rounds = min(fuse, fixed_supersteps - i * fuse)
+        else:
+            rounds = fuse
+        cur = state
+        for _ in range(rounds):
+            cur = one_round(cur.drop("__delta"))
+        if fixed_supersteps is not None:
+            converged = (i + 1) * fuse >= fixed_supersteps
+            metrics = {"active": -1, "max_delta": float("nan"),
+                       "fused": rounds}
+            return cur.drop("__delta"), metrics, converged
         # Observed form: the convergence all-reduce rides the state
-        # materialization job (one Spark job per superstep, not two).
+        # materialization job (one Spark job per chunk, not two); the
+        # delta observed is the LAST round's.
         from pyspark.sql import Observation
         obs = Observation(f"pagerank_{i}")
-        observed = new_state.observe(
+        observed = cur.observe(
             obs,
             F.max("__delta").alias("max_delta"),
             F.sum(F.when(F.col("__delta") > tol, 1).otherwise(0)).alias("active"),
@@ -143,21 +177,33 @@ def pagerank(
             row = obs.get
             max_delta = float(row["max_delta"] or 0.0)
             return (
-                {"active": int(row["active"] or 0), "max_delta": max_delta},
+                {"active": int(row["active"] or 0), "max_delta": max_delta,
+                 "fused": rounds},
                 max_delta <= tol,
             )
 
         return observed, finish
 
+    chunk_budget = fixed_supersteps or max_supersteps
+    if fuse > 1:
+        chunk_budget = -(-chunk_budget // fuse)  # ceil-div: chunks, not steps
     result = run_bsp(
         init,
         step,
-        max_supersteps=fixed_supersteps or max_supersteps,
+        max_supersteps=chunk_budget,
         checkpoint=checkpoint,
         resume=resume,
         verbose=verbose,
     )
     contribs.unpersist()
+    if fuse > 1:
+        # Report true supersteps, not chunks.
+        total = result.supersteps * fuse
+        if fixed_supersteps is not None:
+            total = min(total, fixed_supersteps)
+        result = BSPResult(state=result.state, supersteps=total,
+                           converged=result.converged,
+                           history=result.history)
     return result
 
 

@@ -70,3 +70,55 @@ def test_delta_cache_rejects_bad_combos(fixture_graph):
         pagerank(fixture_graph, delta_cache=True, salt_hubs=4)
     with pytest.raises(ValueError):
         pagerank(fixture_graph, delta_cache=True, fixed_supersteps=3)
+
+
+def test_fuse_fixed_mode_bit_equal(spark):
+    """Fused chunks chain the identical per-round plan, so fixed-
+    superstep results must equal the unfused run to float-sum-order
+    noise (AQE may coalesce the chained plan's partitions differently,
+    reordering partial sums by an ulp) — and the reported superstep
+    count must be true supersteps, not chunks."""
+    from graphlab_spark.sources import load_synthetic_powerlaw
+    from pyspark.sql import functions as F
+
+    edges = load_synthetic_powerlaw(spark, 250, alpha=2.0, seed=11)
+    g = EdgeGraph(edges, num_edge_partitions=4)
+    try:
+        a = pagerank(g, fixed_supersteps=7, resume=False)
+        b = pagerank(g, fixed_supersteps=7, fuse=3, resume=False)
+        assert b.supersteps == 7
+        d = (a.state.alias("a").join(b.state.alias("b"), "id")
+             .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))).first()[0])
+        assert d <= 1e-12
+    finally:
+        g.unpersist()
+
+
+def test_fuse_tolerance_mode_converges_to_same_fixpoint(spark):
+    """Tolerance mode checks convergence once per chunk: it may overrun
+    by < fuse supersteps but every extra step is below tol, so the
+    fixpoints agree within tol."""
+    from graphlab_spark.sources import load_synthetic_powerlaw
+    from pyspark.sql import functions as F
+
+    edges = load_synthetic_powerlaw(spark, 250, alpha=2.0, seed=11)
+    g = EdgeGraph(edges, num_edge_partitions=4)
+    try:
+        a = pagerank(g, tol=1e-6, resume=False)
+        b = pagerank(g, tol=1e-6, fuse=4, resume=False)
+        assert b.converged
+        assert a.supersteps <= b.supersteps < a.supersteps + 4
+        d = (a.state.alias("a").join(b.state.alias("b"), "id")
+             .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))).first()[0])
+        assert d <= 1e-6
+    finally:
+        g.unpersist()
+
+
+def test_fuse_rejects_bad_combos(fixture_graph):
+    with pytest.raises(ValueError, match="fuse"):
+        pagerank(fixture_graph, fuse=0)
+    with pytest.raises(ValueError, match="fuse"):
+        pagerank(fixture_graph, fuse=2, delta_cache=True)
+    with pytest.raises(ValueError, match="fuse"):
+        pagerank(fixture_graph, fuse=2, gather="arrow")
