@@ -684,6 +684,17 @@ def q_transcript_pagerank_iter2(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_knn_graph(spark, sf_dir):
+    """Exact k-NN cosine graph over the embeddings table (the bridge
+    from embedding space into the link-graph toolkit)."""
+    return S.knn_graph(_emb(spark, sf_dir), k=3)
+
+
+def q_knn_components(spark, sf_dir):
+    """Composition: embeddings → k-NN graph → hash-min CC."""
+    return S.knn_components(_emb(spark, sf_dir), k=3)
+
+
 def q_lda_word_topics(spark, sf_dir):
     from graphlab_spark.algos.lda import lda_cvb0, word_topics
     gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2)
@@ -769,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_corpus": q_transcript_corpus,
         "transcript_edges": q_transcript_edges,
         "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        "sim_knn_graph": q_knn_graph,
+        "sim_knn_components": q_knn_components,
     }
 
 
@@ -1013,6 +1026,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         ),
         "transcript_edges": f"WITH {_T_CTES} SELECT src, dst FROM edges",
         "transcript_pagerank_iter2": _pr_iter2_sql(_T_CTES),
+        "sim_knn_graph": S.sql_knn_graph(k=3),
+        "sim_knn_components": S.sql_knn_components(k=3),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs

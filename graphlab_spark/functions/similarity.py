@@ -497,3 +497,138 @@ cfin AS (SELECT id, component FROM ccc
          WHERE iter = (SELECT max(iter) FROM ccc))
 SELECT e.vec_id, coalesce(f.component, e.vec_id) AS canonical_id
 FROM {table} e LEFT JOIN cfin f ON f.id = e.vec_id"""
+
+
+def knn_graph(emb: DataFrame, k: int = 3,
+              candidates: DataFrame | None = None) -> DataFrame:
+    """(src, rank, dst, cos): each vector's top-k cosine neighbors as a
+    directed edge table — the standard bridge from embedding space into
+    the graph engine (k-NN graph -> components/LPA/PageRank is how
+    embedding-level dedup and topic discovery compose with the link
+    toolkit).
+
+    Deterministic order: cos (6 dp) desc, then dst asc — the exact
+    tie-break of ``ann_topk_brute``.
+
+    Scale contract: with ``candidates=None`` every pair is scored — the
+    exact O(N^2) correctness baseline (what the driver oracle replays).
+    At scale pass ``candidates`` = a (src, dst)-id pair DataFrame from a
+    sub-quadratic generator (LSH bucket co-occupancy via
+    ``with_lsh_buckets``, IVF cell co-membership via
+    ``ivf_assignments``); only those pairs are scored, so cost is
+    O(|candidates|) and the result is exact whenever the generator's
+    recall covers the true top-k.  Both paths share the scoring +
+    ranking plan (broadcast-free sort-merge join on ids, one window
+    per src partition).
+    """
+    n = with_norm(emb)
+    a = n.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"),
+                 F.col("nrm").alias("nb"))
+    if candidates is None:
+        pairs = a.join(b, F.col("src") != F.col("dst"))
+    else:
+        cand = (candidates.select("src", "dst")
+                .filter(F.col("src") != F.col("dst")).distinct())
+        pairs = cand.join(a, "src").join(b, "dst")
+    from pyspark.sql import Window
+    scored = pairs.select(
+        "src", "dst",
+        F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("cos"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("src", "rank", "dst", "cos"))
+
+
+def lsh_knn_candidates(emb: DataFrame, n_tables: int = LSH_TABLES,
+                       n_planes: int | None = None,
+                       dim: int = LSH_DIM) -> DataFrame:
+    """All-to-all (src, dst) candidate pairs from LSH bucket
+    co-occupancy (any table) — the sub-quadratic generator for
+    ``knn_graph`` at scale.  Plane count defaults to ``derived_planes``
+    of the input size so per-bucket populations stay bounded as N
+    grows (the round-1 geometry lesson)."""
+    if n_planes is None:
+        n_planes = derived_planes(emb.count())
+    bucketed = with_lsh_buckets(emb, n_tables=n_tables, n_planes=n_planes,
+                                dim=dim)
+    pairs = None
+    for t in range(n_tables):
+        # Hamming-1 multiprobe on the src side (same scheme as
+        # ann_topk_lsh): each vector also probes the buckets one flipped
+        # plane away, trading a (1+planes)x candidate factor for the
+        # recall a single bucket per table cannot give.
+        probes = F.array(*(
+            [F.col(f"b{t}")] +
+            [F.expr(f"int(b{t} ^ {1 << j})") for j in range(n_planes)]
+        ))
+        l = bucketed.select(F.col("vec_id").alias("src"),
+                            F.explode(probes).alias("bucket"))
+        r = bucketed.select(F.col(f"b{t}").alias("bucket"),
+                            F.col("vec_id").alias("dst"))
+        pt = l.join(r, "bucket").filter(F.col("src") != F.col("dst"))
+        pairs = pt if pairs is None else pairs.unionAll(pt)
+    return pairs.select("src", "dst").distinct()
+
+
+def sql_knn_graph(k: int = 3, table: str = "embeddings") -> str:
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)),"
+           " i -> CAST(a.embedding[i] AS DOUBLE)"
+           " * CAST(b.embedding[i] AS DOUBLE)))")
+    return f"""
+WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM {table}),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({dot} / (a.nrm * b.nrm), 6) AS cos
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT src, dst, cos,
+         CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT src, rank, dst, cos FROM ranked WHERE rank <= {k}"""
+
+
+def knn_components(emb: DataFrame, k: int = 3) -> DataFrame:
+    """(id, component): connected components of the symmetrized exact
+    k-NN graph — embedding-space cluster discovery composed entirely
+    from engine primitives (knn_graph -> EdgeGraph -> hash-min CC),
+    the composition query for the embeddings->graph bridge."""
+    from ..algos.connected_components import connected_components
+    from ..graph import EdgeGraph
+
+    edges = knn_graph(emb, k=k).select("src", "dst")
+    return connected_components(EdgeGraph(edges), resume=False).state
+
+
+def sql_knn_components(k: int = 3, table: str = "embeddings") -> str:
+    """Hash-min fixpoint over the exact k-NN edge SQL (same recursive
+    shape as ``sql_cosine_dup_clusters``)."""
+    return f"""
+WITH RECURSIVE
+kedges AS (SELECT src, dst FROM ({sql_knn_graph(k, table)}) t),
+kverts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM kedges
+           UNION ALL SELECT dst FROM kedges)),
+ksym AS (SELECT src, dst FROM kedges
+         UNION ALL SELECT dst AS src, src AS dst FROM kedges),
+kcc(iter, id, component, nchanged) AS (
+  SELECT 0, id, id, CAST(1 AS BIGINT) FROM kverts
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, p.id,
+           least(p.component, coalesce(m.received, p.component)) AS component,
+           sum(CASE WHEN coalesce(m.received, p.component) < p.component
+                    THEN 1 ELSE 0 END) OVER () AS nchanged
+    FROM kcc p
+    LEFT JOIN (SELECT s.dst AS mid, min(p2.component) AS received
+               FROM kcc p2 JOIN ksym s ON p2.id = s.src
+               GROUP BY s.dst) m ON p.id = m.mid
+    WHERE p.nchanged > 0 AND p.iter < 100
+  )
+)
+SELECT id, component FROM kcc WHERE iter = (SELECT max(iter) FROM kcc)"""

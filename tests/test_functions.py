@@ -326,3 +326,45 @@ def test_chunk_into_lines_preserves_tokens(spark, docs):
     joined = before.alias("b").join(after.alias("a"), "doc_id")
     bad = joined.filter(F.col("b.t") != F.col("a.t")).count()
     assert bad == 0
+
+
+def test_knn_graph_parity(spark, emb, duck):
+    assert_parity(S.knn_graph(emb, k=3), duck, S.sql_knn_graph(k=3))
+
+
+def test_knn_graph_candidates_superset_equals_exact(spark, emb):
+    """Feeding a candidate set that covers every pair must reproduce
+    the exact graph — the contract that makes the LSH/IVF candidate
+    path exact-when-recall-is-full."""
+    ids = emb.select(F.col("vec_id").alias("src"))
+    full = ids.crossJoin(emb.select(F.col("vec_id").alias("dst")))
+    a = sorted(map(tuple, S.knn_graph(emb, k=3).collect()))
+    b = sorted(map(tuple, S.knn_graph(emb, k=3, candidates=full).collect()))
+    assert a == b
+
+
+def test_knn_graph_lsh_candidates_recall(spark, emb):
+    """Sub-quadratic candidate generation keeps useful top-k recall and
+    scores strictly fewer pairs than the exact all-pairs path."""
+    n = emb.count()
+    cand = S.lsh_knn_candidates(emb).persist()
+    assert cand.count() < n * (n - 1)  # strictly sub-quadratic here
+    exact = {(r.src, r.dst) for r in S.knn_graph(emb, k=3).collect()}
+    approx = {(r.src, r.dst)
+              for r in S.knn_graph(emb, k=3, candidates=cand).collect()}
+    cand.unpersist()
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_knn_components_recover_planted_blobs(spark):
+    """On well-separated Gaussian blobs the k-NN graph must not bridge
+    clusters: every CC is label-pure (components refine the planted
+    clustering; k=3 may split a blob but never merges two)."""
+    from graphlab_spark.sources import load_synthetic_clusters
+    pts = load_synthetic_clusters(spark, 240, num_clusters=3, dim=4, seed=5)
+    comp = S.knn_components(pts.select("vec_id", "embedding"), k=3)
+    joined = comp.join(pts.select(F.col("vec_id").alias("id"), "cluster"), "id")
+    impure = (joined.groupBy("component")
+              .agg(F.countDistinct("cluster").alias("nlab"))
+              .filter(F.col("nlab") > 1).count())
+    assert impure == 0
