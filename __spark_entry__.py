@@ -684,6 +684,15 @@ def q_transcript_pagerank_iter2(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_contract_lpa(spark, sf_dir):
+    """Community-graph coarsening: LPA labels → supernode edge table
+    with inter-community edge counts (multilevel primitive)."""
+    from graphlab_spark.operators.graph_ops import contract_graph
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_supersteps=10, resume=False).state
+    return contract_graph(g, labels)
+
+
 def q_knn_graph(spark, sf_dir):
     """Exact k-NN cosine graph over the embeddings table (the bridge
     from embedding space into the link-graph toolkit)."""
@@ -693,6 +702,22 @@ def q_knn_graph(spark, sf_dir):
 def q_knn_components(spark, sf_dir):
     """Composition: embeddings → k-NN graph → hash-min CC."""
     return S.knn_components(_emb(spark, sf_dir), k=3)
+
+
+def q_transcript_conv_stats(spark, sf_dir):
+    """Per-conversation analytics over the contract table: turn count,
+    tool-call count, distinct tools, wall-clock span — the narrow
+    groupBy-on-conv_id aggregation every transcript pipeline starts
+    with (partial+final hash agg; pipelines into the scan)."""
+    t = _transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_tool_calls"),
+        F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+         .alias("span_sec"),
+    )
 
 
 def q_lda_word_topics(spark, sf_dir):
@@ -780,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_corpus": q_transcript_corpus,
         "transcript_edges": q_transcript_edges,
         "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        "transcript_conv_stats": q_transcript_conv_stats,
+        "graph_contract_lpa": q_contract_lpa,
         "sim_knn_graph": q_knn_graph,
         "sim_knn_components": q_knn_components,
     }
@@ -1026,6 +1053,15 @@ SELECT id, cluster FROM r WHERE rn = 1
         ),
         "transcript_edges": f"WITH {_T_CTES} SELECT src, dst FROM edges",
         "transcript_pagerank_iter2": _pr_iter2_sql(_T_CTES),
+        "transcript_conv_stats": f"""WITH {_T_CTES}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       max(ts_epoch) - min(ts_epoch) AS span_sec
+FROM transcripts GROUP BY conv_id""",
+        "graph_contract_lpa": O.sql_contract_by_lpa(max_supersteps=10),
         "sim_knn_graph": S.sql_knn_graph(k=3),
         "sim_knn_components": S.sql_knn_components(k=3),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos

@@ -166,3 +166,45 @@ def save_zoltan_hypergraph_structure(graph: EdgeGraph, path: str) -> None:
         for row in pins.select("line").toLocalIterator():
             fout.write(row["line"])
             fout.write("\n")
+
+
+def contract_graph(graph: EdgeGraph, labels: DataFrame,
+                   keep_internal: bool = False) -> DataFrame:
+    """Coarsen by a vertex labeling: ``(src, dst, w)`` supernode edges
+    where ``src``/``dst`` are the endpoint labels and ``w`` counts the
+    original directed edges between them — the standard multilevel /
+    community-graph primitive (cluster the communities, route between
+    them, iterate coarsen→solve→refine).
+
+    ``labels``: ``(id, label)`` — any labeling (LPA communities, CC
+    components, METIS parts).  Unlabeled endpoints keep their own id
+    (stringified) as a singleton label, so the contraction is total.
+    ``keep_internal=False`` (default) drops intra-label edges — their
+    count is the community's internal volume, one groupBy away if
+    wanted; ``True`` keeps them as supernode self-loops.
+
+    Scale shape: two |E|⋈|V| hash joins on vertex id (the same key the
+    edge table is already bucketed/partitioned by in the persisted
+    layouts) and one partial+final count aggregation on the (tiny)
+    label-pair key — no windows, no skew beyond what the label sizes
+    themselves carry (a mega-community's edges all map to few pairs;
+    the count monoid combines map-side, so hot pairs cost no extra
+    shuffle volume).
+    """
+    lab = labels.select("id", F.col("label").cast("string").alias("label"))
+    a = lab.select(F.col("id").alias("src"), F.col("label").alias("_sl"))
+    b = lab.select(F.col("id").alias("dst"), F.col("label").alias("_dl"))
+    e = (
+        graph.edges.join(a, "src", "left").join(b, "dst", "left")
+        .select(
+            F.coalesce("_sl", F.col("src").cast("string")).alias("src_label"),
+            F.coalesce("_dl", F.col("dst").cast("string")).alias("dst_label"),
+        )
+    )
+    if not keep_internal:
+        e = e.filter(F.col("src_label") != F.col("dst_label"))
+    return (
+        e.groupBy(F.col("src_label").alias("src"),
+                  F.col("dst_label").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )

@@ -126,8 +126,10 @@ sssp(iter, id, distance, nchanged) AS (
 # label propagation (mirrors algos/label_propagation.py, 10-superstep cap)
 # ---------------------------------------------------------------------------
 
-def sql_lpa(max_supersteps: int = 10) -> str:
-    rec = f"""
+def _lpa_rec(max_supersteps: int = 10) -> str:
+    """LPA recursion (mirrors algos/label_propagation.py) — reused by
+    the labels query and the community-graph contraction oracle."""
+    return f"""
 lpa(iter, id, label, nchanged) AS (
   SELECT 0, id, CAST(id AS VARCHAR), CAST(1 AS BIGINT) FROM verts
   UNION ALL
@@ -149,9 +151,24 @@ lpa(iter, id, label, nchanged) AS (
     WHERE p.nchanged > 0 AND p.iter < {max_supersteps}
   )
 )"""
-    return (_rec(_VERTS, _SYM, rec)
+
+
+def sql_lpa(max_supersteps: int = 10) -> str:
+    return (_rec(_VERTS, _SYM, _lpa_rec(max_supersteps))
             + "SELECT id, label FROM lpa "
               "WHERE iter = (SELECT max(iter) FROM lpa)")
+
+
+def sql_contract_by_lpa(max_supersteps: int = 10) -> str:
+    """Twin of operators/graph_ops.contract_graph over the LPA
+    communities: count original directed edges between distinct final
+    labels (every vertex is labeled, so no singleton fallback arm)."""
+    return (_rec(_VERTS, _SYM, _lpa_rec(max_supersteps)) + """
+, lfin AS (SELECT id, label FROM lpa
+           WHERE iter = (SELECT max(iter) FROM lpa))
+SELECT a.label AS src, b.label AS dst, CAST(count(*) AS BIGINT) AS w
+FROM edges e JOIN lfin a ON e.src = a.id JOIN lfin b ON e.dst = b.id
+WHERE a.label <> b.label GROUP BY 1, 2""")
 
 
 # ---------------------------------------------------------------------------

@@ -223,3 +223,29 @@ def test_partition_balance_reports_imbalance(spark):
     b2 = partition_balance(skewed)
     # AQE-free repartition by a constant: everything in one partition
     assert b2["max"] == 1000
+
+
+def test_contract_graph_golden(spark, fixture_graph):
+    from graphlab_spark.operators.graph_ops import contract_graph
+    # label 0,1,2 -> "a"; 3,5 -> "b"; contraction counts directed edges
+    # between distinct labels: a->b = (0,5)+(1,5)+(2,5)=3, b->a = none,
+    # internal a: (1,0),(2,0); internal b: (3,5)... wait (3,0) is b->a.
+    labels = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (5, "b")], "id long, label string")
+    got = {(r.src, r.dst): r.w for r in contract_graph(fixture_graph, labels).collect()}
+    # edges: (0,5) a->b, (1,0) a->a, (1,5) a->b, (2,0) a->a, (2,5) a->b,
+    #        (3,0) b->a, (3,5) b->b
+    assert got == {("a", "b"): 3, ("b", "a"): 1}
+    with_self = {(r.src, r.dst): r.w for r in
+                 contract_graph(fixture_graph, labels, keep_internal=True).collect()}
+    assert with_self == {("a", "b"): 3, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 1}
+
+
+def test_contract_graph_unlabeled_fallback(spark, fixture_graph):
+    from graphlab_spark.operators.graph_ops import contract_graph
+    # vertex 5 unlabeled -> keeps its own id as singleton label
+    labels = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "a")], "id long, label string")
+    got = {(r.src, r.dst): r.w for r in contract_graph(fixture_graph, labels).collect()}
+    # (0,5),(1,5),(2,5),(3,5) all cross a->5; (1,0),(2,0),(3,0) internal
+    assert got == {("a", "5"): 4}
