@@ -42,7 +42,11 @@ from graphlab_spark.functions import similarity as S
 from graphlab_spark.functions import text as T
 from graphlab_spark import oracles as O
 from graphlab_spark.sources.events import EDGES_CTES, events_graph
-from graphlab_spark.sources.transcripts import transcript_ctes
+from graphlab_spark.sources.transcripts import (
+    transcript_ctes,
+    sql_tool_transitions as _sql_tool_transitions,
+    sql_turn_latency_by_role as _sql_turn_latency_by_role,
+)
 
 _T_N_CONVS = 400
 _T_CTES = transcript_ctes(_T_N_CONVS)
@@ -684,6 +688,20 @@ def q_transcript_pagerank_iter2(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_tool_transitions(spark, sf_dir):
+    """Markov transition matrix over consecutive tool calls per
+    conversation (window lag on the ingest clustering key + tiny agg)."""
+    from graphlab_spark.sources.transcripts import tool_transitions
+    return tool_transitions(_transcripts(spark, sf_dir))
+
+
+def q_turn_latency(spark, sf_dir):
+    """Inter-turn latency stats per responding role (exact interpolated
+    median so the DuckDB twin hash-matches)."""
+    from graphlab_spark.sources.transcripts import turn_latency_by_role
+    return turn_latency_by_role(_transcripts(spark, sf_dir))
+
+
 def q_contract_lpa(spark, sf_dir):
     """Community-graph coarsening: LPA labels → supernode edge table
     with inter-community edge counts (multilevel primitive)."""
@@ -806,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_edges": q_transcript_edges,
         "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
         "transcript_conv_stats": q_transcript_conv_stats,
+        "transcript_tool_transitions": q_tool_transitions,
+        "transcript_turn_latency": q_turn_latency,
         "graph_contract_lpa": q_contract_lpa,
         "sim_knn_graph": q_knn_graph,
         "sim_knn_components": q_knn_components,
@@ -1061,6 +1081,10 @@ SELECT conv_id,
        CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
        max(ts_epoch) - min(ts_epoch) AS span_sec
 FROM transcripts GROUP BY conv_id""",
+        "transcript_tool_transitions":
+            f"WITH {_T_CTES}{_sql_tool_transitions()}",
+        "transcript_turn_latency":
+            f"WITH {_T_CTES}{_sql_turn_latency_by_role()}",
         "graph_contract_lpa": O.sql_contract_by_lpa(max_supersteps=10),
         "sim_knn_graph": S.sql_knn_graph(k=3),
         "sim_knn_components": S.sql_knn_components(k=3),

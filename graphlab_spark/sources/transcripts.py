@@ -342,6 +342,90 @@ def transcripts_to_edges(transcripts: DataFrame, weighted: bool = False) -> Data
     return edges
 
 
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Markov transition matrix over consecutive tool calls within each
+    conversation: ``(prev_tool, tool, n, p)`` where ``n`` counts ordered
+    tool-call pairs and ``p`` is the row-normalized transition
+    probability (rounded to 6dp for engine portability).
+
+    Scale shape: the lag window shuffles once on ``conv_id`` (the same
+    key the ingest is already clustered by), the pair count is a
+    partial+final hash agg, and the row normalization is a window over
+    ``prev_tool`` on the already-aggregated matrix — at most
+    ``n_tools²`` rows, so the second window is driver-trivial at any
+    corpus size.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool",
+                F.lag("tool").over(w).alias("prev_tool"))
+        .filter(F.col("prev_tool").isNotNull())
+    )
+    counts = pairs.groupBy("prev_tool", "tool").agg(
+        F.count("*").cast("long").alias("n"))
+    row = Window.partitionBy("prev_tool")
+    return counts.select(
+        "prev_tool", "tool", "n",
+        F.round(F.col("n") / F.sum("n").over(row), 6).alias("p"))
+
+
+def sql_tool_transitions() -> str:
+    """DuckDB twin of ``tool_transitions`` over the ``transcripts`` CTE
+    from ``transcript_ctes`` (append after the flattened WITH list)."""
+    return """
+, tcalls AS (SELECT conv_id, turn_idx, tool,
+                    lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                        AS prev_tool
+             FROM transcripts WHERE tool IS NOT NULL)
+, tmat AS (SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+           FROM tcalls WHERE prev_tool IS NOT NULL GROUP BY 1, 2)
+SELECT prev_tool, tool, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_tool) AS DOUBLE), 6) AS p
+FROM tmat"""
+
+
+def turn_latency_by_role(transcripts: DataFrame) -> DataFrame:
+    """Inter-turn latency stats per responding role: for each turn with a
+    predecessor in the same conversation, the latency is ``ts - prev_ts``;
+    grouped by the responder's role → ``(role, n, avg_sec, p50_sec,
+    max_sec)``.  Exact interpolated median (Spark ``percentile`` ==
+    ANSI ``percentile_cont``) so the DuckDB twin hash-matches.
+
+    Scale note: exact percentile materializes each group's latencies on
+    one reducer — fine for a handful of roles; swap in
+    ``percentile_approx`` when the group key is high-cardinality.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (
+        transcripts.select(
+            "role",
+            (F.col("ts").cast("long")
+             - F.lag(F.col("ts").cast("long")).over(w)).alias("d"))
+        .filter(F.col("d").isNotNull())
+    )
+    return lat.groupBy("role").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("d"), 6).alias("avg_sec"),
+        F.round(F.expr("percentile(d, 0.5)"), 6).alias("p50_sec"),
+        F.max("d").alias("max_sec"))
+
+
+def sql_turn_latency_by_role() -> str:
+    """DuckDB twin of ``turn_latency_by_role`` (ts_epoch column in the
+    synthetic CTE corpus is already epoch seconds)."""
+    return """
+, tlat AS (SELECT role,
+                  ts_epoch - lag(ts_epoch) OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS d
+           FROM transcripts)
+SELECT role, CAST(count(*) AS BIGINT) AS n,
+       round(avg(d), 6) AS avg_sec,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY d), 6) AS p50_sec,
+       max(d) AS max_sec
+FROM tlat WHERE d IS NOT NULL GROUP BY role"""
+
+
 def verify_turn_order_invariant(transcripts: DataFrame) -> int:
     """Per-turn text equality under stable turn ordering: re-derive the
     expected text from (conv_id, turn_idx) and count mismatches (must be 0

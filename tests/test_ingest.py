@@ -171,3 +171,43 @@ def test_portable_edges_isomorphic_to_hash_edges(spark):
             r["count"] for r in e.groupBy("src").count().collect())
 
     assert degree_multiset(a) == degree_multiset(b)
+
+
+def test_tool_transitions_golden(spark):
+    from graphlab_spark.sources.transcripts import tool_transitions
+    rows = [
+        # conv x: tool sequence grep -> sed -> grep (two transitions)
+        ("x", 0, "user", "t", None, 100), ("x", 1, "assistant", "t", "grep", 101),
+        ("x", 2, "user", "t", None, 102), ("x", 3, "assistant", "t", "sed", 103),
+        ("x", 4, "user", "t", None, 104), ("x", 5, "assistant", "t", "grep", 105),
+        # conv y: grep -> grep (self-transition); first call has no prev
+        ("y", 0, "assistant", "t", "grep", 200), ("y", 1, "assistant", "t", "grep", 201),
+        # conv z: single call -> contributes nothing
+        ("z", 0, "assistant", "t", "awk", 300),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts long")
+    got = {(r.prev_tool, r.tool): (r.n, r.p)
+           for r in tool_transitions(t).collect()}
+    assert got == {
+        ("grep", "sed"): (1, 0.5), ("grep", "grep"): (1, 0.5),
+        ("sed", "grep"): (1, 1.0),
+    }
+
+
+def test_turn_latency_by_role_golden(spark):
+    from graphlab_spark.sources.transcripts import turn_latency_by_role
+    rows = [
+        ("x", 0, "user", "t", None, 100),
+        ("x", 1, "assistant", "t", None, 103),   # assistant lat 3
+        ("x", 2, "user", "t", None, 110),        # user lat 7
+        ("y", 0, "user", "t", None, 500),        # no predecessor
+        ("y", 1, "assistant", "t", None, 505),   # assistant lat 5
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts long")
+    got = {r.role: (r.n, r.avg_sec, r.p50_sec, r.max_sec)
+           for r in turn_latency_by_role(t).collect()}
+    assert got == {"assistant": (2, 4.0, 4.0, 5), "user": (1, 7.0, 7.0, 7)}
