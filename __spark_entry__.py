@@ -648,6 +648,13 @@ def q_pack_sequences(spark, sf_dir):
     return C.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_quality_buckets(spark, sf_dir):
+    """Data-mixing table: LM-quality quantile buckets with per-bucket
+    doc/token mass (exact-ntile verification mode; the scale path uses
+    approxQuantile boundaries instead of a global window)."""
+    return C.quality_buckets(_docs(spark, sf_dir))
+
+
 def q_cosine_dup_clusters(spark, sf_dir):
     return S.cosine_dup_clusters(_emb(spark, sf_dir))
 
@@ -820,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_scrub_pii": q_scrub_pii,
         "curation_decontaminate": q_decontaminate,
         "curation_pack_sequences": q_pack_sequences,
+        "curation_quality_buckets": q_quality_buckets,
         "transcript_corpus": q_transcript_corpus,
         "transcript_edges": q_transcript_edges,
         "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
@@ -1007,6 +1015,7 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "curation_decontaminate": C.sql_decontaminate(
             "doc_id % 10 <> 0", "doc_id % 10 = 0"),
         "curation_pack_sequences": C.sql_pack_sequences(),
+        "curation_quality_buckets": C.sql_quality_buckets(),
         "sim_ann_topk_brute": S.sql_ann_topk_brute(),
         "multimodal_media_stats": M.sql_media_stats(),
         "cluster_kmeans_assign1": """

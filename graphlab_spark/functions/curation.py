@@ -309,3 +309,75 @@ SELECT doc_id, {t3} AS text,
        CAST(len(regexp_extract_all({t1}, '{PHONE_RE}')) AS BIGINT) AS n_phones,
        CAST(len(regexp_extract_all({t2}, '{IPV4_RE}')) AS BIGINT) AS n_ips
 FROM {table}"""
+
+
+N_QUALITY_BUCKETS = 4
+
+
+def quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS,
+                    portable: bool = True) -> DataFrame:
+    """Data-mixing table: bucket documents by corpus-relative language
+    -model quality (char-bigram ``avg_logp`` from
+    ``text.char_bigram_lm_scores``) quantile, and report per bucket the
+    document count, whitespace-token mass, and score bounds — the table
+    a curation pipeline ends with before assigning per-bucket sampling
+    weights.  Documents too short to score (< 1 bigram) are excluded.
+
+    ``portable=True`` (verification mode): exact ``ntile`` over
+    ``(avg_logp, doc_id)`` — a single global-order window, replayed
+    verbatim by the DuckDB twin.  ``portable=False`` (scale path):
+    bucket boundaries come from ``approxQuantile`` (Greenwald-Khanna,
+    one aggregation, ``n_buckets - 1`` doubles collected to the driver
+    and folded back as literal range predicates), so no global sort
+    exists at any corpus size; boundary-tied documents may land one
+    bucket off versus exact ntile, which mixing weights tolerate.
+
+    Returns ``(bucket, n_docs, n_tokens, min_logp, max_logp)``.
+    """
+    from .text import char_bigram_lm_scores
+
+    toks = docs.select("doc_id", ws_token_count(F.col("text")).alias("n_toks"))
+    scored = (
+        char_bigram_lm_scores(docs)
+        .filter(F.col("avg_logp").isNotNull())
+        .join(toks, "doc_id")
+    )
+    if portable:
+        w = Window.orderBy("avg_logp", "doc_id")
+        bucketed = scored.select(
+            F.ntile(n_buckets).over(w).alias("bucket"), "n_toks", "avg_logp")
+    else:
+        cuts = scored.approxQuantile(
+            "avg_logp", [i / n_buckets for i in range(1, n_buckets)], 1e-4)
+        expr = F.lit(n_buckets)
+        for i in range(n_buckets - 1, 0, -1):
+            expr = F.when(F.col("avg_logp") <= F.lit(cuts[i - 1]),
+                          F.lit(i)).otherwise(expr)
+        bucketed = scored.select(expr.alias("bucket"), "n_toks", "avg_logp")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_toks").cast("long").alias("n_tokens"),
+             F.round(F.min("avg_logp"), 6).alias("min_logp"),
+             F.round(F.max("avg_logp"), 6).alias("max_logp"))
+    )
+
+
+def sql_quality_buckets(n_buckets: int = N_QUALITY_BUCKETS,
+                        table: str = "documents") -> str:
+    """DuckDB twin of ``quality_buckets(portable=True)``."""
+    from .text import sql_char_bigram_lm_scores
+
+    lm = sql_char_bigram_lm_scores(table=table)
+    return f"""
+WITH qtoks AS (SELECT doc_id, {sql_ws_token_count('text')} AS n_toks
+               FROM {table}),
+qb AS (SELECT ntile({n_buckets}) OVER (ORDER BY s.avg_logp, s.doc_id)
+              AS bucket, t.n_toks, s.avg_logp
+       FROM ({lm}) s JOIN qtoks t ON t.doc_id = s.doc_id
+       WHERE s.avg_logp IS NOT NULL)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(min(avg_logp), 6) AS min_logp,
+       round(max(avg_logp), 6) AS max_logp
+FROM qb GROUP BY bucket"""

@@ -182,3 +182,37 @@ def test_pack_sequences_partition_invariant(spark):
     b = sorted(map(tuple,
                    pack_sequences(df.repartition(13), budget=8).collect()))
     assert a == b
+
+
+def test_quality_buckets_separates_garbled(spark):
+    from graphlab_spark.functions.curation import quality_buckets
+    normal = [(i, "the quick brown fox jumps over the lazy dog again and again")
+              for i in range(8)]
+    garbled = [(100 + i, "zq xj qz jx zx qj zzqq xxjj " * 2) for i in range(4)]
+    docs = spark.createDataFrame(normal + garbled, "doc_id long, text string")
+    got = {r.bucket: r for r in quality_buckets(docs, n_buckets=2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_docs + got[2].n_docs == 12
+    # bucket 1 = lowest avg_logp: the 4 garbled docs (plus 2 normal —
+    # ntile(2) on 12 docs splits 6/6, so the boundary lands mid-normal)
+    assert got[1].n_docs == 6 and got[2].n_docs == 6
+    assert got[1].min_logp < got[2].min_logp          # garbled at the bottom
+    assert got[1].max_logp <= got[2].min_logp         # ordered buckets
+    # token mass preserved across buckets
+    total_toks = got[1].n_tokens + got[2].n_tokens
+    assert total_toks == sum(len(t.split()) for _, t in normal + garbled)
+
+
+def test_quality_buckets_scale_path_close_to_exact(spark):
+    from graphlab_spark.functions.curation import quality_buckets
+    rows = [(i, f"doc number {i} with some shared words and filler " * (1 + i % 3))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r.bucket: r.n_docs
+             for r in quality_buckets(docs, n_buckets=4).collect()}
+    approx = {r.bucket: r.n_docs
+              for r in quality_buckets(docs, n_buckets=4,
+                                       portable=False).collect()}
+    assert sum(exact.values()) == sum(approx.values()) == 40
+    for b in exact:
+        assert abs(exact[b] - approx.get(b, 0)) <= 3  # boundary ties only
