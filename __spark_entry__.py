@@ -718,6 +718,19 @@ def q_contract_lpa(spark, sf_dir):
     return contract_graph(g, labels)
 
 
+_INGRESS_SPECS = [("random", 16), ("grid", 16), ("pds", 13), ("hybrid", 16)]
+
+
+def q_ingress_report(spark, sf_dir):
+    """Vertex-cut ingress finalize summary (replication factor +
+    edge balance) for each placement strategy over the events graph
+    (``distributed_ingress_base.hpp:538-550``; grid/pds constraints
+    from ``sharding_constraint.hpp``)."""
+    from graphlab_spark.operators.ingress import ingress_report
+    g = _graph(spark, sf_dir)
+    return ingress_report(g.edges, _INGRESS_SPECS, threshold=100)
+
+
 def q_knn_graph(spark, sf_dir):
     """Exact k-NN cosine graph over the embeddings table (the bridge
     from embedding space into the link-graph toolkit)."""
@@ -835,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_transitions": q_tool_transitions,
         "transcript_turn_latency": q_turn_latency,
         "graph_contract_lpa": q_contract_lpa,
+        "graph_ingress_report": q_ingress_report,
         "sim_knn_graph": q_knn_graph,
         "sim_knn_components": q_knn_components,
     }
@@ -843,6 +857,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
+
+def _sql_ingress_report_oracle() -> str:
+    from graphlab_spark.operators.ingress import sql_ingress_report
+    return (
+        f"WITH {EDGES_CTES} "
+        + sql_ingress_report(_INGRESS_SPECS, threshold=100)
+    )
+
 
 _GRAPH_PRELUDE = f"""
 WITH {EDGES_CTES},
@@ -1095,6 +1117,7 @@ FROM transcripts GROUP BY conv_id""",
         "transcript_turn_latency":
             f"WITH {_T_CTES}{_sql_turn_latency_by_role()}",
         "graph_contract_lpa": O.sql_contract_by_lpa(max_supersteps=10),
+        "graph_ingress_report": _sql_ingress_report_oracle(),
         "sim_knn_graph": S.sql_knn_graph(k=3),
         "sim_knn_components": S.sql_knn_components(k=3),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos

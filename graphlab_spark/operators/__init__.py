@@ -7,3 +7,5 @@ from .vertex_ops import (select_vertices, transform_edges, transform_vertices,
 from .vertex_program import (CC_PROGRAM, MERGES, PAGERANK_PROGRAM,
                              VertexProgram)
 from .skew import key_skew_report, partition_balance
+from .ingress import (assign_edges, ingress_report, replication_factor,
+                      sharding_constraint)

@@ -1,0 +1,196 @@
+"""Vertex-cut ingress strategies (operators/ingress.py).
+
+Mirrors the reference's ingress guarantees: grid/pds candidate sets
+are the sharding-constraint rows (``sharding_constraint.hpp``), every
+placement falls inside the joint candidate set of its endpoints'
+master shards, and the finalize metrics reproduce
+``distributed_ingress_base.hpp:538-550``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphlab_spark.operators import ingress as I
+from graphlab_spark.operators.portable import A, C, FOLD, M
+from graphlab_spark.sources.parsers import load_synthetic_powerlaw
+
+
+def py_lcg(x: int) -> int:
+    x = (x % M + M) % M
+    x = (x * A + C) % M
+    return (x * A + C) % M
+
+
+def py_edge_hash(u: int, v: int) -> int:
+    return py_lcg(((u % M + M) % M) * FOLD + ((v % M + M) % M))
+
+
+# ---------------------------------------------------------------------------
+# constraint construction
+# ---------------------------------------------------------------------------
+
+def test_grid_dims_mirror_reference():
+    assert I.grid_dims(16) == (4, 4)
+    assert I.grid_dims(12) == (3, 4)
+    assert I.grid_dims(6) == (2, 3)
+    assert I.grid_dims(8) == (2, 4)
+    with pytest.raises(ValueError):
+        I.grid_dims(7)
+
+
+def test_perfect_difference_set_property():
+    for p in (2, 3, 4, 5):
+        n = p * p + p + 1
+        D = I.perfect_difference_set(p)
+        assert len(D) == p + 1
+        diffs = [(a - b) % n for a in D for b in D if a != b]
+        assert sorted(diffs) == list(range(1, n))  # each residue once
+
+
+def test_pds_p_and_incompatible():
+    assert I.pds_p(13) == 3
+    assert I.pds_p(21) == 4
+    with pytest.raises(ValueError):
+        I.pds_p(12)
+
+
+@pytest.mark.parametrize("nshards,method", [(16, "grid"), (12, "grid"), (13, "pds")])
+def test_joint_candidates_nonempty_and_bounded(nshards, method):
+    joint = I.joint_candidates(nshards, method)
+    A_ = I.sharding_constraint(nshards, method)
+    bound = max(len(a) for a in A_)
+    for (i, j), cands in joint.items():
+        assert cands
+        assert len(cands) <= bound
+        assert set(cands) <= set(A_[i]) & set(A_[j])
+
+
+# ---------------------------------------------------------------------------
+# placements (Spark) replay the Python model
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_edges(spark):
+    e = load_synthetic_powerlaw(spark, 300, seed=7)
+    return e.persist(), [(r.src, r.dst) for r in e.collect()]
+
+
+def test_random_matches_hash_formula(spark, small_edges):
+    df, rows = small_edges
+    got = {
+        (r.src, r.dst): r.shard
+        for r in I.assign_edges(df, 16, "random").collect()
+    }
+    for u, v in rows:
+        assert got[(u, v)] == py_edge_hash(min(u, v), max(u, v)) % 16
+
+
+@pytest.mark.parametrize("nshards,method", [(16, "grid"), (13, "pds")])
+def test_constrained_placement_in_joint_set(spark, small_edges, nshards, method):
+    df, rows = small_edges
+    joint = I.joint_candidates(nshards, method)
+    got = {
+        (r.src, r.dst): r.shard
+        for r in I.assign_edges(df, nshards, method).collect()
+    }
+    for u, v in rows:
+        su, sv = py_lcg(u) % nshards, py_lcg(v) % nshards
+        cands = joint[(su, sv)]
+        h = py_edge_hash(min(u, v), max(u, v))
+        assert got[(u, v)] == cands[h % len(cands)]
+
+
+def test_constrained_large_nshards_join_path(spark, small_edges):
+    """nshards > 64 exercises the broadcast-join lookup; must agree
+    with the same Python model as the literal-array path."""
+    df, rows = small_edges
+    nshards = 144  # 12x12 grid
+    joint = I.joint_candidates(nshards, "grid")
+    out = I.assign_edges(df, nshards, "grid")
+    assert out.columns == df.columns + ["shard"]
+    got = {(r.src, r.dst): r.shard for r in out.collect()}
+    assert len(got) == len(set(rows))
+    for u, v in set(rows):
+        su, sv = py_lcg(u) % nshards, py_lcg(v) % nshards
+        cands = joint[(su, sv)]
+        h = py_edge_hash(min(u, v), max(u, v))
+        assert got[(u, v)] == cands[h % len(cands)]
+
+
+def test_hybrid_threshold_split(spark):
+    # hub vertex 0 with in-degree 6 (> threshold 3); leaves in-degree 1
+    edges = [(i, 0) for i in range(1, 7)] + [(10, 20), (11, 21), (12, 22)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.src, r.dst): r.shard
+           for r in I.assign_edges(df, 8, "hybrid", threshold=3).collect()}
+    for u, v in edges:
+        if v == 0:  # high-degree dst: cut the hub, hash by src
+            assert got[(u, v)] == py_lcg(u) % 8
+        else:       # low-degree dst: place at dst master
+            assert got[(u, v)] == py_lcg(v) % 8
+
+
+# ---------------------------------------------------------------------------
+# finalize metrics
+# ---------------------------------------------------------------------------
+
+def test_replication_factor_hand_check(spark):
+    # 2 shards: vertex 1 appears on both (lambda contribution 2),
+    # vertices 2,3,4 on one each -> nreplicas 5, lambda 5/4
+    df = spark.createDataFrame(
+        [(1, 2, 0), (1, 3, 1), (1, 4, 1)], "src long, dst long, shard int"
+    )
+    row = I.replication_factor(df).collect()[0]
+    assert row.nreplicas == 5
+    assert row.replication_factor == pytest.approx(5 / 4)
+    # shard edge counts 1 and 2 -> balance = 2 / 1.5
+    assert row.edge_balance == pytest.approx(2 / 1.5)
+
+
+def test_grid_lambda_bounded_and_below_random(spark):
+    e = load_synthetic_powerlaw(spark, 2000, seed=3)
+    e = e.persist()
+    rep = {
+        r.strategy: r
+        for r in I.ingress_report(
+            e, [("random", 16), ("grid", 16), ("hybrid", 16)], threshold=50
+        ).collect()
+    }
+    e.unpersist()
+    nrows, ncols = I.grid_dims(16)
+    # hard bound: a vertex's replicas live inside its constraint row
+    assert rep["grid"].replication_factor <= nrows + ncols - 1
+    # the whole point of constrained ingress: fewer replicas than random
+    assert rep["grid"].replication_factor < rep["random"].replication_factor
+    # hybrid cuts only hubs -> lowest lambda on a power-law graph
+    assert rep["hybrid"].replication_factor < rep["random"].replication_factor
+    for r in rep.values():
+        assert r.edge_balance >= 1.0
+
+
+def test_report_sql_twin_matches(spark, small_edges):
+    import duckdb
+
+    df, rows = small_edges
+    specs = [("random", 16), ("grid", 16), ("pds", 13), ("hybrid", 16)]
+    got = sorted(
+        (r.strategy, r.nshards, r.nreplicas, r.replication_factor, r.edge_balance)
+        for r in I.ingress_report(df, specs, threshold=5).collect()
+    )
+    con = duckdb.connect()
+    con.register("edges_src", df.toPandas())
+    con.execute("CREATE VIEW edges AS SELECT * FROM edges_src")
+    want = sorted(
+        tuple(t) for t in
+        con.execute(I.sql_ingress_report(specs, threshold=5)).fetchall()
+    )
+    assert got == want
+
+
+def test_unknown_strategy_raises(spark, small_edges):
+    df, _ = small_edges
+    with pytest.raises(ValueError):
+        I.assign_edges(df, 16, "oblivious")
+    with pytest.raises(ValueError):
+        I.sql_assign_edges(16, "oblivious")
