@@ -188,6 +188,31 @@ def test_report_sql_twin_matches(spark, small_edges):
     assert got == want
 
 
+@pytest.mark.parametrize("nshards,strategy", [(16, "random"), (16, "grid"), (13, "pds")])
+def test_stateless_assignment_adds_no_shuffle(spark, small_edges, nshards, strategy):
+    """random/grid/pds placement is a pure projection over the edge
+    scan — at 100 TB the shard decision must ride the scan, never
+    re-partition the edges to decide where they go."""
+    df, _ = small_edges
+    plan = (
+        I.assign_edges(df, nshards, strategy)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_large_grid_uses_broadcast_join(spark, small_edges):
+    """The nshards > 64 candidate lookup must broadcast the tiny joint
+    table, never shuffle the edges against it."""
+    df, _ = small_edges
+    plan = (
+        I.assign_edges(df, 144, "grid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
 def test_unknown_strategy_raises(spark, small_edges):
     df, _ = small_edges
     with pytest.raises(ValueError):
