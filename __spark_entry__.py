@@ -718,6 +718,47 @@ def q_contract_lpa(spark, sf_dir):
     return contract_graph(g, labels)
 
 
+def q_transcript_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization: the verification corpus has fixed
+    1 s turn spacing, so the query plants deterministic cumulative
+    2-hour gaps (portable hash, monotone ts preserved) and then splits
+    on gap > 1 h; per-session turn counts + spans are value-oracled."""
+    from pyspark.sql import Window
+    from graphlab_spark.operators.portable import lcg_hash
+    from graphlab_spark.sources.transcripts import session_stats, sessionize
+    t = _transcripts(spark, sf_dir)
+    ci = F.expr("CAST(substr(conv_id, 2) AS BIGINT)")
+    flag = F.when(lcg_hash(ci * 97 + F.col("turn_idx")) % 5 == 0, 1).otherwise(0)
+    w = (
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    jit = t.withColumn(
+        "ts",
+        F.timestamp_seconds(F.col("ts").cast("long") + 7200 * F.sum(flag).over(w)),
+    )
+    return session_stats(sessionize(jit, gap_seconds=3600))
+
+
+def q_transcript_near_dups(spark, sf_dir):
+    """Conversation-level near-dup detection: transcripts →
+    one document per conversation (ordered text concat) → MinHash-LSH
+    verified pairs — the end-to-end composition of the payload bridge
+    with the dedup pipeline.  The synthetic corpus has no organic
+    near-dups (conv-id digits permeate every shingle), so the query
+    plants them: every 5th conversation also appears as a mutated copy
+    (last token dropped, doc_id 'm'-prefixed); long conversations must
+    pair with their originals, short ones must not."""
+    from graphlab_spark.sources.transcripts import transcripts_to_documents
+    docs = transcripts_to_documents(_transcripts(spark, sf_dir))
+    ci = F.expr("CAST(substr(doc_id, 2) AS BIGINT)")
+    mutated = docs.filter(ci % 5 == 0).select(
+        F.concat(F.lit("m"), "doc_id").alias("doc_id"),
+        F.regexp_replace("text", " [^ ]*$", "").alias("text"),
+    )
+    return D.minhash_lsh_pairs(docs.unionAll(mutated), portable=True)
+
+
 _INGRESS_SPECS = [("random", 16), ("grid", 16), ("pds", 13), ("hybrid", 16)]
 
 
@@ -847,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_conv_stats": q_transcript_conv_stats,
         "transcript_tool_transitions": q_tool_transitions,
         "transcript_turn_latency": q_turn_latency,
+        "transcript_sessions": q_transcript_sessions,
+        "transcript_near_dups": q_transcript_near_dups,
         "graph_contract_lpa": q_contract_lpa,
         "graph_ingress_report": q_ingress_report,
         "sim_knn_graph": q_knn_graph,
@@ -857,6 +900,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
+
+def _sql_transcript_sessions_oracle() -> str:
+    from graphlab_spark.operators.portable import sql_lcg_hash
+    from graphlab_spark.sources.transcripts import sql_sessionize
+    flag = (
+        f"CASE WHEN {sql_lcg_hash('(p.ci * 97 + p.turn_idx)')} % 5 = 0 "
+        "THEN 1 ELSE 0 END"
+    )
+    return f"""WITH {_T_CTES},
+tjit AS (SELECT p.conv_id, p.turn_idx,
+                p.ts_epoch + 7200 * sum({flag})
+                  OVER (PARTITION BY p.conv_id ORDER BY p.turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS ts_epoch
+         FROM (SELECT CAST(substr(conv_id, 2) AS BIGINT) AS ci, *
+               FROM transcripts) p),
+tsess AS ({sql_sessionize(3600, "tjit")})
+SELECT conv_id, session_idx, CAST(count(*) AS BIGINT) AS n_turns,
+       max(ts_epoch) - min(ts_epoch) AS span_sec
+FROM tsess GROUP BY conv_id, session_idx"""
+
+
+def _sql_transcript_near_dups_oracle() -> str:
+    from graphlab_spark.sources.transcripts import sql_transcripts_to_documents
+    return (
+        f"WITH {_T_CTES}, tbase AS ({sql_transcripts_to_documents()}), "
+        "tdocs AS (SELECT doc_id, text FROM tbase "
+        "UNION ALL "
+        "SELECT 'm' || doc_id AS doc_id, "
+        "regexp_replace(text, ' [^ ]*$', '') AS text "
+        "FROM tbase WHERE CAST(substr(doc_id, 2) AS BIGINT) % 5 = 0) "
+        f"SELECT * FROM ({D.sql_minhash_lsh_pairs(table='tdocs')}) q"
+    )
+
 
 def _sql_ingress_report_oracle() -> str:
     from graphlab_spark.operators.ingress import sql_ingress_report
@@ -1116,6 +1192,8 @@ FROM transcripts GROUP BY conv_id""",
             f"WITH {_T_CTES}{_sql_tool_transitions()}",
         "transcript_turn_latency":
             f"WITH {_T_CTES}{_sql_turn_latency_by_role()}",
+        "transcript_sessions": _sql_transcript_sessions_oracle(),
+        "transcript_near_dups": _sql_transcript_near_dups_oracle(),
         "graph_contract_lpa": O.sql_contract_by_lpa(max_supersteps=10),
         "graph_ingress_report": _sql_ingress_report_oracle(),
         "sim_knn_graph": S.sql_knn_graph(k=3),

@@ -426,6 +426,80 @@ SELECT role, CAST(count(*) AS BIGINT) AS n,
 FROM tlat WHERE d IS NOT NULL GROUP BY role"""
 
 
+def sessionize(transcripts: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Split each conversation into sessions on inactivity gaps.
+
+    A turn starts a new session when it has no predecessor or when
+    ``ts - prev_ts > gap_seconds``; the added ``session_idx`` column is
+    the 0-based running session number within the conversation.
+
+    Scale note: one bounded window per ``conv_id`` (same distribution
+    the sequence-edge induction already shuffles on); the running sum
+    rides the identical sort, so sessionizing a 10^12-turn table costs
+    one shuffle shared with every other per-conversation operator.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("long")
+    delta = epoch - F.lag(epoch).over(w)
+    is_new = F.when(delta.isNull() | (delta > gap_seconds), 1).otherwise(0)
+    running = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return transcripts.withColumn("session_idx", (running - 1).cast("int"))
+
+
+def session_stats(sessionized: DataFrame) -> DataFrame:
+    """Per (conv_id, session_idx): turn count and wall-clock span."""
+    epoch = F.col("ts").cast("long")
+    return sessionized.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max(epoch) - F.min(epoch)).alias("span_sec"),
+    )
+
+
+def sql_sessionize(
+    gap_seconds: int = 1800, source: str = "transcripts", epoch: str = "ts_epoch"
+) -> str:
+    """ANSI twin of ``sessionize`` (SELECT; epoch column is seconds)."""
+    return f"""
+SELECT d.*, CAST(sum(CASE WHEN d.delta IS NULL OR d.delta > {gap_seconds}
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY d.conv_id ORDER BY d.turn_idx
+                       ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+FROM (SELECT s.*, {epoch} - lag({epoch}) OVER (PARTITION BY s.conv_id
+                                               ORDER BY s.turn_idx) AS delta
+      FROM {source} s) d"""
+
+
+def transcripts_to_documents(transcripts: DataFrame) -> DataFrame:
+    """Bridge into the document pipeline: one document per conversation,
+    text = turn texts joined by single spaces under stable
+    (conv_id, turn_idx) ordering → ``(doc_id, text)``.
+
+    This is what lets every corpus operator (exact/MinHash/SimHash
+    dedup, quality scoring, decontamination, packing) run over
+    transcript data: conversations become documents.  Pure
+    aggregate-of-struct work — the sort happens inside
+    ``array_sort`` per group, never as a global sort.
+    """
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda x: x["text"],
+    )
+    return transcripts.groupBy(F.col("conv_id").alias("doc_id")).agg(
+        F.array_join(ordered, " ").alias("text")
+    )
+
+
+def sql_transcripts_to_documents(source: str = "transcripts") -> str:
+    """ANSI twin of ``transcripts_to_documents`` (SELECT)."""
+    return (
+        "SELECT conv_id AS doc_id, "
+        "string_agg(text, ' ' ORDER BY turn_idx) AS text "
+        f"FROM {source} GROUP BY conv_id"
+    )
+
+
 def verify_turn_order_invariant(transcripts: DataFrame) -> int:
     """Per-turn text equality under stable turn ordering: re-derive the
     expected text from (conv_id, turn_idx) and count mismatches (must be 0

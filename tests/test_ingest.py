@@ -211,3 +211,59 @@ def test_turn_latency_by_role_golden(spark):
     got = {r.role: (r.n, r.avg_sec, r.p50_sec, r.max_sec)
            for r in turn_latency_by_role(t).collect()}
     assert got == {"assistant": (2, 4.0, 4.0, 5), "user": (1, 7.0, 7.0, 7)}
+
+
+def test_sessionize_golden(spark):
+    from graphlab_spark.sources.transcripts import session_stats, sessionize
+    rows = [
+        # conv x: gap after turn 1 (ts 100,101, 5000,5001), gap after 3
+        ("x", 0, "user", "t", None, 100),
+        ("x", 1, "assistant", "t", None, 101),
+        ("x", 2, "user", "t", None, 5000),
+        ("x", 3, "assistant", "t", None, 5001),
+        ("x", 4, "user", "t", None, 99999),
+        # conv y: no gaps
+        ("y", 0, "user", "t", None, 10),
+        ("y", 1, "assistant", "t", None, 20),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts long")
+    got = {(r.conv_id, r.turn_idx): r.session_idx
+           for r in sessionize(t, gap_seconds=1800).collect()}
+    assert got == {("x", 0): 0, ("x", 1): 0, ("x", 2): 1, ("x", 3): 1,
+                   ("x", 4): 2, ("y", 0): 0, ("y", 1): 0}
+    stats = {(r.conv_id, r.session_idx): (r.n_turns, r.span_sec)
+             for r in session_stats(sessionize(t, gap_seconds=1800)).collect()}
+    assert stats == {("x", 0): (2, 1), ("x", 1): (2, 1), ("x", 2): (1, 0),
+                     ("y", 0): (2, 10)}
+
+
+def test_sessionize_boundary_is_strict(spark):
+    """delta == gap stays in the session; delta == gap+1 splits."""
+    from graphlab_spark.sources.transcripts import sessionize
+    rows = [("c", 0, "user", "t", None, 0),
+            ("c", 1, "user", "t", None, 30),
+            ("c", 2, "user", "t", None, 61)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts long")
+    got = {r.turn_idx: r.session_idx
+           for r in sessionize(t, gap_seconds=30).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_transcripts_to_documents_ordering(spark):
+    """Turn order must come from turn_idx, not input row order."""
+    from graphlab_spark.sources.transcripts import transcripts_to_documents
+    rows = [  # deliberately shuffled input order
+        ("a", 2, "user", "gamma", None, 3),
+        ("a", 0, "user", "alpha", None, 1),
+        ("b", 0, "user", "solo", None, 9),
+        ("a", 1, "assistant", "beta", None, 2),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts long").repartition(4)
+    got = {r.doc_id: r.text for r in transcripts_to_documents(t).collect()}
+    assert got == {"a": "alpha beta gamma", "b": "solo"}
