@@ -92,6 +92,59 @@ def stream_exact_dedup(
     )
 
 
+def stream_session_stats(
+    transcripts: DataFrame, gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: per-(conv_id, session) turn counts via
+    Spark's native ``session_window`` — the engine-managed streaming
+    twin of ``sources.transcripts.sessionize``.
+
+    Returns (conv_id, session_start, session_end, n_turns, span_sec).
+    A session closes once the watermark passes its last event + gap,
+    so state is bounded and closed sessions emit exactly once in
+    append mode.
+
+    Boundary semantics differ from the batch operator by strictness:
+    ``session_window`` merges two turns when ``delta < gap`` (windows
+    must overlap), while batch ``sessionize`` keeps ``delta == gap``
+    in the same session.  Off-boundary data (the realistic case —
+    gaps are thresholds, not exact hits) produces identical sessions;
+    the equivalence test uses gap-safe fixtures.
+    """
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            (F.col("w.end").cast("long") - F.col("w.start").cast("long"))
+            .alias("span_sec"),
+        )
+    )
+
+
+def run_session_stats_to_memory(spark, input_dir: str, checkpoint_dir: str,
+                                gap: str = "30 minutes",
+                                query_name: str = "session_stats",
+                                max_files_per_trigger: int | None = None):
+    """Drain ``input_dir`` through stream_session_stats into an
+    in-memory table (tests / interactive monitoring)."""
+    from .ingest import TRANSCRIPT_SCHEMA
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    agg = stream_session_stats(reader.parquet(input_dir), gap=gap)
+    return (
+        agg.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+
+
 def run_dedup_to_parquet(spark, input_dir: str, output_dir: str,
                          checkpoint_dir: str,
                          max_files_per_trigger: int | None = None):
