@@ -913,8 +913,7 @@ tjit AS (SELECT p.conv_id, p.turn_idx,
                 p.ts_epoch + 7200 * sum({flag})
                   OVER (PARTITION BY p.conv_id ORDER BY p.turn_idx
                         ROWS UNBOUNDED PRECEDING) AS ts_epoch
-         FROM (SELECT CAST(substr(conv_id, 2) AS BIGINT) AS ci, *
-               FROM transcripts) p),
+         FROM tparsed p),
 tsess AS ({sql_sessionize(3600, "tjit")})
 SELECT conv_id, session_idx, CAST(count(*) AS BIGINT) AS n_turns,
        max(ts_epoch) - min(ts_epoch) AS span_sec

@@ -234,13 +234,15 @@ def assign_edges(
 # ---------------------------------------------------------------------------
 
 def replication_factor(
-    assigned: DataFrame, src: str = "src", dst: str = "dst"
+    assigned: DataFrame, nshards: int, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """One row: (nreplicas, replication_factor, edge_balance).
 
     nreplicas = sum over vertices of #distinct shards touching the
     vertex; replication_factor = nreplicas / |V|; edge_balance =
-    max shard edge count / mean shard edge count (>= 1, 1 = perfect).
+    max shard edge count / (|E| / nshards) — the reference formula,
+    which counts EMPTY shards in the mean (>= 1, 1 = perfect; a
+    placement that starves shards must read as imbalanced).
     """
     pairs = (
         assigned.select(F.col(src).alias("v"), "shard")
@@ -257,7 +259,7 @@ def replication_factor(
     )
     per_shard = assigned.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
     bal = per_shard.agg(
-        F.try_divide(F.max("cnt"), F.avg("cnt")).alias("edge_balance")
+        F.try_divide(F.max("cnt") * nshards, F.sum("cnt")).alias("edge_balance")
     )
     return rep.crossJoin(bal)
 
@@ -273,7 +275,7 @@ def ingress_report(
     out = None
     for strategy, nshards in specs:
         assigned = assign_edges(edges, nshards, strategy, src, dst, threshold)
-        row = replication_factor(assigned, src, dst).select(
+        row = replication_factor(assigned, nshards, src, dst).select(
             F.lit(strategy).alias("strategy"),
             F.lit(nshards).alias("nshards"),
             F.col("nreplicas").cast("long").alias("nreplicas"),
@@ -360,7 +362,8 @@ def sql_ingress_report(
             f"SELECT src AS v, shard FROM ({assigned}) a1 "
             f"UNION ALL SELECT dst AS v, shard FROM ({assigned}) a2) u"
             ") pairs) rep, "
-            "(SELECT CAST(max(cnt) AS DOUBLE) / avg(cnt) AS edge_balance "
+            f"(SELECT CAST(max(cnt) * {nshards} AS DOUBLE) / sum(cnt) "
+            "AS edge_balance "
             f"FROM (SELECT shard, count(*) AS cnt FROM ({assigned}) a3 "
             "GROUP BY shard) ps) bal"
         )

@@ -458,14 +458,22 @@ def session_stats(sessionized: DataFrame) -> DataFrame:
 
 
 def sql_sessionize(
-    gap_seconds: int = 1800, source: str = "transcripts", epoch: str = "ts_epoch"
+    gap_seconds: int = 1800,
+    source: str = "transcripts",
+    epoch: str = "ts_epoch",
+    cols: str = "conv_id, turn_idx, ts_epoch",
 ) -> str:
-    """ANSI twin of ``sessionize`` (SELECT; epoch column is seconds)."""
+    """ANSI twin of ``sessionize`` (SELECT; epoch column is seconds).
+
+    ``cols`` lists the source columns to carry through (the helper
+    ``delta`` column is NOT leaked, matching the Spark operator's
+    schema contract of source columns + ``session_idx``)."""
     return f"""
-SELECT d.*, CAST(sum(CASE WHEN d.delta IS NULL OR d.delta > {gap_seconds}
-                          THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY d.conv_id ORDER BY d.turn_idx
-                       ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+SELECT {cols},
+       CAST(sum(CASE WHEN d.delta IS NULL OR d.delta > {gap_seconds}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY d.conv_id ORDER BY d.turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
 FROM (SELECT s.*, {epoch} - lag({epoch}) OVER (PARTITION BY s.conv_id
                                                ORDER BY s.turn_idx) AS delta
       FROM {source} s) d"""
@@ -492,10 +500,15 @@ def transcripts_to_documents(transcripts: DataFrame) -> DataFrame:
 
 
 def sql_transcripts_to_documents(source: str = "transcripts") -> str:
-    """ANSI twin of ``transcripts_to_documents`` (SELECT)."""
+    """ANSI twin of ``transcripts_to_documents`` (SELECT).
+
+    ``coalesce(..., '')`` matches Spark's ``array_join`` on an
+    all-NULL-text conversation (both engines skip NULL texts when at
+    least one is non-NULL, but ``string_agg`` of only NULLs is NULL
+    while ``array_join`` yields '')."""
     return (
         "SELECT conv_id AS doc_id, "
-        "string_agg(text, ' ' ORDER BY turn_idx) AS text "
+        "coalesce(string_agg(text, ' ' ORDER BY turn_idx), '') AS text "
         f"FROM {source} GROUP BY conv_id"
     )
 

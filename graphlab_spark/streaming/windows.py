@@ -103,7 +103,10 @@ def stream_session_stats(
     Returns (conv_id, session_start, session_end, n_turns, span_sec).
     A session closes once the watermark passes its last event + gap,
     so state is bounded and closed sessions emit exactly once in
-    append mode.
+    append mode.  ``session_end`` is the window end = last event +
+    gap (Spark's session-window convention); ``span_sec`` subtracts
+    the gap back out, so it is last event − first event, matching
+    the batch ``session_stats`` span.
 
     Boundary semantics differ from the batch operator by strictness:
     ``session_window`` merges two turns when ``delta < gap`` (windows
@@ -112,6 +115,9 @@ def stream_session_stats(
     gaps are thresholds, not exact hits) produces identical sessions;
     the equivalence test uses gap-safe fixtures.
     """
+    import pandas as pd
+
+    gap_sec = int(pd.Timedelta(gap).total_seconds())
     return (
         transcripts.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
@@ -121,14 +127,15 @@ def stream_session_stats(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_turns",
-            (F.col("w.end").cast("long") - F.col("w.start").cast("long"))
-            .alias("span_sec"),
+            (F.col("w.end").cast("long") - F.col("w.start").cast("long")
+             - F.lit(gap_sec)).alias("span_sec"),
         )
     )
 
 
 def run_session_stats_to_memory(spark, input_dir: str, checkpoint_dir: str,
                                 gap: str = "30 minutes",
+                                watermark: str = "2 hours",
                                 query_name: str = "session_stats",
                                 max_files_per_trigger: int | None = None):
     """Drain ``input_dir`` through stream_session_stats into an
@@ -137,7 +144,8 @@ def run_session_stats_to_memory(spark, input_dir: str, checkpoint_dir: str,
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    agg = stream_session_stats(reader.parquet(input_dir), gap=gap)
+    agg = stream_session_stats(reader.parquet(input_dir), gap=gap,
+                               watermark=watermark)
     return (
         agg.writeStream.format("memory").queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

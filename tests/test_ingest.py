@@ -261,9 +261,19 @@ def test_transcripts_to_documents_ordering(spark):
         ("a", 0, "user", "alpha", None, 1),
         ("b", 0, "user", "solo", None, 9),
         ("a", 1, "assistant", "beta", None, 2),
+        ("c", 0, "user", None, None, 5),  # all-NULL-text conversation
     ]
     t = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, "
               "tool string, ts long").repartition(4)
     got = {r.doc_id: r.text for r in transcripts_to_documents(t).collect()}
-    assert got == {"a": "alpha beta gamma", "b": "solo"}
+    assert got == {"a": "alpha beta gamma", "b": "solo", "c": ""}
+
+    # SQL twin agrees, including the all-NULL coalesce
+    import duckdb
+    from graphlab_spark.sources.transcripts import sql_transcripts_to_documents
+    con = duckdb.connect()
+    con.register("tsrc", t.toPandas())
+    want = dict(con.execute(
+        sql_transcripts_to_documents("tsrc")).fetchall())
+    assert want == got

@@ -141,11 +141,15 @@ def test_replication_factor_hand_check(spark):
     df = spark.createDataFrame(
         [(1, 2, 0), (1, 3, 1), (1, 4, 1)], "src long, dst long, shard int"
     )
-    row = I.replication_factor(df).collect()[0]
+    row = I.replication_factor(df, nshards=2).collect()[0]
     assert row.nreplicas == 5
     assert row.replication_factor == pytest.approx(5 / 4)
-    # shard edge counts 1 and 2 -> balance = 2 / 1.5
+    # shard edge counts 1 and 2 -> balance = max / (|E|/nshards) = 2/1.5
     assert row.edge_balance == pytest.approx(2 / 1.5)
+    # empty shards count toward the mean (reference formula): with 4
+    # declared shards and only 2 occupied, balance = 2 / (3/4)
+    row4 = I.replication_factor(df, nshards=4).collect()[0]
+    assert row4.edge_balance == pytest.approx(2 / (3 / 4))
 
 
 def test_grid_lambda_bounded_and_below_random(spark):

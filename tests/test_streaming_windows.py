@@ -80,8 +80,8 @@ def _write_turn_file(spark, in_dir, name, rows, mtime):
 def test_stream_session_stats_matches_batch(spark, tmp_path):
     """Cross-micro-batch session merging: one session's turns split
     across files must merge into a single emitted session, and every
-    closed session must equal the batch sessionize twin (streamed
-    span = batch span + gap by session_window's end = last + gap)."""
+    closed session must equal the batch sessionize twin (span_sec
+    subtracts session_window's trailing gap, so spans match)."""
     import os
     from graphlab_spark.sources.transcripts import session_stats, sessionize
     from graphlab_spark.streaming.windows import run_session_stats_to_memory
@@ -119,7 +119,7 @@ def test_stream_session_stats_matches_batch(spark, tmp_path):
         query_name="sst", max_files_per_trigger=1)
     q.awaitTermination(120)
     streamed = sorted(
-        (r.conv_id, r.ss, r.n_turns, r.span_sec - gap_s)
+        (r.conv_id, r.ss, r.n_turns, r.span_sec)
         for r in spark.sql(
             "SELECT conv_id, CAST(session_start AS BIGINT) AS ss, "
             "n_turns, span_sec FROM sst").collect()
