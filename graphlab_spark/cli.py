@@ -34,7 +34,7 @@ from .graph import EdgeGraph
 from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
-         "kcore", "sssp", "diameter", "convert", "extension")
+         "kcore", "sssp", "diameter", "convert", "extension", "ingress")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -72,6 +72,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gather-edges", default="in", choices=["in", "out", "all"])
     p.add_argument("--cores", type=int, default=None,
                    help="local[] cores when no session exists")
+    # ingress verb (vertex-cut placement diagnostics, the analog of the
+    # reference's finalize summary print)
+    p.add_argument("--strategy", default="random",
+                   help="ingress: comma-separated strategies "
+                        "(random/grid/pds/hybrid)")
+    p.add_argument("--nshards", type=int, default=16)
+    p.add_argument("--degree-threshold", type=int, default=100,
+                   help="ingress hybrid: low/high-degree cut")
     return p
 
 
@@ -116,6 +124,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "algo": "convert", "edges": g.num_edges,
             "from": args.format, "to": args.output_format,
+            "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+    if args.algo == "ingress":
+        # placement diagnostics (distributed_ingress_base.hpp:538-550):
+        # one JSON line per strategy with replication factor + balance
+        from .operators.ingress import ingress_report
+        g = _load_graph(spark, args)
+        t0 = time.time()
+        specs = [(s.strip(), args.nshards) for s in args.strategy.split(",")]
+        rows = ingress_report(g.edges, specs,
+                              threshold=args.degree_threshold).collect()
+        print(json.dumps({
+            "algo": "ingress", "edges": g.num_edges,
+            "reports": [
+                {"strategy": r.strategy, "nshards": r.nshards,
+                 "nreplicas": r.nreplicas,
+                 "replication_factor": r.replication_factor,
+                 "edge_balance": r.edge_balance}
+                for r in rows
+            ],
             "wall_sec": round(time.time() - t0, 3)}))
         return 0
     g = _load_graph(spark, args)

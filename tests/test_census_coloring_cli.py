@@ -163,3 +163,20 @@ def test_cli_extension_pagerank(spark, tmp_path, capsys):
             for r in spark.read.parquet(str(out)).collect()}
     assert abs(vals[5] - 0.6313125) < 1e-6
     assert abs(vals[0] - 0.34125) < 1e-6
+
+
+def test_cli_ingress_report(spark, tmp_path, capsys):
+    from graphlab_spark.cli import main
+    tsv = tmp_path / "edges.tsv"
+    tsv.write_text("0\t5\n1\t0\n1\t5\n2\t0\n2\t5\n3\t0\n3\t5\n")
+    rc = main(["ingress", "--input", str(tsv), "--format", "tsv",
+               "--strategy", "random,grid,hybrid", "--nshards", "4"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["algo"] == "ingress" and metrics["edges"] == 7
+    by_strategy = {r["strategy"]: r for r in metrics["reports"]}
+    assert set(by_strategy) == {"random", "grid", "hybrid"}
+    for r in by_strategy.values():
+        assert r["nshards"] == 4
+        assert 1.0 <= r["replication_factor"] <= 4.0
+        assert r["edge_balance"] >= 1.0
