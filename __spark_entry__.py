@@ -748,7 +748,10 @@ def q_transcript_near_dups(spark, sf_dir):
     near-dups (conv-id digits permeate every shingle), so the query
     plants them: every 5th conversation also appears as a mutated copy
     (last token dropped, doc_id 'm'-prefixed); long conversations must
-    pair with their originals, short ones must not."""
+    pair with their originals, short ones must not.  portable=True is
+    the oracle dimension (dense-rank shingle ids, one global sort);
+    production corpora take the xxhash64 portable=False path, which
+    has no global sort."""
     from graphlab_spark.sources.transcripts import transcripts_to_documents
     docs = transcripts_to_documents(_transcripts(spark, sf_dir))
     ci = F.expr("CAST(substr(doc_id, 2) AS BIGINT)")

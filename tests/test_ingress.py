@@ -217,6 +217,18 @@ def test_large_grid_uses_broadcast_join(spark, small_edges):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+@pytest.mark.parametrize("strategy,nshards", [("grid", 16), ("hybrid", 16)])
+def test_assignment_deterministic_across_parallelism(spark, small_edges, strategy, nshards):
+    """Placement must depend only on edge values, never on physical
+    partitioning (the engine-wide determinism invariant)."""
+    df, _ = small_edges
+    a = {(r.src, r.dst): r.shard
+         for r in I.assign_edges(df.repartition(1), nshards, strategy).collect()}
+    b = {(r.src, r.dst): r.shard
+         for r in I.assign_edges(df.repartition(13), nshards, strategy).collect()}
+    assert a == b
+
+
 def test_unknown_strategy_raises(spark, small_edges):
     df, _ = small_edges
     with pytest.raises(ValueError):
