@@ -141,6 +141,19 @@ def q_pagerank_delta(spark, sf_dir):
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_warp_pagerank(spark, sf_dir):
+    """PageRank written against the warp fine-grained API
+    (``operators/warp.py`` — ``warp_graph_mapreduce.hpp:392``,
+    ``demoapps/pagerank/warp_engine_pagerank.cpp:32-62``): two
+    iterations of ``parfor_all_vertices`` over
+    ``map_reduce_neighborhood(IN_EDGES, other.rank/other.out_degree)``;
+    values replay on the builtin PageRank oracle."""
+    from graphlab_spark.operators.warp import warp_pagerank
+    g = _graph(spark, sf_dir)
+    return warp_pagerank(g, iterations=2).select(
+        "id", F.round("rank", 6).alias("rank"))
+
+
 def q_triangle_total(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return triangle_list(g).agg(F.count("*").alias("triangles"))
@@ -548,6 +561,22 @@ def q_wals1_user_factors(spark, sf_dir):
         "id", F.round(F.element_at("factor", 1), 6).alias("v"))
 
 
+def q_als2_user_factors(spark, sf_dir):
+    """ALS at k=2: the per-vertex 2x2 normal-equation solve has a
+    Cramer's-rule closed form, so the whole alternation is oracle-
+    replayable (with WALS k=1 this value-oracles the ALS family's solve
+    at both SQL-expressible ranks; the general k x k LDLT is not
+    ANSI-expressible and stays rows-only in cf_als_factor_norms).
+    Runs through wals() with unit weights — identical normal equations
+    to als(), portable LCG factor init."""
+    from graphlab_spark.algos.als import wals
+    uf, _ = wals(_ratings(spark, sf_dir).withColumn("weight", F.lit(1.0)),
+                 k=2, reg=0.01, iterations=2)
+    return uf.select(
+        "id", F.round(F.element_at("factor", 1), 6).alias("v1"),
+        F.round(F.element_at("factor", 2), 6).alias("v2"))
+
+
 def q_sparse_als_support(spark, sf_dir):
     """Sparse-ALS support sizes: per-user nonzero count after the
     CoSaMP-style projection (rows-only contract — dense k x k solve)."""
@@ -815,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_iter2": q_pagerank_iter2,
         "graph_pagerank_converged": q_pagerank_converged,
         "graph_pagerank_delta": q_pagerank_delta,
+        "graph_warp_pagerank": q_warp_pagerank,
         "graph_triangle_total": q_triangle_total,
         "graph_triangles_per_vertex": q_triangles_per_vertex,
         "graph_connected_components": q_connected_components,
@@ -869,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_svdpp_user_params": q_svdpp_user_params,
         "cf_svdpp_rmse": q_svdpp_rmse,
         "cf_wals1_user_factors": q_wals1_user_factors,
+        "cf_als2_user_factors": q_als2_user_factors,
         "cf_sparse_als_support": q_sparse_als_support,
         "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
@@ -1059,6 +1090,11 @@ FROM verts v LEFT JOIN outd o ON v.id = o.id LEFT JOIN ind i ON v.id = i.id
 """,
         "graph_pagerank_iter2": _PR_PRELUDE
         + "SELECT id, round(rank, 6) AS rank FROM r2",
+        # warp-API pagerank computes the same fixed point as the builtin
+        # (mapper divides per edge instead of baking 1/out_degree — ulp
+        # noise only, absorbed by round 6): same 2-iteration oracle.
+        "graph_warp_pagerank": _PR_PRELUDE
+        + "SELECT id, round(rank, 6) AS rank FROM r2",
         "graph_triangle_total": _TRI_PRELUDE
         + "SELECT count(*) AS triangles FROM tris",
         "graph_triangles_per_vertex": _TRI_PRELUDE + """
@@ -1169,6 +1205,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_svdpp_user_params": O.sql_svdpp_user_params(k=4, iterations=3),
         "cf_svdpp_rmse": O.sql_svdpp_rmse(k=4, iterations=3),
         "cf_wals1_user_factors": O.sql_wals1_user_factors(iterations=3),
+        "cf_als2_user_factors": O.sql_als2_user_factors(iterations=2),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

@@ -9,3 +9,6 @@ from .vertex_program import (CC_PROGRAM, MERGES, PAGERANK_PROGRAM,
 from .skew import key_skew_report, partition_balance
 from .ingress import (assign_edges, ingress_report, replication_factor,
                       sharding_constraint)
+from .warp import (broadcast_neighborhood, map_reduce_neighborhood,
+                   neighborhood, parfor_all_vertices,
+                   transform_neighborhood, warp_pagerank)

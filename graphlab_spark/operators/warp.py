@@ -1,0 +1,294 @@
+"""Warp fine-grained API — batch (set-at-a-time) analog.
+
+The reference's warp engine exposes imperative per-vertex neighborhood
+operations running on fibers:
+
+- ``warp::map_reduce_neighborhood(vertex, dir, mapper, combiner)``
+  (``src/graphlab/engine/warp_graph_mapreduce.hpp:392``): map over the
+  vertex's incident edges in a direction — ``mapper(edge, other)`` —
+  and combine with ``+=`` by default (``:43-49``).
+- ``warp::transform_neighborhood(vertex, dir, fn)``
+  (``warp_graph_transform.hpp:331``): mutate edge data with access to
+  the far endpoint.
+- ``warp::broadcast_neighborhood(ctx, vertex, dir, fn)``
+  (``warp_graph_broadcast.hpp:360``): scatter — signal neighbors with a
+  mergeable message via ``context.signal``.
+- ``warp::parfor_all_vertices(graph, fn, vset)``
+  (``warp_parfor_all_vertices.hpp:106``): run a vertex function over
+  every vertex on a fiber pool.
+
+Warp is an API convenience over the same GAS semantics (SURVEY §2.6) —
+the fiber parfor is a parallel loop over vertices, so the faithful
+Spark analog runs each combinator **for all vertices at once** as one
+declarative DataFrame job: the neighborhood is an ``edges ⋈ state``
+view, the combiner is a ``groupBy(center).agg``, and parfor is a
+column transform.  One deliberate semantic tightening: the reference's
+``transform_neighborhood`` over ALL_EDGES touches each edge once per
+endpoint in racy fiber order; the batch form applies each edge
+transform exactly once (deterministic — the only well-defined order).
+
+The per-vertex mapper/combiner lambdas become Column expressions over
+the neighborhood view, so everything stays in Catalyst codegen — no
+per-row Python (north rule).  Columns visible to expressions:
+
+- ``id`` — the center vertex (warp's ``current``);
+- ``other_id`` + ``other_<col>`` for every state column — warp's
+  ``other`` vertex;
+- ``other_out_degree`` / ``other_in_degree`` when
+  ``include_degrees=True`` — warp's ``other.num_out_edges()``
+  (``vertex.num_out_edges`` is graph metadata in the reference,
+  ``distributed_graph.hpp:460-466``, hence a degrees join here);
+- every edge column beyond (src, dst) — warp's ``edge.data()``.
+
+``warp_pagerank`` reproduces ``demoapps/pagerank/warp_engine_pagerank
+.cpp:32-62`` (rank = 0.15 + 0.85 * map_reduce_neighborhood(IN_EDGES,
+other.rank / other.num_out_edges)) and matches the builtin
+``algos.pagerank(fixed_supersteps=k)`` to float round-off (the builtin
+bakes 1/out_degree onto edges once; warp's mapper divides per edge —
+same sums, different ulps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import EdgeGraph
+
+Combiner = Callable[[str], Column]
+
+
+def _sum_combiner(col: str) -> Column:
+    """The default ``+=`` combiner (``warp_graph_mapreduce.hpp:43-49``)."""
+    return F.sum(col)
+
+
+def neighborhood(
+    graph: EdgeGraph,
+    state: DataFrame,
+    direction: str = "in",
+    vset: DataFrame | None = None,
+    include_degrees: bool = False,
+    include_center: bool = False,
+) -> DataFrame:
+    """The (center, edge, other) view all warp combinators run over.
+
+    One row per incident edge of each center vertex in ``direction``
+    ('in' | 'out' | 'all'); ``vset`` prunes the edge traversal to the
+    given centers *before* the state join (active-set pruning, the
+    scatter-side analog of ``synchronous_engine.hpp:1571-1587``).
+
+    ``include_center`` additionally joins the *center's* state columns
+    unprefixed (warp reaches them via ``edge.source().data()`` /
+    ``edge.target().data()``) — off by default so combinators that only
+    read ``other`` skip the second state join.
+    """
+    extra = [c for c in graph.edges.columns if c not in ("src", "dst")]
+    if direction == "all":
+        edges = graph.symmetric_edges
+        center, other = "src", "dst"
+    elif direction == "in":
+        edges, center, other = graph.edges, "dst", "src"
+    elif direction == "out":
+        edges, center, other = graph.edges, "src", "dst"
+    else:
+        raise ValueError(f"direction must be in|out|all, got {direction!r}")
+    view = edges.select(
+        F.col(center).alias("id"), F.col(other).alias("other_id"),
+        *[F.col(c) for c in extra])
+    if vset is not None:
+        view = view.join(vset.select("id"), "id", "left_semi")
+    nbr = state.select(
+        F.col("id").alias("other_id"),
+        *[F.col(c).alias(f"other_{c}") for c in state.columns if c != "id"])
+    if include_degrees:
+        nbr = (
+            nbr.join(graph.out_degrees.withColumnRenamed("id", "other_id"),
+                     "other_id", "left")
+            .join(graph.in_degrees.withColumnRenamed("id", "other_id"),
+                  "other_id", "left")
+            .withColumn("other_out_degree",
+                        F.coalesce("out_degree", F.lit(0)))
+            .withColumn("other_in_degree", F.coalesce("in_degree", F.lit(0)))
+            .drop("out_degree", "in_degree")
+        )
+    view = view.join(nbr, "other_id")
+    if include_center:
+        view = view.join(state, "id")
+    return view
+
+
+def map_reduce_neighborhood(
+    graph: EdgeGraph,
+    state: DataFrame,
+    map_expr: Column,
+    combine: Combiner = _sum_combiner,
+    direction: str = "in",
+    vset: DataFrame | None = None,
+    default: object = 0.0,
+    include_degrees: bool = False,
+    result_col: str = "total",
+) -> DataFrame:
+    """``warp::map_reduce_neighborhood`` for every center vertex at once
+    (``warp_graph_mapreduce.hpp:392``).
+
+    Returns ``(id, <result_col>)`` for every vertex in ``vset`` (or the
+    whole graph): ``combine`` over ``map_expr`` evaluated per incident
+    edge; vertices with an empty neighborhood get ``default`` — the
+    reference returns a default-constructed accumulator there
+    (``basic_map_reduce_neighborhood``, ``:137-160``).
+    """
+    nb = neighborhood(graph, state, direction, vset, include_degrees)
+    agg = (
+        nb.withColumn("__mapped", map_expr)
+        .groupBy("id")
+        .agg(combine("__mapped").alias(result_col))
+    )
+    centers = (vset if vset is not None else graph.vertices).select("id")
+    return centers.join(agg, "id", "left").select(
+        "id", F.coalesce(result_col, F.lit(default)).alias(result_col))
+
+
+def broadcast_neighborhood(
+    graph: EdgeGraph,
+    state: DataFrame,
+    message_expr: Column,
+    combine: Combiner = _sum_combiner,
+    direction: str = "out",
+    vset: DataFrame | None = None,
+    include_degrees: bool = False,
+    msg_col: str = "message",
+) -> DataFrame:
+    """``warp::broadcast_neighborhood`` (``warp_graph_broadcast.hpp:360``):
+    every center signals the far endpoint of each incident edge with
+    ``message_expr``; same-target messages merge with ``combine`` — the
+    batch form of ``context.signal(other, msg)`` from scatter.  The
+    center's own state columns are visible unprefixed (a broadcast
+    usually sends the sender's data), ``other_*`` for the receiver.
+
+    Returns the merged signal frame ``(id, <msg_col>)`` keyed by the
+    *receiving* vertex — feed it to the next superstep (``run_bsp``'s
+    message input) or join it onto state.
+    """
+    nb = neighborhood(graph, state, direction, vset, include_degrees,
+                      include_center=True)
+    return (
+        nb.withColumn("__msg", message_expr)
+        .groupBy(F.col("other_id").alias("id"))
+        .agg(combine("__msg").alias(msg_col))
+    )
+
+
+def transform_neighborhood(
+    graph: EdgeGraph,
+    transforms: dict[str, Column],
+    direction: str = "out",
+    state: DataFrame | None = None,
+    vset: DataFrame | None = None,
+) -> DataFrame:
+    """``warp::transform_neighborhood`` (``warp_graph_transform.hpp:331``):
+    a new edge table with ``transforms`` applied to the edges incident
+    to ``vset`` in ``direction`` ('out' = src in set, 'in' = dst in
+    set, 'all' = either); other edges pass through unchanged.
+
+    When ``state`` is given, its columns are visible to the transform
+    expressions as ``src_<col>`` / ``dst_<col>`` (warp's
+    ``edge.source().data()`` / ``edge.target().data()``).  Each edge is
+    transformed exactly once (see module docstring).
+    """
+    edges = graph.edges
+    if state is not None:
+        for side in ("src", "dst"):
+            sided = state.select(
+                F.col("id").alias(side),
+                *[F.col(c).alias(f"{side}_{c}")
+                  for c in state.columns if c != "id"])
+            edges = edges.join(sided, side, "left")
+    if vset is None:
+        cond = F.lit(True)
+    else:
+        ids = vset.select(F.col("id").alias("__vid"))
+        marked = ids.withColumn("__in", F.lit(True))
+        edges = (
+            edges.join(marked, edges["src"] == F.col("__vid"), "left")
+            .withColumnRenamed("__in", "__src_in").drop("__vid")
+            .join(marked, edges["dst"] == F.col("__vid"), "left")
+            .withColumnRenamed("__in", "__dst_in").drop("__vid")
+        )
+        cond = {
+            "out": F.col("__src_in").isNotNull(),
+            "in": F.col("__dst_in").isNotNull(),
+            "all": (F.col("__src_in").isNotNull()
+                    | F.col("__dst_in").isNotNull()),
+        }[direction]
+    out = edges
+    for name, col in transforms.items():
+        prev = F.col(name) if name in edges.columns else F.lit(None)
+        out = out.withColumn(name, F.when(cond, col).otherwise(prev))
+    out = out.drop("__src_in", "__dst_in")
+    if state is not None:
+        out = out.drop(*[f"{s}_{c}" for s in ("src", "dst")
+                         for c in state.columns if c != "id"])
+    return out
+
+
+def parfor_all_vertices(
+    state: DataFrame,
+    transforms: dict[str, Column],
+    vset: DataFrame | None = None,
+) -> DataFrame:
+    """``warp::parfor_all_vertices`` (``warp_parfor_all_vertices.hpp:106``):
+    apply a vertex function to every vertex (optionally a vset).  The
+    fiber pool is a parallel for — the batch analog is exactly
+    ``transform_vertices`` (one column transform job); vertex functions
+    that read the neighborhood compose it with
+    :func:`map_reduce_neighborhood` first (join the totals onto state,
+    then transform), which is what :func:`warp_pagerank` demonstrates.
+    """
+    from .vertex_ops import transform_vertices
+    return transform_vertices(state, transforms, vset)
+
+
+def warp_pagerank(
+    graph: EdgeGraph, iterations: int = 10, tol: float | None = None
+) -> DataFrame:
+    """PageRank written against the warp API —
+    ``demoapps/pagerank/warp_engine_pagerank.cpp:32-62``:
+
+    ``vertex.data() = 0.15 + 0.85 * map_reduce_neighborhood(vertex,
+    IN_EDGES, pagerank_map)`` with ``pagerank_map(edge, other) =
+    other.data() / other.num_out_edges()``, iterated ``iterations``
+    times over all vertices (the demoapp's update-count loop).
+
+    Returns ``(id, rank)``; equals ``algos.pagerank(graph,
+    fixed_supersteps=iterations)`` to float round-off (see module
+    docstring).  ``tol`` optionally stops early when
+    ``max |Δrank| < tol`` (one extra scalar read per round off the
+    same job via ``observe`` — the demoapp loops a fixed count).
+    """
+    from ..plans.checkpoint import truncate_lineage
+    from pyspark.sql import Observation
+
+    state = graph.vertices.select("id", F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        totals = map_reduce_neighborhood(
+            graph, state,
+            F.col("other_rank") / F.col("other_out_degree"),
+            direction="in", include_degrees=True, default=0.0)
+        joined = state.select("id", F.col("rank").alias("__old")).join(
+            totals, "id")
+        new = parfor_all_vertices(
+            joined, {"rank": F.lit(0.15) + F.lit(0.85) * F.col("total")}
+        ).select("id", "rank", F.abs(F.col("rank") - F.col("__old"))
+                 .alias("__delta"))
+        if tol is not None:
+            obs = Observation(f"warp_pr_{i}")
+            new = new.observe(obs, F.max("__delta").alias("md"))
+        # truncate_lineage materializes (localCheckpoint) — the one
+        # driver job per round, which also fulfils the observation.
+        state = truncate_lineage(new.select("id", "rank"))
+        if tol is not None and obs.get["md"] < tol:
+            break
+    return state

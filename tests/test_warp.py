@@ -1,0 +1,96 @@
+"""Warp fine-grained API (operators/warp.py) — batch-analog semantics.
+
+Fixture graph (FIXTURES.md §3): edges
+(0,5) (1,0) (1,5) (2,0) (2,5) (3,0) (3,5); vertices {0,1,2,3,5}.
+"""
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators import warp
+
+
+def _as_dict(df, key="id", val=None):
+    rows = df.collect()
+    val = val or [c for c in df.columns if c != key][0]
+    return {r[key]: r[val] for r in rows}
+
+
+def test_map_reduce_out_count_is_out_degree(fixture_graph):
+    state = fixture_graph.vertices.select("id")
+    out = warp.map_reduce_neighborhood(
+        fixture_graph, state, F.lit(1), combine=F.sum,
+        direction="out", default=0)
+    assert _as_dict(out) == {0: 1, 1: 2, 2: 2, 3: 2, 5: 0}
+
+
+def test_map_reduce_min_combiner_in_edges(fixture_graph):
+    state = fixture_graph.vertices.select("id")
+    out = warp.map_reduce_neighborhood(
+        fixture_graph, state, F.col("other_id"), combine=F.min,
+        direction="in", default=-1)
+    assert _as_dict(out) == {5: 0, 0: 1, 1: -1, 2: -1, 3: -1}
+
+
+def test_map_reduce_vset_prunes_centers(fixture_graph):
+    state = fixture_graph.vertices.select("id")
+    vset = fixture_graph.spark.createDataFrame([(0,), (5,)], "id long")
+    out = warp.map_reduce_neighborhood(
+        fixture_graph, state, F.lit(1), direction="out", vset=vset,
+        default=0)
+    assert _as_dict(out) == {0: 1, 5: 0}
+
+
+def test_broadcast_signals_merge_at_receiver(fixture_graph):
+    # CC-style scatter: every vertex signals its own label (= id) along
+    # OUT edges; same-target signals merge with min.
+    state = fixture_graph.vertices.select("id", F.col("id").alias("label"))
+    sig = warp.broadcast_neighborhood(
+        fixture_graph, state, F.col("label"), combine=F.min,
+        direction="out", msg_col="m")
+    assert _as_dict(sig) == {5: 0, 0: 1}
+
+
+def test_transform_neighborhood_touches_only_incident(fixture_graph):
+    state = fixture_graph.vertices.select(
+        "id", (F.col("id") * 1.0).alias("rank"))
+    vset = fixture_graph.spark.createDataFrame([(1,)], "id long")
+    out = warp.transform_neighborhood(
+        fixture_graph, {"flag": F.col("src_rank") + F.col("dst_rank")},
+        direction="out", state=state, vset=vset)
+    got = {(r["src"], r["dst"]): r["flag"] for r in out.collect()}
+    assert got[(1, 0)] == 1.0 and got[(1, 5)] == 6.0
+    assert all(v is None for k, v in got.items() if k[0] != 1)
+    assert set(out.columns) == {"src", "dst", "flag"}  # state cols dropped
+
+
+def test_parfor_is_transform_vertices(fixture_graph):
+    state = fixture_graph.vertices.select("id", F.lit(2.0).alias("x"))
+    out = warp.parfor_all_vertices(state, {"x": F.col("x") * F.col("id")})
+    assert _as_dict(out, val="x") == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0, 5: 10.0}
+
+
+def test_warp_pagerank_matches_builtin_fixed(fixture_graph):
+    from graphlab_spark.algos.pagerank import pagerank
+    ref = pagerank(fixture_graph, fixed_supersteps=3, resume=False).state
+    got = warp.warp_pagerank(fixture_graph, iterations=3)
+    diff = (
+        ref.withColumnRenamed("rank", "r1")
+        .join(got.withColumnRenamed("rank", "r2"), "id")
+        .agg(F.max(F.abs(F.col("r1") - F.col("r2"))).alias("d"))
+        .first()["d"]
+    )
+    assert ref.count() == got.count() == 5
+    assert diff < 1e-12  # same sums, ulp-level division vs baked 1/deg
+
+
+def test_warp_pagerank_tol_converges(fixture_graph):
+    from graphlab_spark.algos.pagerank import pagerank
+    ref = pagerank(fixture_graph, tol=1e-8, resume=False).state
+    got = warp.warp_pagerank(fixture_graph, iterations=100, tol=1e-8)
+    diff = (
+        ref.withColumnRenamed("rank", "r1")
+        .join(got.withColumnRenamed("rank", "r2"), "id")
+        .agg(F.max(F.abs(F.col("r1") - F.col("r2"))).alias("d"))
+        .first()["d"]
+    )
+    assert diff < 1e-6
