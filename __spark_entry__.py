@@ -577,6 +577,33 @@ def q_als2_user_factors(spark, sf_dir):
         F.round(F.element_at("factor", 2), 6).alias("v2"))
 
 
+def q_synthetic_als_stats(spark, sf_dir):
+    """Per-item degree + rating mass of the synthetic ALS training
+    split (``make_synthetic_als_data.cpp:120-177`` analog,
+    ``sources/parsers.py::load_synthetic_als``): the generator is pure
+    portable-LCG column arithmetic, so the whole dataset — power-law
+    degrees, hash-uniform users, Box-Muller factor dot products —
+    replays in the DuckDB twin.  Fixed-size (sf-independent) by
+    design, like the reference tool's CLI defaults."""
+    from graphlab_spark.sources.parsers import load_synthetic_als
+    train, _, _ = load_synthetic_als(spark, nusers=50, nmovies=200, d=3)
+    return train.groupBy("item").agg(
+        F.count("*").alias("deg"),
+        F.round(F.sum("rating"), 6).alias("rsum"))
+
+
+def q_implicit_ratings(spark, sf_dir):
+    """Ratings table after implicit-edge injection (``implicit.hpp:
+    40-88``, ``algos/als.py::add_implicit_ratings``): the full
+    augmented (user, item, rating) multiset — observed supplier x part
+    ratings plus max(1, floor(1e-4 * M * N)) hash-uniform implicit
+    zeros drawn over the rank-indexed id universes."""
+    from graphlab_spark.algos.als import add_implicit_ratings
+    aug = add_implicit_ratings(_ratings(spark, sf_dir), percentage=1e-4,
+                               value=0.0, seed=97)
+    return aug.select("user", "item", F.round("rating", 6).alias("rating"))
+
+
 def q_sparse_als_support(spark, sf_dir):
     """Sparse-ALS support sizes: per-user nonzero count after the
     CoSaMP-style projection (rows-only contract — dense k x k solve)."""
@@ -900,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_svdpp_rmse": q_svdpp_rmse,
         "cf_wals1_user_factors": q_wals1_user_factors,
         "cf_als2_user_factors": q_als2_user_factors,
+        "cf_synthetic_als_stats": q_synthetic_als_stats,
+        "cf_implicit_ratings": q_implicit_ratings,
         "cf_sparse_als_support": q_sparse_als_support,
         "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
@@ -1206,6 +1235,9 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_svdpp_rmse": O.sql_svdpp_rmse(k=4, iterations=3),
         "cf_wals1_user_factors": O.sql_wals1_user_factors(iterations=3),
         "cf_als2_user_factors": O.sql_als2_user_factors(iterations=2),
+        "cf_synthetic_als_stats": O.sql_synthetic_als_stats(
+            nusers=50, nmovies=200, d=3),
+        "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

@@ -1,5 +1,5 @@
 from .adpredictor import adpredictor, clicks_from_lineitem, predict_ctr
-from .als import als, predict, rmse, sparse_als, wals
+from .als import add_implicit_ratings, als, predict, rmse, sparse_als, wals
 from .biassgd import biassgd, biassgd_predict, biassgd_rmse
 from .cascades import bond_percolation, sir_cascade
 from .catpath import catpath, catpath_articles, events_typed_edges
@@ -34,7 +34,7 @@ __all__ = [
     "triangle_count_per_vertex", "sssp", "kcore_subgraph", "kcore_table",
     "greedy_coloring", "count_conflicts", "directed_triangle_census",
     "directed_census_totals", "approx_diameter",
-    "als", "wals", "sparse_als", "predict", "rmse",
+    "als", "wals", "sparse_als", "add_implicit_ratings", "predict", "rmse",
     "sgd", "sgd_rmse", "biassgd", "biassgd_predict", "biassgd_rmse",
     "svdpp", "svdpp_predict", "svdpp_rmse",
     "power_iteration_svd", "lanczos_svd", "nmf", "nmf_objective",

@@ -255,3 +255,62 @@ def rmse(ratings: DataFrame, user_factors: DataFrame,
     row = p.agg(F.sqrt(F.avg((F.col("rating") - F.col("prediction")) ** 2))
                 .alias("rmse")).first()
     return float(row["rmse"])
+
+
+def add_implicit_ratings(
+    ratings: DataFrame, percentage: float, value: float = 0.0,
+    weight: float | None = None, seed: int = 97,
+) -> DataFrame:
+    """Inject implicit (unobserved) rating edges before training
+    (``toolkits/collaborative_filtering/implicit.hpp:40-88``): add
+    ``max(1, floor(percentage * M * N))`` uniform-random (user, item)
+    pairs rated ``implicitratingvalue`` — and carrying
+    ``implicitratingweight`` for WALS (``:58``, the 3-arg edge) —
+    where M/N are the user/item universe sizes.  The reference samples
+    raw id ranges and happily duplicates observed pairs (``add_edge``
+    appends); here M/N are the *observed* distinct counts and pairs
+    are drawn over them, duplicates likewise kept.
+
+    Deterministic portable sampling: pair j maps through
+    ``edge_hash`` onto rank-indexed user/item dimension tables, so an
+    ANSI-SQL twin replays the exact edge set
+    (``oracles.py::sql_implicit_ratings``).  The two rank windows sort
+    only the distinct-id dimensions (≪ |ratings|); the dimension joins
+    broadcast.  When ``weight`` is given the result carries a
+    ``weight`` column (existing rows keep theirs, else 1.0) — feed it
+    straight to :func:`wals`.
+
+    Returns the augmented ratings DataFrame; the number of added rows
+    is ``max(1, int(percentage * M * N))`` by construction.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.portable import edge_hash
+
+    spark = ratings.sparkSession
+    users = ratings.select("user").distinct()
+    items = ratings.select("item").distinct()
+    m, n = users.count(), items.count()
+    toadd = max(1, int(percentage * m * n))
+    uidx = users.select(
+        F.col("user"),
+        (F.row_number().over(Window.orderBy("user")) - 1).alias("__idx"))
+    iidx = items.select(
+        F.col("item"),
+        (F.row_number().over(Window.orderBy("item")) - 1).alias("__idx"))
+    adds = (
+        spark.range(toadd)
+        .select((edge_hash(F.lit(seed), F.col("id")) % F.lit(m)).alias("__u"),
+                (edge_hash(F.lit(seed + 1), F.col("id")) % F.lit(n))
+                .alias("__i"))
+        .join(F.broadcast(uidx.withColumnRenamed("__idx", "__u")), "__u")
+        .join(F.broadcast(iidx.withColumnRenamed("__idx", "__i")), "__i")
+        .select("user", "item", F.lit(float(value)).alias("rating"))
+    )
+    if weight is not None:
+        adds = adds.withColumn("weight", F.lit(float(weight)))
+        if "weight" not in ratings.columns:
+            ratings = ratings.withColumn("weight", F.lit(1.0))
+        return ratings.select("user", "item", "rating", "weight").unionByName(
+            adds)
+    return ratings.select("user", "item", "rating").unionByName(adds)

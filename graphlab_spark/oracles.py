@@ -1568,3 +1568,92 @@ ppr(iter, id, rank, md) AS (
     return (_rec(_VERTS, outd, cont, rec)
             + "SELECT id, round(rank, 6) AS rank FROM ppr "
               "WHERE iter = (SELECT max(iter) FROM ppr)")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic ALS data generator (mirrors sources/parsers.py::
+# load_synthetic_als — make_synthetic_als_data.cpp:120-177): the whole
+# generator is portable-LCG column arithmetic, so the train split
+# replays exactly; Box-Muller ln/cos/sqrt/pow agree with Spark-JVM at
+# the rounded 6dp (LBP precedent).
+# ---------------------------------------------------------------------------
+
+
+def _sql_synth_unit(expr: str) -> str:
+    return f"(({sql_lcg_hash(expr)} + 0.5) / 2147483648.0)"
+
+
+def _sql_synth_normal(tag: int, ident: str, dim: int, d: int,
+                      stdev: float, seed: int) -> str:
+    key = f"({ident} * {d} + {dim})"
+    u1 = _sql_synth_unit(sql_edge_hash(str(seed + tag), key))
+    u2 = _sql_synth_unit(sql_edge_hash(str(seed + tag + 7), key))
+    return (f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2})"
+            f" * {stdev!r})")
+
+
+def sql_synthetic_als_stats(
+    nusers: int = 50, nmovies: int = 200, d: int = 3, alpha: float = 1.8,
+    stdev: float = 2.0, nvalidate: int = 2, npredict: int = 1,
+    seed: int = 31413,
+) -> str:
+    umax = max(1, nusers - nvalidate - npredict)
+    du = _sql_synth_unit(sql_edge_hash(str(seed + 3), "m.movie"))
+    deg = (f"least({umax}, CAST(floor(pow(1.0 - {du}, "
+           f"{-1.0 / (alpha - 1.0)!r})) AS BIGINT))")
+    usr = (f"({sql_edge_hash(sql_edge_hash(str(seed + 4), 'e.movie'), 'e.j')}"
+           f" % {umax})")
+    rating = " + ".join(
+        f"({_sql_synth_normal(1, 'e.usr', j, d, stdev, seed)} * "
+        f"{_sql_synth_normal(2, 'e.movie', j, d, stdev, seed)})"
+        for j in range(d))
+    return f"""
+WITH movies AS (SELECT range AS movie FROM range({nmovies})),
+degs AS (SELECT m.movie, {deg} AS deg FROM movies m),
+edges AS (
+  SELECT e.movie, e.j, {usr} AS usr
+  FROM (SELECT g.movie, r.range AS j FROM degs g
+        JOIN range(1, {umax} + 1) r ON r.range <= g.deg) e),
+train AS (
+  SELECT e.usr AS "user", e.movie + {nusers} AS item,
+         ({rating}) AS rating
+  FROM edges e)
+SELECT item, CAST(count(*) AS BIGINT) AS deg,
+       round(sum(rating), 6) AS rsum
+FROM train GROUP BY item"""
+
+
+# ---------------------------------------------------------------------------
+# Implicit-rating injection (mirrors algos/als.py::add_implicit_ratings
+# — implicit.hpp:40-88): rank-indexed dimension tables + edge_hash pair
+# sampling replay the exact injected edge set; j comes from a
+# row_number over lineitem (toadd <= |lineitem| at every sf).
+# ---------------------------------------------------------------------------
+
+
+def sql_implicit_ratings(percentage: float, value: float = 0.0,
+                         seed: int = 97) -> str:
+    uh = f"({sql_edge_hash(str(seed), 'js.j')} % p.m)"
+    ih = f"({sql_edge_hash(str(seed + 1), 'js.j')} % p.n)"
+    return f"""
+WITH {RATINGS_CTE},
+uidx AS (SELECT u, row_number() OVER (ORDER BY u) - 1 AS idx
+         FROM (SELECT DISTINCT u FROM ratings)),
+iidx AS (SELECT it, row_number() OVER (ORDER BY it) - 1 AS idx
+         FROM (SELECT DISTINCT it FROM ratings)),
+p AS (SELECT (SELECT count(*) FROM uidx) AS m,
+             (SELECT count(*) FROM iidx) AS n),
+js AS (SELECT j FROM (
+         SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                AS j FROM lineitem)
+       WHERE j < (SELECT greatest(1, CAST(floor({percentage!r} * m * n)
+                                          AS BIGINT)) FROM p)),
+aidx AS (SELECT {uh} AS uq, {ih} AS iq FROM js CROSS JOIN p),
+adds AS (
+  SELECT u.u AS "user", i.it AS item, {value!r} AS rating
+  FROM aidx a
+  JOIN uidx u ON u.idx = a.uq
+  JOIN iidx i ON i.idx = a.iq)
+SELECT "user", item, round(rating, 6) AS rating FROM (
+  SELECT u AS "user", it AS item, r AS rating FROM ratings
+  UNION ALL SELECT * FROM adds)"""

@@ -1,10 +1,11 @@
-from .parsers import (load_format, load_synthetic_clusters,
-                      load_synthetic_powerlaw, save_edges)
+from .parsers import (load_format, load_synthetic_als,
+                      load_synthetic_clusters, load_synthetic_powerlaw,
+                      save_edges)
 from .transcripts import (read_transcripts, synthetic_transcripts,
                           tool_transitions, transcripts_to_edges,
                           turn_latency_by_role)
 
-__all__ = ["load_format", "load_synthetic_clusters",
+__all__ = ["load_format", "load_synthetic_als", "load_synthetic_clusters",
            "load_synthetic_powerlaw", "save_edges",
            "read_transcripts", "synthetic_transcripts",
            "tool_transitions", "transcripts_to_edges",

@@ -155,3 +155,82 @@ def load_synthetic_clusters(
         dims.append(center_j + z)
     return base.select(
         "vec_id", "cluster", F.array(*dims).alias("embedding"))
+
+
+def load_synthetic_als(
+    spark: SparkSession, nusers: int = 100, nmovies: int = 500, d: int = 3,
+    alpha: float = 1.8, stdev: float = 2.0, nvalidate: int = 2,
+    npredict: int = 1, seed: int = 31413,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Synthetic collaborative-filtering dataset
+    (``toolkits/collaborative_filtering/make_synthetic_als_data.cpp:
+    120-177``): latent user/movie factors ~ N(0, stdev^2); per movie a
+    power-law(alpha) number of train ratings plus ``nvalidate``
+    validate ratings and ``npredict`` unrated predict pairs, each
+    rating the exact factor dot product (the reference's ``noise``
+    option is parsed but never applied, ``:49,158`` — reproduced
+    as-is).  Item ids are offset by ``nusers`` (``:159``).
+
+    Deviations (documented, distribution-parity): the reference walks
+    user ids with a sequential Knuth stride and samples degrees from a
+    discrete multinomial CDF — both inherently serial; here users are
+    hash-uniform picks and degrees come from the continuous power-law
+    inverse CDF (same family as :func:`load_synthetic_powerlaw`).
+
+    Everything is built from :mod:`..operators.portable` LCG hashes —
+    not engine builtins — so the whole generator replays in ANSI SQL
+    (``oracles.py::SYNTH_ALS_CTES`` is the twin; ◆
+    cf_synthetic_als_stats).  Factor components are pure functions of
+    (id, dim, seed), so ratings are computed inline as column
+    expressions — no factor-table join, no per-row Python.
+
+    Returns ``(train, validate, predict)``: (user, item, rating) /
+    (user, item, rating) / (user, item).
+    """
+    import math
+
+    from ..operators.portable import M as LCG_M, edge_hash, lcg_hash
+
+    umax = max(1, nusers - nvalidate - npredict)
+
+    def unit(col):  # strictly inside (0, 1): safe for ln()
+        return (lcg_hash(col) + F.lit(0.5)) / F.lit(float(LCG_M))
+
+    def normal(tag: int, ident, dim: int):
+        u1 = unit(edge_hash(F.lit(seed + tag), ident * F.lit(d) + F.lit(dim)))
+        u2 = unit(edge_hash(F.lit(seed + tag + 7), ident * F.lit(d) + F.lit(dim)))
+        return (F.sqrt(F.lit(-2.0) * F.log(u1))
+                * F.cos(F.lit(2.0 * math.pi) * u2) * F.lit(stdev))
+
+    def rating(user, movie):
+        return sum(normal(1, user, j) * normal(2, movie, j)
+                   for j in range(d))
+
+    movies = spark.range(nmovies).select(F.col("id").alias("movie"))
+    du = unit(edge_hash(F.lit(seed + 3), F.col("movie")))
+    deg = F.least(F.lit(umax),
+                  F.floor(F.pow(F.lit(1.0) - du,
+                                F.lit(-1.0 / (alpha - 1.0)))).cast("long"))
+    train_e = movies.select(
+        "movie", F.explode(F.sequence(F.lit(1), deg)).alias("j"))
+    t_user = edge_hash(edge_hash(F.lit(seed + 4), F.col("movie")),
+                       F.col("j")) % F.lit(umax)
+    train = train_e.select(
+        t_user.alias("user"),
+        (F.col("movie") + F.lit(nusers)).alias("item"),
+        rating(t_user, F.col("movie")).alias("rating"))
+    val_e = movies.select(
+        "movie", F.explode(F.sequence(F.lit(1), F.lit(nvalidate))).alias("j"))
+    v_user = edge_hash(edge_hash(F.lit(seed + 5), F.col("movie")),
+                       F.col("j")) % F.lit(nusers)
+    validate = val_e.select(
+        v_user.alias("user"),
+        (F.col("movie") + F.lit(nusers)).alias("item"),
+        rating(v_user, F.col("movie")).alias("rating"))
+    pred_e = movies.select(
+        "movie", F.explode(F.sequence(F.lit(1), F.lit(npredict))).alias("j"))
+    p_user = edge_hash(edge_hash(F.lit(seed + 6), F.col("movie")),
+                       F.col("j")) % F.lit(nusers)
+    predict = pred_e.select(
+        p_user.alias("user"), (F.col("movie") + F.lit(nusers)).alias("item"))
+    return train, validate, predict

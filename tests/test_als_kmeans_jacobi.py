@@ -131,3 +131,66 @@ def test_synthetic_clusters_kmeans_recovery(spark):
     m, n = maj.agg(F.sum("m"), F.sum("n")).collect()[0]
     assert m / n > 0.95
     pts.unpersist()
+
+
+# -- synthetic ALS data generator (make_synthetic_als_data.cpp analog) --
+
+
+def test_synthetic_als_shapes_and_determinism(spark):
+    from graphlab_spark.sources.parsers import load_synthetic_als
+    tr1, va1, pr1 = load_synthetic_als(spark, nusers=40, nmovies=100, d=2)
+    tr2, va2, pr2 = load_synthetic_als(spark, nusers=40, nmovies=100, d=2)
+    assert va1.count() == 100 * 2 and pr1.count() == 100 * 1
+    assert pr1.columns == ["user", "item"]          # predict has no rating
+    # items offset by nusers; train users drawn from the reduced range
+    row = tr1.agg(F.min("item").alias("lo"), F.max("item").alias("hi"),
+                  F.max("user").alias("mu")).first()
+    assert row["lo"] >= 40 and row["hi"] < 140 and row["mu"] < 40 - 3
+    assert tr1.exceptAll(tr2).count() == 0 and tr2.exceptAll(tr1).count() == 0
+
+
+def test_synthetic_als_powerlaw_tail_and_recovery(spark):
+    from graphlab_spark.sources.parsers import load_synthetic_als
+    tr, va, _ = load_synthetic_als(spark, nusers=50, nmovies=200, d=3)
+    degs = tr.groupBy("item").count()
+    row = degs.agg(F.max("count").alias("mx"), F.avg("count").alias("av"))\
+        .first()
+    assert row["mx"] >= 4 * row["av"]               # heavy tail
+    # ratings are an exact rank-3 matrix: ALS at k=3 must fit far
+    # below the rating scale
+    uf, itf = als(tr, k=3, reg=0.001, iterations=10)
+    std = tr.agg(F.stddev("rating")).first()[0]
+    assert rmse(tr, uf, itf) < 0.25 * std
+
+
+# -- implicit-rating injection (implicit.hpp analog) --
+
+
+def test_add_implicit_ratings_count_value_and_weight(spark):
+    from graphlab_spark.algos.als import add_implicit_ratings
+    r = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (2, 10, 5.0), (2, 12, 1.0),
+         (3, 11, 3.0)], "user long, item long, rating double")
+    aug = add_implicit_ratings(r, percentage=0.5, value=0.0, weight=0.1)
+    # toadd = max(1, int(0.5 * 3 users * 3 items)) = 4
+    assert aug.count() == 5 + 4
+    added = aug.filter(F.col("weight") < 1.0)
+    assert added.count() == 4
+    assert added.filter(F.col("rating") != 0.0).count() == 0
+    # sampled pairs stay inside the observed id universes
+    assert added.filter(~F.col("user").isin(1, 2, 3)).count() == 0
+    assert added.filter(~F.col("item").isin(10, 11, 12)).count() == 0
+    # originals keep rating and get unit weight
+    assert aug.filter((F.col("user") == 1) & (F.col("item") == 10)
+                      & (F.col("rating") == 4.0)
+                      & (F.col("weight") == 1.0)).count() == 1
+
+
+def test_add_implicit_ratings_min_one_and_deterministic(spark):
+    from graphlab_spark.algos.als import add_implicit_ratings
+    r = spark.createDataFrame([(1, 10, 4.0)],
+                              "user long, item long, rating double")
+    a1 = add_implicit_ratings(r, percentage=1e-9)   # floor -> 0, min 1
+    assert a1.count() == 2 and "weight" not in a1.columns
+    a2 = add_implicit_ratings(r, percentage=1e-9)
+    assert a1.exceptAll(a2).count() == 0
