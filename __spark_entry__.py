@@ -604,6 +604,21 @@ def q_implicit_ratings(spark, sf_dir):
     return aug.select("user", "item", F.round("rating", 6).alias("rating"))
 
 
+def q_sparse_als2_user_factors(spark, sf_dir):
+    """Sparse ALS at k=2, s=1 with portable init: the CoSaMP
+    identify+re-estimate step (dense Cramer solve -> abs-argmax
+    support -> scalar re-solve) replays in SQL, value-oracling the
+    sparse-ALS solve family (the k=20 path stays rows-only in
+    cf_sparse_als_support)."""
+    from graphlab_spark.algos.als import sparse_als
+    uf, _ = sparse_als(_ratings(spark, sf_dir), k=2, reg=0.01,
+                       user_sparsity=1, item_sparsity=1, iterations=2,
+                       portable_init=True)
+    return uf.select(
+        "id", F.round(F.element_at("factor", 1), 6).alias("v1"),
+        F.round(F.element_at("factor", 2), 6).alias("v2"))
+
+
 def q_sparse_als_support(spark, sf_dir):
     """Sparse-ALS support sizes: per-user nonzero count after the
     CoSaMP-style projection (rows-only contract — dense k x k solve)."""
@@ -929,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_als2_user_factors": q_als2_user_factors,
         "cf_synthetic_als_stats": q_synthetic_als_stats,
         "cf_implicit_ratings": q_implicit_ratings,
+        "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
         "cf_sparse_als_support": q_sparse_als_support,
         "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
@@ -1238,6 +1254,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_synthetic_als_stats": O.sql_synthetic_als_stats(
             nusers=50, nmovies=200, d=3),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
+        "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
+            iterations=2),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

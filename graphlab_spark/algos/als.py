@@ -200,6 +200,7 @@ def sparse_als(
     item_sparsity: int | None = None,
     iterations: int = 10,
     seed: int = 42,
+    portable_init: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Sparse-factor ALS (``sparse_als.cpp``): like :func:`als` but
     each per-vertex solve projects onto at most ``s`` nonzero
@@ -208,12 +209,21 @@ def sparse_als(
     largest-magnitude coordinates of the dense solution, re-solve on
     that support).  ``user_sparsity`` / ``item_sparsity`` mirror the
     reference's ``--user_sparsity`` / ``--movie_sparsity`` flags.
+
+    ``portable_init`` switches to the LCG factor init (wals' scheme),
+    under which small-k runs replay in ANSI SQL: at k=2, s=1 the dense
+    solve is the 2x2 Cramer form, the support pick is an abs-argmax,
+    and the re-solve is scalar — ◆ cf_sparse_als2_user_factors.
     """
     ratings = ratings.select("user", "item", "rating").persist()
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
-    uf = _init_factors(users, k, seed).persist()
-    if_ = _init_factors(items, k, seed + 1).persist()
+    if portable_init:
+        uf = _init_factors_portable(users, k, 0).persist()
+        if_ = _init_factors_portable(items, k, 1).persist()
+    else:
+        uf = _init_factors(users, k, seed).persist()
+        if_ = _init_factors(items, k, seed + 1).persist()
     from ..plans.checkpoint import truncate_lineage
     for _ in range(iterations):
         uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,

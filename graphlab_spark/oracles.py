@@ -1657,3 +1657,61 @@ adds AS (
 SELECT "user", item, round(rating, 6) AS rating FROM (
   SELECT u AS "user", it AS item, r AS rating FROM ratings
   UNION ALL SELECT * FROM adds)"""
+
+
+# ---------------------------------------------------------------------------
+# Sparse ALS at k=2, s=1 (mirrors algos/als.py::sparse_als with
+# portable_init — sparse_als.cpp / cosamp.hpp): dense 2x2 Cramer solve,
+# abs-argmax support pick, scalar re-solve on the chosen coordinate —
+# the CoSaMP identify+re-estimate step is fully ANSI-expressible at
+# this rank, closing the solve-family oracle gap left by the k x k
+# LDLT (cf_als_factor_norms stays rows-only).
+# ---------------------------------------------------------------------------
+
+
+def sql_sparse_als2_user_factors(iterations: int = 2,
+                                 reg: float = 0.01) -> str:
+    init1 = sql_lcg_hash("b.id * 31 + 13")        # side=1, c=0
+    init2 = sql_lcg_hash("b.id * 31 + 20")        # side=1, c=1
+    det = "(a11*a22 - a12*a12)"
+    project = f"""(SELECT id,
+        CASE WHEN abs((b1*a22 - b2*a12) / {det})
+                  >= abs((a11*b2 - a12*b1) / {det})
+             THEN b1 / a11 ELSE 0.0 END AS v1,
+        CASE WHEN abs((b1*a22 - b2*a12) / {det})
+                  >= abs((a11*b2 - a12*b1) / {det})
+             THEN 0.0 ELSE b2 / a22 END AS v2"""
+    uv = f"""{project}
+ FROM (SELECT r.u AS id,
+              sum(q.v1*q.v1) + {reg!r} AS a11, sum(q.v1*q.v2) AS a12,
+              sum(q.v2*q.v2) + {reg!r} AS a22,
+              sum(r.r*q.v1) AS b1, sum(r.r*q.v2) AS b2
+       FROM ratings r JOIN fac q ON q.side = 1 AND q.id = r.it
+       GROUP BY r.u))"""
+    iv = f"""{project}
+ FROM (SELECT r.it AS id,
+              sum(p.v1*p.v1) + {reg!r} AS a11, sum(p.v1*p.v2) AS a12,
+              sum(p.v2*p.v2) + {reg!r} AS a22,
+              sum(r.r*p.v1) AS b1, sum(r.r*p.v2) AS b2
+       FROM ratings r JOIN {uv} p ON p.id = r.u
+       GROUP BY r.it))"""
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+fac(iter, side, id, v1, v2) AS (
+  SELECT 0, 1, b.id, 0.1 * ({init1} / 2147483648.0),
+               0.1 * ({init2} / 2147483648.0)
+  FROM (SELECT DISTINCT it AS id FROM ratings) b
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, 0 AS side, un.id, un.v1, un.v2
+    FROM {uv} un CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+    UNION ALL
+    SELECT m.iter + 1, 1, inew.id, inew.v1, inew.v2
+    FROM {iv} inew CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+  )
+)
+SELECT id, round(v1, 6) AS v1, round(v2, 6) AS v2 FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""

@@ -194,3 +194,21 @@ def test_add_implicit_ratings_min_one_and_deterministic(spark):
     assert a1.count() == 2 and "weight" not in a1.columns
     a2 = add_implicit_ratings(r, percentage=1e-9)
     assert a1.exceptAll(a2).count() == 0
+
+
+def test_sparse_als_portable_init_one_nonzero(spark):
+    from graphlab_spark.algos.als import sparse_als
+    r = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (2, 10, 5.0), (2, 12, 1.0),
+         (3, 11, 3.0), (3, 12, 4.0)], "user long, item long, rating double")
+    uf, itf = sparse_als(r, k=2, user_sparsity=1, item_sparsity=1,
+                         iterations=2, portable_init=True)
+    # s=1 projection: exactly one nonzero coordinate per factor
+    nz = uf.unionByName(itf).select(
+        F.aggregate("factor", F.lit(0),
+                    lambda acc, x: acc + F.when(x != 0.0, 1).otherwise(0))
+        .alias("nnz"))
+    assert {row["nnz"] for row in nz.collect()} == {1}
+    uf2, _ = sparse_als(r, k=2, user_sparsity=1, item_sparsity=1,
+                        iterations=2, portable_init=True)
+    assert uf.exceptAll(uf2).count() == 0
