@@ -658,6 +658,20 @@ def q_svd_lanczos(spark, sf_dir):
         [(i, round(v, 4)) for i, v in enumerate(vals)], "rank int, sigma double")
 
 
+def q_svd_lanczos2_sigma(spark, sf_dir):
+    """Lanczos at m=2: both tridiagonal entries come from SQL-
+    expressible matvec/dot/normalize chains and the 2x2 symmetric
+    eigenproblem has a closed form, so this path value-oracles the
+    whole Lanczos recursion (basis build + full reorthogonalization
+    step included); m=4 (cf_svd_lanczos) keeps the numpy tridiagonal
+    eigensolve rows-only."""
+    from graphlab_spark.algos.svd import lanczos_svd
+    vals = lanczos_svd(_ratings(spark, sf_dir), m=2)
+    return spark.createDataFrame(
+        [(round(vals[0], 6), round(vals[1], 6))],
+        "sigma1 double, sigma2 double")
+
+
 def q_nmf_user_factors(spark, sf_dir):
     from graphlab_spark.algos.nmf import nmf
     w, _ = nmf(_ratings(spark, sf_dir), k=4, iterations=3)
@@ -949,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
         "cf_svd_lanczos": q_svd_lanczos,
+        "cf_svd_lanczos2_sigma": q_svd_lanczos2_sigma,
         "lda_word_topics": q_lda_word_topics,
         "graph_lbp_beliefs": q_lbp_beliefs,
         "graph_mplp_labels": q_mplp_labels,
@@ -1256,6 +1271,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),
+        "cf_svd_lanczos2_sigma": O.sql_svd_lanczos2_sigma(),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

@@ -1715,3 +1715,49 @@ fac(iter, side, id, v1, v2) AS (
 )
 SELECT id, round(v1, 6) AS v1, round(v2, 6) AS v2 FROM fac
 WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
+# ---------------------------------------------------------------------------
+# Lanczos SVD at m=2 (mirrors algos/svd.py::lanczos_svd): the two
+# Krylov steps are matvec/dot/normalize CTEs (including the full-
+# reorthogonalization pass against q1, replayed even though its
+# coefficient is ~1e-15 — the oracle mirrors the code's arithmetic,
+# not the math), and the 2x2 symmetric tridiagonal eigenproblem has
+# the closed form (a1+a2)/2 +- sqrt(((a1-a2)/2)^2 + b1^2); numpy's
+# eigvalsh agrees to ulps, absorbed by round 6.  The m=4 path
+# (cf_svd_lanczos) keeps its tridiagonal numpy eigensolve rows-only.
+# ---------------------------------------------------------------------------
+
+
+def sql_svd_lanczos2_sigma() -> str:
+    return f"""
+WITH {RATINGS_CTE},
+items AS (SELECT DISTINCT it AS id FROM ratings),
+q1 AS (SELECT id, 1.0 / sqrt((SELECT count(*) FROM items)) AS v
+       FROM items),
+y1 AS (SELECT r.u AS id, sum(r.r * q.v) AS v
+       FROM ratings r JOIN q1 q ON q.id = r.it GROUP BY r.u),
+w1 AS (SELECT r.it AS id, sum(r.r * y.v) AS v
+       FROM ratings r JOIN y1 y ON y.id = r.u GROUP BY r.it),
+a1 AS (SELECT sum(w.v * q.v) AS a FROM w1 w JOIN q1 q ON q.id = w.id),
+wa AS (SELECT w.id, w.v - (SELECT a FROM a1) * coalesce(q.v, 0.0) AS v
+       FROM w1 w LEFT JOIN q1 q ON q.id = w.id),
+d1 AS (SELECT sum(w.v * q.v) AS d FROM wa w JOIN q1 q ON q.id = w.id),
+wb AS (SELECT w.id, w.v - (SELECT d FROM d1) * coalesce(q.v, 0.0) AS v
+       FROM wa w LEFT JOIN q1 q ON q.id = w.id),
+b1 AS (SELECT sqrt(sum(v * v)) AS b FROM wb),
+q2 AS (SELECT id, v / (SELECT b FROM b1) AS v FROM wb),
+y2 AS (SELECT r.u AS id, sum(r.r * q.v) AS v
+       FROM ratings r JOIN q2 q ON q.id = r.it GROUP BY r.u),
+w2 AS (SELECT r.it AS id, sum(r.r * y.v) AS v
+       FROM ratings r JOIN y2 y ON y.id = r.u GROUP BY r.it),
+a2 AS (SELECT sum(w.v * q.v) AS a FROM w2 w JOIN q2 q ON q.id = w.id),
+t AS (SELECT (SELECT a FROM a1) AS t11, (SELECT a FROM a2) AS t22,
+             (SELECT b FROM b1) AS t12)
+SELECT round(sqrt(greatest((t11 + t22) / 2.0
+             + sqrt(((t11 - t22) / 2.0) * ((t11 - t22) / 2.0)
+                    + t12 * t12), 0.0)), 6) AS sigma1,
+       round(sqrt(greatest((t11 + t22) / 2.0
+             - sqrt(((t11 - t22) / 2.0) * ((t11 - t22) / 2.0)
+                    + t12 * t12), 0.0)), 6) AS sigma2
+FROM t"""
