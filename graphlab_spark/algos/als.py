@@ -323,4 +323,9 @@ def add_implicit_ratings(
             ratings = ratings.withColumn("weight", F.lit(1.0))
         return ratings.select("user", "item", "rating", "weight").unionByName(
             adds)
+    if "weight" in ratings.columns:
+        raise ValueError(
+            "ratings carry a weight column; pass weight=<implicit weight> "
+            "so the injected edges get one (silently dropping weights "
+            "would corrupt a WALS input)")
     return ratings.select("user", "item", "rating").unionByName(adds)

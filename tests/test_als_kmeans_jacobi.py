@@ -212,3 +212,13 @@ def test_sparse_als_portable_init_one_nonzero(spark):
     uf2, _ = sparse_als(r, k=2, user_sparsity=1, item_sparsity=1,
                         iterations=2, portable_init=True)
     assert uf.exceptAll(uf2).count() == 0
+
+
+def test_add_implicit_ratings_rejects_unweighted_call_on_weighted_input(spark):
+    import pytest as _pytest
+    from graphlab_spark.algos.als import add_implicit_ratings
+    r = spark.createDataFrame(
+        [(1, 10, 4.0, 2.0)],
+        "user long, item long, rating double, weight double")
+    with _pytest.raises(ValueError, match="weight"):
+        add_implicit_ratings(r, percentage=0.5)
