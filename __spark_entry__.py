@@ -604,6 +604,25 @@ def q_implicit_ratings(spark, sf_dir):
     return aug.select("user", "item", F.round("rating", 6).alias("rating"))
 
 
+def q_vision_match_graph(spark, sf_dir):
+    """Stitch match graph (``stitch_main.cpp:137-162``,
+    ``functions/vision.py``): chunk-hash keypoints over the synthetic
+    image table (documents + planted overlapping copies), visual-word
+    equi-join matching with the stop-feature df-cap."""
+    from graphlab_spark.functions import vision as V
+    feats = V.compute_features(V.images_from_documents(_docs(spark, sf_dir)))
+    return V.match_features(feats).select("img_a", "img_b", "matches")
+
+
+def q_vision_panorama_groups(spark, sf_dir):
+    """Panorama grouping: the engine's hash-min connected components
+    over the stitch match edges (the leave-component step the
+    reference runs before camera estimation)."""
+    from graphlab_spark.functions import vision as V
+    feats = V.compute_features(V.images_from_documents(_docs(spark, sf_dir)))
+    return V.panorama_groups(V.match_features(feats))
+
+
 def q_sparse_als2_user_factors(spark, sf_dir):
     """Sparse ALS at k=2, s=1 with portable init: the CoSaMP
     identify+re-estimate step (dense Cramer solve -> abs-argmax
@@ -959,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_synthetic_als_stats": q_synthetic_als_stats,
         "cf_implicit_ratings": q_implicit_ratings,
         "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
+        "vision_match_graph": q_vision_match_graph,
+        "vision_panorama_groups": q_vision_panorama_groups,
         "cf_sparse_als_support": q_sparse_als_support,
         "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
@@ -1272,6 +1293,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),
         "cf_svd_lanczos2_sigma": O.sql_svd_lanczos2_sigma(),
+        "vision_match_graph": O.sql_vision_match_graph(),
+        "vision_panorama_groups": O.sql_vision_panorama_groups(),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

@@ -1,0 +1,254 @@
+"""Computer-vision toolkit analog — panorama stitching match graph.
+
+Reference: ``/root/reference/toolkits/computer_vision/stitch_main.cpp``
+(the toolkit's one GraphLab computation; ``grabcut.cpp`` in the same
+directory is an interactive OpenCV GUI demo with no vertex program and
+is out of scope).  The stitch pipeline is a chain of primitives this
+engine already ships:
+
+1. ``graph_feat.transform_vertices(compute_features)``
+   (``stitch_main.cpp:137``) — per-image SURF feature extraction;
+2. ``graph_feat.transform_edges(match_features)`` (``:141``) — pairwise
+   descriptor matching on candidate image pairs;
+3. ``map_reduce_vertices/edges(compile_*)`` (``:148,162``) — assemble
+   the match graph and keep the connected component to stitch;
+4. camera estimation / ``warp_images`` / ``find_seams`` /
+   ``composite_images`` (``:302-313``) — OpenCV geometry.
+
+Spark mapping: images are binary-payload rows (the multimodal column
+convention, ``functions/multimodal.py``); feature extraction runs as an
+Arrow ``mapInPandas`` batch kernel whose real decode step is stubbed
+(no codec libraries in this container) while a deterministic
+chunk-hash stand-in extractor IS real and replayed by a pure-expression
+twin, so the whole match-graph phase is value-oracled.  Matching is a
+quantized-descriptor equi-join — the visual-words / LSH form of
+descriptor matching (bucket join on the quantized descriptor, never
+all-pairs; a document-frequency cap drops stop-features the way image
+retrieval drops stop-words), which is the matcher shape that survives
+100 TB.  Panorama grouping is the engine's own hash-min connected
+components over the match edges.  The OpenCV geometry tail
+(``warp_images``/``find_seams``/``composite_images``) raises
+``NotImplementedError`` with the same documented-stub policy as the
+media codecs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.portable import FOLD, lcg_hash, sql_lcg_hash
+
+K_KEYPOINTS = 8      # keypoints per image (16-byte stride over the payload)
+CHUNK = 16           # bytes per keypoint patch
+DF_CAP = 32          # drop descriptors seen in more images (stop-features)
+MIN_MATCHES = 2      # match_features confidence floor
+
+FEATURES_SCHEMA = "img_id long, kp int, qdesc long"
+
+
+def images_from_documents(docs: DataFrame, copy_every: int = 5) -> DataFrame:
+    """Synthetic image table from the documents corpus: payload = the
+    UTF-8 text bytes (stand-in pixels, as ``multimodal.as_media_table``
+    does), plus a planted overlapping copy — payload truncated by one
+    16-byte patch — for every ``copy_every``-th doc (id offset 100000).
+    Overlapping views are what a panorama input set looks like; organic
+    near-identical byte payloads don't exist in the corpus."""
+    base = docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.encode("text", "UTF-8").alias("payload"))
+    copies = (
+        docs.filter((F.col("doc_id") % copy_every == 0)
+                    & (F.length("text") >= 2 * CHUNK))
+        .select(
+            (F.col("doc_id") + 100_000).alias("img_id"),
+            F.encode(F.expr(f"substring(text, 1, length(text) - {CHUNK})"),
+                     "UTF-8").alias("payload"))
+    )
+    return base.unionByName(copies)
+
+
+def _qdesc_expr(payload, kp: int):
+    """Quantized descriptor of keypoint ``kp``: the patch's 4 stride
+    bytes (offsets 0/5/10/15 inside the 16-byte window) folded mod 2^31
+    per step (ANSI-BIGINT-safe on any engine) and LCG-mixed —
+    position-sensitive, so equality is the quantized visual-word match.
+    NULL when the payload has no full patch there.  The corpus is
+    ASCII, so byte access is ``ascii(substring(decoded, pos, 1))`` —
+    identical to the Arrow kernel's raw-byte indexing."""
+    text = F.decode(payload, "UTF-8")
+    probes = [
+        F.when(F.octet_length(payload) >= (kp + 1) * CHUNK,
+               F.ascii(F.substring(text, kp * CHUNK + off + 1, 1))
+               .cast("long"))
+        for off in (0, 5, 10, 15)
+    ]
+    folded = F.lit(kp).cast("long")
+    for p in probes:
+        folded = (folded * F.lit(FOLD) + p) % F.lit(2_147_483_648)
+    return lcg_hash(folded)
+
+
+def compute_features(images: DataFrame) -> DataFrame:
+    """``transform_vertices(compute_features)`` (``stitch_main.cpp:137``)
+    as pure column expressions: up to ``K_KEYPOINTS`` (img_id, kp,
+    qdesc) rows per image.  A real extractor would decode pixels and
+    run SURF here; see :func:`compute_features_arrow` for the
+    batch-kernel seam where that code would live."""
+    kps = F.array(*[
+        F.struct(F.lit(k).alias("kp"),
+                 _qdesc_expr(F.col("payload"), k).alias("qdesc"))
+        for k in range(K_KEYPOINTS)
+    ])
+    return (
+        images.select("img_id", F.explode(kps).alias("f"))
+        .select("img_id", F.col("f.kp").alias("kp"),
+                F.col("f.qdesc").alias("qdesc"))
+        .filter(F.col("qdesc").isNotNull())
+    )
+
+
+def compute_features_arrow(images: DataFrame) -> DataFrame:
+    """The same extractor as an Arrow ``mapInPandas`` kernel — the
+    batch shape, schema, and partitioning a real SURF/ORB extractor
+    would use (decode per batch, emit long-form keypoints).  Kept in
+    exact agreement with :func:`compute_features` (tested), so the
+    expression path can serve as its oracle."""
+    M = 2_147_483_648
+    A, C = 1_103_515_245, 12_345
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"img_id": [], "kp": [], "qdesc": []}
+            for img_id, payload in zip(pdf["img_id"], pdf["payload"]):
+                b = payload or b""
+                for k in range(K_KEYPOINTS):
+                    if len(b) < (k + 1) * CHUNK:
+                        continue
+                    folded = k
+                    for off in (0, 5, 10, 15):
+                        folded = (folded * FOLD + b[k * CHUNK + off]) % M
+                    x = (folded * A + C) % M
+                    out["img_id"].append(img_id)
+                    out["kp"].append(k)
+                    out["qdesc"].append((x * A + C) % M)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def decode_pixels(payload: bytes) -> object:
+    """STUB: real pixel decode requires PIL/opencv (not installed)."""
+    raise NotImplementedError("image codecs unavailable in this environment")
+
+
+def match_features(features: DataFrame, df_cap: int = DF_CAP,
+                   min_matches: int = MIN_MATCHES) -> DataFrame:
+    """``transform_edges(match_features)`` (``stitch_main.cpp:141``) in
+    its scalable form: instead of scoring a dense pair list, bucket-join
+    keypoints on the quantized descriptor (visual-words matching) and
+    count co-occurrences per image pair.  Descriptors present in more
+    than ``df_cap`` images are dropped first — the stop-feature cut
+    that keeps the bucket join linear (same role as the hot-shingle cap
+    in ``dedup.jaccard_pairs``).  Returns (img_a, img_b, matches) with
+    img_a < img_b and ``matches >= min_matches``."""
+    live = (
+        features.groupBy("qdesc")
+        .agg(F.countDistinct("img_id").alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("qdesc")
+    )
+    kept = features.join(live, "qdesc")
+    a = kept.select(F.col("qdesc"), F.col("img_id").alias("img_a"))
+    b = kept.select(F.col("qdesc"), F.col("img_id").alias("img_b"))
+    return (
+        a.join(b, "qdesc")
+        .filter(F.col("img_a") < F.col("img_b"))
+        .groupBy("img_a", "img_b")
+        .agg(F.count("*").alias("matches"))
+        .filter(F.col("matches") >= min_matches)
+    )
+
+
+def panorama_groups(matches: DataFrame) -> DataFrame:
+    """``map_reduce_edges(compile_edges)`` + the leave-one-component
+    step (``stitch_main.cpp:162``, OpenCV ``leaveBiggestComponent``):
+    hash-min connected components over the match edges.  Returns
+    (img_id, pano) for every matched image — ``pano`` is the min img_id
+    of its component; unmatched images form no panorama (exactly the
+    images the reference drops before stitching)."""
+    from ..algos.connected_components import connected_components
+    from ..graph import EdgeGraph
+    edges = matches.select(F.col("img_a").alias("src"),
+                           F.col("img_b").alias("dst"))
+    g = EdgeGraph(edges)
+    return connected_components(g, resume=False).state.select(
+        "id", F.col("component").alias("pano"))
+
+
+def warp_images(images: DataFrame, cameras: DataFrame) -> DataFrame:
+    """STUB (``stitch_main.cpp:302``): spherical warp needs OpenCV."""
+    raise NotImplementedError(
+        "camera warp requires OpenCV (not installed); the match-graph "
+        "phase above is the distributed part of the pipeline")
+
+
+def find_seams(images: DataFrame, matches: DataFrame) -> DataFrame:
+    """STUB (``stitch_main.cpp:309``): graph-cut seams need OpenCV."""
+    raise NotImplementedError(
+        "seam finding requires OpenCV (not installed)")
+
+
+def composite_images(images: DataFrame) -> DataFrame:
+    """STUB (``stitch_main.cpp:313``): blending needs OpenCV."""
+    raise NotImplementedError(
+        "compositing requires OpenCV (not installed)")
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB oracle replay)
+# ---------------------------------------------------------------------------
+
+
+def sql_images(copy_every: int = 5, table: str = "documents") -> str:
+    return f"""
+images AS (
+  SELECT doc_id AS img_id, text AS payload FROM {table}
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, length(text) - {CHUNK})
+  FROM {table}
+  WHERE doc_id % {copy_every} = 0 AND length(text) >= {2 * CHUNK})"""
+
+
+def sql_features() -> str:
+    """Twin of :func:`compute_features` over the ``images`` CTE.  The
+    corpus is ASCII, so ``getbyte`` == ``ascii(substr(...))`` — the
+    payload stays textual on the DuckDB side."""
+    arms = []
+    for k in range(K_KEYPOINTS):
+        folded = str(k)
+        for off in (0, 5, 10, 15):
+            byte = f"ascii(substr(payload, {k * CHUNK + off} + 1, 1))"
+            folded = f"(({folded} * {FOLD} + {byte}) % 2147483648)"
+        arms.append(
+            f"SELECT img_id, {k} AS kp, "
+            f"{sql_lcg_hash(folded)} AS qdesc "
+            f"FROM images WHERE length(payload) >= {(k + 1) * CHUNK}")
+    return "features AS (" + " UNION ALL ".join(arms) + ")"
+
+
+def sql_match_features(df_cap: int = DF_CAP,
+                       min_matches: int = MIN_MATCHES) -> str:
+    return f"""
+live AS (SELECT qdesc FROM features GROUP BY qdesc
+         HAVING count(DISTINCT img_id) <= {df_cap}),
+kept AS (SELECT f.* FROM features f JOIN live l ON l.qdesc = f.qdesc),
+matches AS (
+  SELECT a.img_id AS img_a, b.img_id AS img_b,
+         CAST(count(*) AS BIGINT) AS matches
+  FROM kept a JOIN kept b ON a.qdesc = b.qdesc AND a.img_id < b.img_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_matches})"""

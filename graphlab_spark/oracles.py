@@ -1761,3 +1761,37 @@ SELECT round(sqrt(greatest((t11 + t22) / 2.0
              - sqrt(((t11 - t22) / 2.0) * ((t11 - t22) / 2.0)
                     + t12 * t12), 0.0)), 6) AS sigma2
 FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# Computer-vision stitch match graph (mirrors functions/vision.py —
+# stitch_main.cpp:137-162): chunk-hash keypoints, visual-word equi-join
+# matching with a stop-feature df-cap, hash-min CC panorama grouping
+# (the same _cc_rec recursion the graph CC oracle uses, fed the match
+# edges).
+# ---------------------------------------------------------------------------
+
+
+def _vision_ctes() -> str:
+    from .functions.vision import (sql_features, sql_images,
+                                   sql_match_features)
+    return (sql_images().strip() + ",\n" + sql_features().strip() + ",\n"
+            + sql_match_features().strip())
+
+
+def sql_vision_match_graph() -> str:
+    return ("WITH " + _vision_ctes()
+            + "\nSELECT img_a, img_b, matches FROM matches")
+
+
+def sql_vision_panorama_groups() -> str:
+    vverts = ("vverts AS (SELECT DISTINCT id FROM ("
+              "SELECT img_a AS id FROM matches "
+              "UNION ALL SELECT img_b FROM matches))")
+    vsym = ("vsym AS (SELECT img_a AS src, img_b AS dst FROM matches "
+            "UNION ALL SELECT img_b, img_a FROM matches)")
+    return ("WITH RECURSIVE " + _vision_ctes() + ",\n"
+            + vverts + ",\n" + vsym + ",\n"
+            + _cc_rec("vcc", "vverts", "vsym")
+            + "\nSELECT id, component AS pano FROM vcc "
+              "WHERE iter = (SELECT max(iter) FROM vcc)")
