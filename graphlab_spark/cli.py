@@ -34,7 +34,8 @@ from .graph import EdgeGraph
 from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
-         "kcore", "sssp", "diameter", "convert", "extension", "ingress")
+         "kcore", "sssp", "diameter", "convert", "extension", "ingress",
+         "stitch")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -43,6 +44,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", help="edge file/dir (with --format)")
     p.add_argument("--events", help="events parquet table -> induced graph")
     p.add_argument("--transcripts", help="transcripts parquet -> induced graph")
+    p.add_argument("--documents", help="documents parquet (stitch verb)")
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "tsv", "snap", "csv", "adj"])
     p.add_argument("--output", help="output parquet dir for vertex state")
@@ -125,6 +127,29 @@ def main(argv: list[str] | None = None) -> int:
             "algo": "convert", "edges": g.num_edges,
             "from": args.format, "to": args.output_format,
             "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+    if args.algo == "stitch":
+        # image-stitching match graph (toolkits/computer_vision/
+        # stitch_main.cpp:137-162): features -> matches -> panoramas
+        if not args.documents:
+            raise SystemExit("stitch requires --documents")
+        from .functions import vision as V
+        docs = spark.read.parquet(args.documents)
+        t0 = time.time()
+        imgs = V.images_from_documents(docs)
+        matches = V.match_features(V.compute_features(imgs)).persist()
+        groups = V.panorama_groups(matches)
+        out = {
+            "algo": "stitch", "images": imgs.count(),
+            "match_edges": matches.count(),
+            "grouped_images": groups.count(),
+            "panoramas": groups.select("pano").distinct().count(),
+        }
+        if args.output:
+            matches.write.mode("overwrite").parquet(args.output)
+        out["wall_sec"] = round(time.time() - t0, 3)
+        matches.unpersist()
+        print(json.dumps(out))
         return 0
     if args.algo == "ingress":
         # placement diagnostics (distributed_ingress_base.hpp:538-550):

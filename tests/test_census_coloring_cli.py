@@ -180,3 +180,24 @@ def test_cli_ingress_report(spark, tmp_path, capsys):
         assert r["nshards"] == 4
         assert 1.0 <= r["replication_factor"] <= 4.0
         assert r["edge_balance"] >= 1.0
+
+
+def test_cli_stitch_match_graph(spark, tmp_path, capsys):
+    from graphlab_spark.cli import main
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu!"),
+         (1, "unrelated words entirely different text with nothing shared "
+             "in any spot")],
+        "doc_id long, text string")
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    out = tmp_path / "matches"
+    rc = main(["stitch", "--documents", str(src), "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 2 docs + 1 planted copy of doc 0; the copy pairs with its original
+    assert metrics["images"] == 3 and metrics["match_edges"] == 1
+    assert metrics["panoramas"] == 1 and metrics["grouped_images"] == 2
+    edge = spark.read.parquet(str(out)).collect()[0]
+    assert (edge["img_a"], edge["img_b"]) == (0, 100_000)
