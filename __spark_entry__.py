@@ -604,14 +604,26 @@ def q_implicit_ratings(spark, sf_dir):
     return aug.select("user", "item", F.round("rating", 6).alias("rating"))
 
 
+def _stitch_matches(spark, sf_dir):
+    """Shared (and persisted) match-edge table for the two vision
+    queries — the feature extraction + bucket join is identical."""
+    from graphlab_spark.functions import vision as V
+
+    def fit():
+        feats = V.compute_features(
+            V.images_from_documents(_docs(spark, sf_dir)))
+        return V.match_features(feats).persist()
+
+    return _trained(spark, sf_dir, "stitch_matches", fit)
+
+
 def q_vision_match_graph(spark, sf_dir):
     """Stitch match graph (``stitch_main.cpp:137-162``,
     ``functions/vision.py``): chunk-hash keypoints over the synthetic
     image table (documents + planted overlapping copies), visual-word
     equi-join matching with the stop-feature df-cap."""
-    from graphlab_spark.functions import vision as V
-    feats = V.compute_features(V.images_from_documents(_docs(spark, sf_dir)))
-    return V.match_features(feats).select("img_a", "img_b", "matches")
+    return _stitch_matches(spark, sf_dir).select(
+        "img_a", "img_b", "matches")
 
 
 def q_vision_panorama_groups(spark, sf_dir):
@@ -619,8 +631,7 @@ def q_vision_panorama_groups(spark, sf_dir):
     over the stitch match edges (the leave-component step the
     reference runs before camera estimation)."""
     from graphlab_spark.functions import vision as V
-    feats = V.compute_features(V.images_from_documents(_docs(spark, sf_dir)))
-    return V.panorama_groups(V.match_features(feats))
+    return V.panorama_groups(_stitch_matches(spark, sf_dir))
 
 
 def q_sparse_als2_user_factors(spark, sf_dir):
