@@ -186,3 +186,31 @@ def test_pack_sequences_window_is_sharded(spark):
     # not SinglePartition
     assert "hashpartitioning(shard" in plan, plan
     assert "SinglePartition" not in plan.split("Window")[1].split("Sort")[0], plan
+
+
+def test_vision_match_join_is_bucketed_not_cartesian(spark):
+    """Visual-word matching must stay an equi-join on the quantized
+    descriptor (bucket join) — a pair-scoring matcher that degenerates
+    to a cross join of keypoints cannot survive a 100 TB image set."""
+    from graphlab_spark.functions import vision as V
+    docs = spark.createDataFrame(
+        [(i, f"some shared words tok{i} padded out to patch length!!")
+         for i in range(50)],
+        "doc_id long, text string")
+    out = V.match_features(V.compute_features(V.images_from_documents(docs)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_implicit_ratings_broadcasts_rank_dims(spark):
+    """The rank-indexed user/item dimension tables are tiny relative to
+    the sampled pair stream; both joins must broadcast."""
+    from graphlab_spark.algos.als import add_implicit_ratings
+    r = spark.createDataFrame(
+        [(i, 100 + i % 7, 1.0) for i in range(50)],
+        "user long, item long, rating double")
+    out = add_implicit_ratings(r, percentage=0.05)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
