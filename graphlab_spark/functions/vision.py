@@ -54,17 +54,21 @@ def images_from_documents(docs: DataFrame, copy_every: int = 5) -> DataFrame:
     """Synthetic image table from the documents corpus: payload = the
     UTF-8 text bytes (stand-in pixels, as ``multimodal.as_media_table``
     does), plus a planted overlapping copy — payload truncated by one
-    16-byte patch — for every ``copy_every``-th doc (id offset 100000).
+    16-byte patch — for every ``copy_every``-th doc, at img_id
+    ``-(doc_id + 1)`` (doc ids are non-negative, so the copy id space
+    never collides with a real image at any corpus size).
     Overlapping views are what a panorama input set looks like; organic
     near-identical byte payloads don't exist in the corpus."""
     base = docs.select(
         F.col("doc_id").alias("img_id"),
         F.encode("text", "UTF-8").alias("payload"))
+    # copies live at -(doc_id+1): doc ids are non-negative, so the copy
+    # id space can never collide with a real image at any corpus size
     copies = (
         docs.filter((F.col("doc_id") % copy_every == 0)
                     & (F.length("text") >= 2 * CHUNK))
         .select(
-            (F.col("doc_id") + 100_000).alias("img_id"),
+            (-(F.col("doc_id") + 1)).alias("img_id"),
             F.encode(F.expr(f"substring(text, 1, length(text) - {CHUNK})"),
                      "UTF-8").alias("payload"))
     )
@@ -103,8 +107,15 @@ def compute_features(images: DataFrame) -> DataFrame:
                  _qdesc_expr(F.col("payload"), k).alias("qdesc"))
         for k in range(K_KEYPOINTS)
     ])
+    # ASCII-only guard: the expression path reads characters while the
+    # Arrow kernel reads bytes — only payloads where the two coincide
+    # (octet count == char count) produce features, identically on both
+    # paths, so a non-ASCII payload can never silently diverge.
+    ascii_only = (F.octet_length("payload")
+                  == F.length(F.decode("payload", "UTF-8")))
     return (
-        images.select("img_id", F.explode(kps).alias("f"))
+        images.filter(ascii_only)
+        .select("img_id", F.explode(kps).alias("f"))
         .select("img_id", F.col("f.kp").alias("kp"),
                 F.col("f.qdesc").alias("qdesc"))
         .filter(F.col("qdesc").isNotNull())
@@ -125,6 +136,8 @@ def compute_features_arrow(images: DataFrame) -> DataFrame:
             out: dict[str, list] = {"img_id": [], "kp": [], "qdesc": []}
             for img_id, payload in zip(pdf["img_id"], pdf["payload"]):
                 b = payload or b""
+                if any(c >= 128 for c in b):   # ASCII guard, as above
+                    continue
                 for k in range(K_KEYPOINTS):
                     if len(b) < (k + 1) * CHUNK:
                         continue
@@ -218,7 +231,7 @@ def sql_images(copy_every: int = 5, table: str = "documents") -> str:
 images AS (
   SELECT doc_id AS img_id, text AS payload FROM {table}
   UNION ALL
-  SELECT doc_id + 100000, substr(text, 1, length(text) - {CHUNK})
+  SELECT -(doc_id + 1), substr(text, 1, length(text) - {CHUNK})
   FROM {table}
   WHERE doc_id % {copy_every} = 0 AND length(text) >= {2 * CHUNK})"""
 
@@ -236,7 +249,8 @@ def sql_features() -> str:
         arms.append(
             f"SELECT img_id, {k} AS kp, "
             f"{sql_lcg_hash(folded)} AS qdesc "
-            f"FROM images WHERE length(payload) >= {(k + 1) * CHUNK}")
+            f"FROM images WHERE length(payload) >= {(k + 1) * CHUNK} "
+            f"AND strlen(payload) = length(payload)")  # ASCII guard
     return "features AS (" + " UNION ALL ".join(arms) + ")"
 
 

@@ -41,17 +41,16 @@ def transform_vertices(
     return out.drop("__in")
 
 
-def transform_edges(
-    graph: EdgeGraph,
+def apply_edge_transforms(
+    edges: DataFrame,
     transforms: dict[str, Column],
     vertex_set: DataFrame | None = None,
     direction: str = "all",
 ) -> DataFrame:
-    """Transform edge columns for edges incident to ``vertex_set`` in the
-    given direction ('in' = edges whose dst is in the set, 'out' = src,
-    'all' = either). Matches ``transform_edges`` semantics
-    (``distributed_graph.hpp:1492-1557``)."""
-    edges = graph.edges
+    """Incident-edge transform over a plain edge DataFrame — the shared
+    core of :func:`transform_edges` and the warp API's
+    ``transform_neighborhood`` ('in' = edges whose dst is in the set,
+    'out' = src, 'all' = either; untouched edges pass through)."""
     if vertex_set is None:
         cond = F.lit(True)
     else:
@@ -71,6 +70,19 @@ def transform_edges(
     for name, col in transforms.items():
         out = out.withColumn(name, F.when(cond, col).otherwise(F.col(name) if name in edges.columns else F.lit(None)))
     return out.drop("__src_in", "__dst_in")
+
+
+def transform_edges(
+    graph: EdgeGraph,
+    transforms: dict[str, Column],
+    vertex_set: DataFrame | None = None,
+    direction: str = "all",
+) -> DataFrame:
+    """Transform edge columns for edges incident to ``vertex_set`` in the
+    given direction. Matches ``transform_edges`` semantics
+    (``distributed_graph.hpp:1492-1557``)."""
+    return apply_edge_transforms(graph.edges, transforms, vertex_set,
+                                 direction)
 
 
 # -- vertex_set algebra ------------------------------------------------------

@@ -70,7 +70,7 @@ def neighborhood(
     state: DataFrame,
     direction: str = "in",
     vset: DataFrame | None = None,
-    include_degrees: bool = False,
+    include_degrees: bool | str = False,
     include_center: bool = False,
 ) -> DataFrame:
     """The (center, edge, other) view all warp combinators run over.
@@ -84,6 +84,11 @@ def neighborhood(
     unprefixed (warp reaches them via ``edge.source().data()`` /
     ``edge.target().data()``) — off by default so combinators that only
     read ``other`` skip the second state join.
+
+    ``include_degrees`` may be ``True`` (both directions), ``"out"`` or
+    ``"in"`` — a mapper that reads only ``other_out_degree`` (PageRank)
+    should request just that side, since each side is one more join per
+    call and Spark does not eliminate unused outer joins.
     """
     extra = [c for c in graph.edges.columns if c not in ("src", "dst")]
     if direction == "all":
@@ -103,16 +108,20 @@ def neighborhood(
     nbr = state.select(
         F.col("id").alias("other_id"),
         *[F.col(c).alias(f"other_{c}") for c in state.columns if c != "id"])
-    if include_degrees:
+    if include_degrees in (True, "out"):
         nbr = (
             nbr.join(graph.out_degrees.withColumnRenamed("id", "other_id"),
                      "other_id", "left")
-            .join(graph.in_degrees.withColumnRenamed("id", "other_id"),
-                  "other_id", "left")
             .withColumn("other_out_degree",
                         F.coalesce("out_degree", F.lit(0)))
+            .drop("out_degree")
+        )
+    if include_degrees in (True, "in"):
+        nbr = (
+            nbr.join(graph.in_degrees.withColumnRenamed("id", "other_id"),
+                     "other_id", "left")
             .withColumn("other_in_degree", F.coalesce("in_degree", F.lit(0)))
-            .drop("out_degree", "in_degree")
+            .drop("in_degree")
         )
     view = view.join(nbr, "other_id")
     if include_center:
@@ -128,7 +137,7 @@ def map_reduce_neighborhood(
     direction: str = "in",
     vset: DataFrame | None = None,
     default: object = 0.0,
-    include_degrees: bool = False,
+    include_degrees: bool | str = False,
     result_col: str = "total",
 ) -> DataFrame:
     """``warp::map_reduce_neighborhood`` for every center vertex at once
@@ -158,7 +167,7 @@ def broadcast_neighborhood(
     combine: Combiner = _sum_combiner,
     direction: str = "out",
     vset: DataFrame | None = None,
-    include_degrees: bool = False,
+    include_degrees: bool | str = False,
     msg_col: str = "message",
 ) -> DataFrame:
     """``warp::broadcast_neighborhood`` (``warp_graph_broadcast.hpp:360``):
@@ -198,6 +207,8 @@ def transform_neighborhood(
     ``edge.source().data()`` / ``edge.target().data()``).  Each edge is
     transformed exactly once (see module docstring).
     """
+    from .vertex_ops import apply_edge_transforms
+
     edges = graph.edges
     if state is not None:
         for side in ("src", "dst"):
@@ -206,28 +217,7 @@ def transform_neighborhood(
                 *[F.col(c).alias(f"{side}_{c}")
                   for c in state.columns if c != "id"])
             edges = edges.join(sided, side, "left")
-    if vset is None:
-        cond = F.lit(True)
-    else:
-        ids = vset.select(F.col("id").alias("__vid"))
-        marked = ids.withColumn("__in", F.lit(True))
-        edges = (
-            edges.join(marked, edges["src"] == F.col("__vid"), "left")
-            .withColumnRenamed("__in", "__src_in").drop("__vid")
-            .join(marked, edges["dst"] == F.col("__vid"), "left")
-            .withColumnRenamed("__in", "__dst_in").drop("__vid")
-        )
-        cond = {
-            "out": F.col("__src_in").isNotNull(),
-            "in": F.col("__dst_in").isNotNull(),
-            "all": (F.col("__src_in").isNotNull()
-                    | F.col("__dst_in").isNotNull()),
-        }[direction]
-    out = edges
-    for name, col in transforms.items():
-        prev = F.col(name) if name in edges.columns else F.lit(None)
-        out = out.withColumn(name, F.when(cond, col).otherwise(prev))
-    out = out.drop("__src_in", "__dst_in")
+    out = apply_edge_transforms(edges, transforms, vset, direction)
     if state is not None:
         out = out.drop(*[f"{s}_{c}" for s in ("src", "dst")
                          for c in state.columns if c != "id"])
@@ -276,7 +266,7 @@ def warp_pagerank(
         totals = map_reduce_neighborhood(
             graph, state,
             F.col("other_rank") / F.col("other_out_degree"),
-            direction="in", include_degrees=True, default=0.0)
+            direction="in", include_degrees="out", default=0.0)
         joined = state.select("id", F.col("rank").alias("__old")).join(
             totals, "id")
         new = parfor_all_vertices(
@@ -289,6 +279,8 @@ def warp_pagerank(
         # truncate_lineage materializes (localCheckpoint) — the one
         # driver job per round, which also fulfils the observation.
         state = truncate_lineage(new.select("id", "rank"))
-        if tol is not None and obs.get["md"] < tol:
-            break
+        if tol is not None:
+            md = obs.get["md"]        # None on a vertex-less graph
+            if md is None or md < tol:
+                break
     return state

@@ -1627,7 +1627,11 @@ FROM train GROUP BY item"""
 # Implicit-rating injection (mirrors algos/als.py::add_implicit_ratings
 # — implicit.hpp:40-88): rank-indexed dimension tables + edge_hash pair
 # sampling replay the exact injected edge set; j comes from a
-# row_number over lineitem (toadd <= |lineitem| at every sf).
+# row_number over lineitem x range(8) (DuckDB's range() takes constants
+# only, so the domain is data-proportional: valid while toadd =
+# pct*M*N <= 8|lineitem|, which at pct=1e-4 holds to TPC-H sf ~ 240 —
+# far beyond the driver's sf0.01 gate; above that the oracle would
+# under-inject and the row-count check would catch it loudly).
 # ---------------------------------------------------------------------------
 
 
@@ -1644,8 +1648,10 @@ iidx AS (SELECT it, row_number() OVER (ORDER BY it) - 1 AS idx
 p AS (SELECT (SELECT count(*) FROM uidx) AS m,
              (SELECT count(*) FROM iidx) AS n),
 js AS (SELECT j FROM (
-         SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
-                AS j FROM lineitem)
+         SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, r8)
+                - 1 AS j
+         FROM (SELECT l_orderkey, l_linenumber, r.range AS r8
+               FROM lineitem CROSS JOIN range(8) r))
        WHERE j < (SELECT greatest(1, CAST(floor({percentage!r} * m * n)
                                           AS BIGINT)) FROM p)),
 aidx AS (SELECT {uh} AS uq, {ih} AS iq FROM js CROSS JOIN p),

@@ -200,4 +200,4 @@ def test_cli_stitch_match_graph(spark, tmp_path, capsys):
     assert metrics["images"] == 3 and metrics["match_edges"] == 1
     assert metrics["panoramas"] == 1 and metrics["grouped_images"] == 2
     edge = spark.read.parquet(str(out)).collect()[0]
-    assert (edge["img_a"], edge["img_b"]) == (0, 100_000)
+    assert (edge["img_a"], edge["img_b"]) == (-1, 0)

@@ -15,8 +15,8 @@ def test_images_plants_truncated_copies(spark):
     imgs = V.images_from_documents(docs, copy_every=5)
     got = {r["img_id"]: r["payload"] for r in imgs.collect()}
     # doc 0 long enough for a copy; doc 5 too short (< 2 chunks); doc 1 not selected
-    assert set(got) == {0, 1, 5, 100_000}
-    assert got[100_000] == b"a" * 24  # 40 - 16
+    assert set(got) == {0, 1, 5, -1}     # copy of doc 0 at -(0+1)
+    assert got[-1] == b"a" * 24  # 40 - 16
 
 
 def test_features_arrow_equals_expression(spark):
@@ -44,8 +44,8 @@ def test_match_features_pairs_planted_copy(spark):
     imgs = V.images_from_documents(docs, copy_every=5)  # copy of doc 0
     m = V.match_features(V.compute_features(imgs))
     rows = {(r["img_a"], r["img_b"]): r["matches"] for r in m.collect()}
-    assert (0, 100_000) in rows          # copy pairs with its original
-    assert all(a == 0 and b == 100_000 for a, b in rows)  # and nothing else
+    assert (-1, 0) in rows               # copy pairs with its original
+    assert all(a == -1 and b == 0 for a, b in rows)  # and nothing else
 
 
 def test_match_features_df_cap_drops_stop_features(spark):
