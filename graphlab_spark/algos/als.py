@@ -6,22 +6,27 @@ each side alternately gathers over ALL edges the tuple
 ``XtX += x_j x_j^T, Xy += r_ij x_j`` of its neighbors' factors
 (``als.cpp:182-222, 303-310``) and apply solves
 ``(XtX + lambda I) w = Xy`` (``als.cpp:313-334``; with ``--regnormal``,
-lambda scales with the vertex degree).  NLATENT defaults to 20
+lambda scales with ``vertex.num_out_edges()`` — the user's rating
+count, and ZERO for items, which have no out-edges in the user->item
+orientation of ``als.cpp:415``).  NLATENT defaults to 20
 (``:115``), LAMBDA 0.01 (``:431``); convergence is tracked as the mean
 absolute factor change (``:333``).
 
 Spark plan: one superstep = join ratings with the fixed side's factor
 table (shuffle on the fixed side's key only — ratings stay hash-
-partitioned), then a per-vertex normal-equation solve in a cogrouped
-pandas/Arrow kernel (`numpy.linalg.solve` on k x k systems — the Eigen
-LDLT of the reference; k=NLATENT is tiny so the kernel is dominated by
-the vectorized outer-product accumulation, not Python overhead).
+partitioned), expression-side partial aggregation of the normal
+equations (k(k+1)/2 XtX sums + k Xy sums with map-side combine — the
+reference's constant-memory ``+=`` gather, hot-vertex-safe), then one
+batched `numpy.linalg.solve` over each Arrow batch of k x k systems
+(the Eigen LDLT of the reference).
 Deterministic: factors initialize from a hash of the vertex id, not an
 RNG, so runs are reproducible at any parallelism (the reference's
 ``setRandom`` is not; parity is algorithmic, not bitwise).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -69,31 +74,77 @@ def _solve_side(
     joined = ratings.join(
         fixed.select(F.col("id").alias(other), "factor"), other
     ).select(*cols)
+    # REGNORMAL scales lambda by vertex.num_out_edges (als.cpp:323-326);
+    # edges run user->item (als.cpp:415), so for users that is their
+    # rating count and for items it is ZERO — items solve unregularized
+    # under --regnormal, exactly as the reference's LDLT does.
+    user_side = key == "user"
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one group = one vertex (applyInPandas guarantees the whole
-        # group in one batch — mapInPandas could split a vertex's rows
-        # across Arrow batches and emit partial solves)
-        X = np.stack(pdf["factor"].to_numpy())            # (n, k)
-        y = pdf["rating"].to_numpy()                      # (n,)
-        w = pdf["weight"].to_numpy() if weighted else None
-        lam = reg * len(pdf) if regnormal else reg
-        Xw = X * w[:, None] if weighted else X
-        A = X.T @ Xw + lam * np.eye(k)
-        b = Xw.T @ y if weighted else X.T @ y
-        f = np.linalg.solve(A, b)
-        if sparsity is not None and sparsity < k:
-            sup = np.sort(np.argsort(-np.abs(f))[:sparsity])
-            As = A[np.ix_(sup, sup)]
-            f = np.zeros(k)
-            f[sup] = np.linalg.solve(As, b[sup])
-        return pd.DataFrame({
-            "id": [pdf["id"].iloc[0]],
-            "factor": [f.tolist()],
-        })
+    # Accumulate the normal equations EXPRESSION-SIDE, like the
+    # reference's constant-memory ``+=`` gather (als.cpp:182-222): the
+    # k(k+1)/2 upper-triangle XtX sums + k Xy sums ride Spark's native
+    # partial+final hash aggregate, so a power-law hot vertex costs
+    # O(k^2) state instead of materializing its whole (deg, k)
+    # neighborhood in one Arrow group (which OOMs at hub degrees).
+    w = F.col("weight") if weighted else F.lit(1.0)
+    aggs = []
+    for i in range(k):
+        fi = F.element_at("factor", i + 1)
+        aggs.append(F.sum(w * F.col("rating") * fi).alias(f"_b{i}"))
+        for j in range(i, k):
+            fj = F.element_at("factor", j + 1)
+            aggs.append(F.sum(w * fi * fj).alias(f"_a{i}_{j}"))
+    aggs.append(F.count("*").alias("_nobs"))
+    stats = joined.groupBy("id").agg(*aggs)
 
-    return joined.groupBy("id").applyInPandas(
-        solve, schema="id long, factor array<double>")
+    def solve_batch(pdfs: "Iterator[pd.DataFrame]"):
+        # rows are independent aggregated vertices — mapInPandas batch
+        # splits are safe; the k x k solves run as one batched LAPACK
+        # call per Arrow batch.
+        for pdf in pdfs:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"id": [], "factor": []})
+                continue
+            A = np.zeros((n, k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    A[:, i, j] = A[:, j, i] = pdf[f"_a{i}_{j}"]
+            b = np.stack([pdf[f"_b{i}"].to_numpy() for i in range(k)],
+                         axis=1)
+            if regnormal:
+                lam = (reg * pdf["_nobs"].to_numpy(float) if user_side
+                       else np.zeros(n))
+            else:
+                lam = np.full(n, float(reg))
+            A[:, np.arange(k), np.arange(k)] += lam[:, None]
+
+            def solve1(Ar, br):
+                try:
+                    return np.linalg.solve(Ar, br)
+                except np.linalg.LinAlgError:
+                    # lam=0 + rank-deficient neighborhood: least-squares
+                    # pseudo-solution (the reference's LDLT degrades
+                    # silently)
+                    return np.linalg.lstsq(Ar, br, rcond=None)[0]
+
+            try:
+                f = np.linalg.solve(A, b)
+            except np.linalg.LinAlgError:
+                f = np.stack([solve1(A[r], b[r]) for r in range(n)])
+            if sparsity is not None and sparsity < k:
+                idx = np.argsort(-np.abs(f), axis=1)[:, :sparsity]
+                out = np.zeros_like(f)
+                for r in range(n):
+                    sup = np.sort(idx[r])
+                    out[r, sup] = solve1(A[r][np.ix_(sup, sup)],
+                                         b[r][sup])
+                f = out
+            yield pd.DataFrame({"id": pdf["id"],
+                                "factor": [row.tolist() for row in f]})
+
+    return stats.mapInPandas(solve_batch,
+                             schema="id long, factor array<double>")
 
 
 def als(
@@ -267,6 +318,13 @@ def rmse(ratings: DataFrame, user_factors: DataFrame,
     return float(row["rmse"])
 
 
+def _maybe_broadcast(dim: DataFrame, rows: int,
+                     limit: int = 10_000_000) -> DataFrame:
+    """Broadcast-hint a dimension only when its known row count is
+    safely below executor memory; otherwise let AQE pick the join."""
+    return F.broadcast(dim) if rows <= limit else dim
+
+
 def add_implicit_ratings(
     ratings: DataFrame, percentage: float, value: float = 0.0,
     weight: float | None = None, seed: int = 97,
@@ -285,8 +343,13 @@ def add_implicit_ratings(
     ``edge_hash`` onto rank-indexed user/item dimension tables, so an
     ANSI-SQL twin replays the exact edge set
     (``oracles.py::sql_implicit_ratings``).  The two rank windows sort
-    only the distinct-id dimensions (≪ |ratings|); the dimension joins
-    broadcast.  When ``weight`` is given the result carries a
+    only the distinct-id dimensions (≪ |ratings|, but a single-task
+    global sort — fine to ~10^8 distinct ids; beyond that swap in a
+    partitioned zipWithIndex-style ranking and drop the SQL twin's
+    exact-rank replay).  The dimension joins take an explicit broadcast
+    hint only while the side is provably small (the counts are already
+    on the driver); larger dims fall back to a plain hash join under
+    AQE.  When ``weight`` is given the result carries a
     ``weight`` column (existing rows keep theirs, else 1.0) — feed it
     straight to :func:`wals`.
 
@@ -313,8 +376,10 @@ def add_implicit_ratings(
         .select((edge_hash(F.lit(seed), F.col("id")) % F.lit(m)).alias("__u"),
                 (edge_hash(F.lit(seed + 1), F.col("id")) % F.lit(n))
                 .alias("__i"))
-        .join(F.broadcast(uidx.withColumnRenamed("__idx", "__u")), "__u")
-        .join(F.broadcast(iidx.withColumnRenamed("__idx", "__i")), "__i")
+        .join(_maybe_broadcast(uidx.withColumnRenamed("__idx", "__u"), m),
+              "__u")
+        .join(_maybe_broadcast(iidx.withColumnRenamed("__idx", "__i"), n),
+              "__i")
         .select("user", "item", F.lit(float(value)).alias("rating"))
     )
     if weight is not None:

@@ -1602,7 +1602,7 @@ def sql_synthetic_als_stats(
     deg = (f"least({umax}, CAST(floor(pow(1.0 - {du}, "
            f"{-1.0 / (alpha - 1.0)!r})) AS BIGINT))")
     usr = (f"({sql_edge_hash(sql_edge_hash(str(seed + 4), 'e.movie'), 'e.j')}"
-           f" % {umax})")
+           f" % {nusers})")
     rating = " + ".join(
         f"({_sql_synth_normal(1, 'e.usr', j, d, stdev, seed)} * "
         f"{_sql_synth_normal(2, 'e.movie', j, d, stdev, seed)})"

@@ -3,8 +3,9 @@
 Reference format dispatcher: ``load_format(path, fmt)`` with formats
 snap/adj/tsv/csv/graphjrl/bintsv4/bin
 (``/root/reference/src/graphlab/graph/distributed_graph.hpp:2412-2438``;
-parsers in ``builtin_parsers.hpp``). All parsers drop self-loops
-(``builtin_parsers.hpp:74,94,137``); '#' comment lines are snap-only.
+parsers in ``builtin_parsers.hpp``). snap/tsv/adj drop self-loops
+(``builtin_parsers.hpp:74,94,137``); csv does NOT (``:99-113`` has no
+``source != target`` guard); '#' comment lines are snap-only.
 
 Spark mapping: every text format is a ``spark.read`` + vectorized parse
 expression (files split across executors for free — the reference's
@@ -39,19 +40,41 @@ def load_tsv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_csv(spark: SparkSession, path: str) -> DataFrame:
-    """CSV: ``src,dst`` (``builtin_parsers.hpp:99-113``)."""
-    return _pairs(spark.read.csv(path, sep=",", schema=EDGE_SCHEMA))
+    """CSV: ``src,dst`` (``builtin_parsers.hpp:99-113``).  Unlike the
+    snap/tsv/adj parsers, the reference's csv_parser adds every edge
+    unconditionally — self-loops are KEPT."""
+    df = spark.read.csv(path, sep=",", schema=EDGE_SCHEMA)
+    return df.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst"))
 
 
-def load_adj(spark: SparkSession, path: str) -> DataFrame:
+def load_adj(spark: SparkSession, path: str,
+             strict: bool = True) -> DataFrame:
     """Adjacency list: ``src n tgt1 ... tgtn`` per line
-    (``builtin_parsers.hpp:119-142``) -> split + explode."""
+    (``builtin_parsers.hpp:119-142``) -> split + explode, taking ALL
+    ``n`` declared targets (no silent cap — a 100 TB-scale hub line may
+    carry millions).  ``strict`` replays the reference's ``n != nadded``
+    parse failure (``:140``): any line whose target count disagrees
+    with its declared ``n`` aborts the load (one validation pass over
+    the text; the reference pays the same read).  Self-loops are
+    dropped from the edge set but count toward ``nadded``, exactly as
+    the reference's loop does (``:136-138``)."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     toks = F.split(F.trim("value"), r"\s+")
+    n_declared = toks.getItem(1).cast("long")
+    n_actual = (F.size(toks) - F.lit(2)).cast("long")
+    if strict:
+        bad = lines.filter(n_declared.isNull()
+                           | (n_actual != n_declared)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"adj parse failure (declared n != targets present): "
+                f"{bad[0]['value'][:120]!r}")
     return _pairs(
-        lines.select(
+        lines.filter(n_actual > 0).select(
             toks.getItem(0).alias("src"),
-            F.explode(F.slice(toks, 3, 1_000_000)).alias("dst"),
+            F.explode(F.slice(toks, 3, F.greatest(n_actual, F.lit(1))))
+            .alias("dst"),
         )
     )
 
@@ -103,16 +126,30 @@ def load_synthetic_powerlaw(
     """Synthetic power-law graph (``distributed_graph.hpp:2371-2403``):
     each vertex v draws out-degree ~ Zipf(alpha) (or in-degree when
     ``in_degree``), targets chosen by stride hashing. Deterministic via
-    seeded hashes; fully vectorized (range -> explode)."""
+    seeded hashes; fully vectorized (range -> explode).
+
+    The reference re-strides until ``target != source``
+    (``:2391-2393``), so the sampled degree is realized exactly; the
+    vectorized analog re-probes with a second hash and falls back to a
+    guaranteed-distinct offset target, never dropping an edge."""
+    if n < 2:
+        return spark.createDataFrame([], EDGE_SCHEMA)
     v = spark.range(n).select(F.col("id").alias("src"))
     u = (F.pmod(F.xxhash64("src", F.lit(seed)), F.lit(1_000_000)) + 0.5) / 1_000_000.0
     deg = F.least(
-        F.lit(min(truncate, n - 1)),
+        F.lit(min(truncate, n)),
         F.ceil(F.pow(F.lit(1.0) - u, F.lit(-1.0 / (alpha - 1.0)))).cast("long"),
     )
     e = v.select("src", F.explode(F.sequence(F.lit(1), deg)).alias("k"))
-    dst = F.pmod(F.xxhash64("src", "k", F.lit(seed + 1)), F.lit(n))
-    out = e.select("src", dst.alias("dst")).filter(F.col("src") != F.col("dst"))
+    d1 = F.pmod(F.xxhash64("src", "k", F.lit(seed + 1)), F.lit(n))
+    d2 = F.pmod(F.xxhash64("src", "k", F.lit(seed + 2)), F.lit(n))
+    # offset in [1, n-1] makes the fallback distinct by construction
+    d3 = F.pmod(F.col("src") + 1
+                + F.pmod(F.xxhash64("src", "k", F.lit(seed + 3)),
+                         F.lit(n - 1)), F.lit(n))
+    dst = (F.when(d1 != F.col("src"), d1)
+           .when(d2 != F.col("src"), d2).otherwise(d3))
+    out = e.select("src", dst.alias("dst"))
     if in_degree:
         out = out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return out
@@ -213,8 +250,11 @@ def load_synthetic_als(
                                 F.lit(-1.0 / (alpha - 1.0)))).cast("long"))
     train_e = movies.select(
         "movie", F.explode(F.sequence(F.lit(1), deg)).alias("j"))
+    # degrees are bounded by umax (the prob-vector size) but user ids
+    # stride over the FULL nusers range, as the reference does
+    # (make_synthetic_als_data.cpp:152 '% nusers')
     t_user = edge_hash(edge_hash(F.lit(seed + 4), F.col("movie")),
-                       F.col("j")) % F.lit(umax)
+                       F.col("j")) % F.lit(nusers)
     train = train_e.select(
         t_user.alias("user"),
         (F.col("movie") + F.lit(nusers)).alias("item"),

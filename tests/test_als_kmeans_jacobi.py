@@ -142,10 +142,10 @@ def test_synthetic_als_shapes_and_determinism(spark):
     tr2, va2, pr2 = load_synthetic_als(spark, nusers=40, nmovies=100, d=2)
     assert va1.count() == 100 * 2 and pr1.count() == 100 * 1
     assert pr1.columns == ["user", "item"]          # predict has no rating
-    # items offset by nusers; train users drawn from the reduced range
+    # items offset by nusers; train users stride the full id range
     row = tr1.agg(F.min("item").alias("lo"), F.max("item").alias("hi"),
                   F.max("user").alias("mu")).first()
-    assert row["lo"] >= 40 and row["hi"] < 140 and row["mu"] < 40 - 3
+    assert row["lo"] >= 40 and row["hi"] < 140 and row["mu"] < 40
     assert tr1.exceptAll(tr2).count() == 0 and tr2.exceptAll(tr1).count() == 0
 
 
