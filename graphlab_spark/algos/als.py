@@ -147,6 +147,29 @@ def _solve_side(
                              schema="id long, factor array<double>")
 
 
+def _alternate(ratings, uf, if_, solve_u, solve_i, iterations):
+    """The shared ALS alternation choreography: per alternation,
+    persist -> truncate_lineage -> unpersist the pre-checkpoint cache
+    (run_bsp's order, so cached copies never accumulate) — without the
+    per-alternation truncation the plan chains one pandas-UDF stage per
+    solve and Catalyst analysis time grows superlinearly (hangs by ~8
+    iterations).  ``solve_u(fixed_items)`` / ``solve_i(fixed_users)``
+    return the side's new factor frame."""
+    from ..plans.checkpoint import truncate_lineage
+    for _ in range(iterations):
+        uf_cache = solve_u(if_).persist()
+        new_uf = truncate_lineage(uf_cache)
+        uf_cache.unpersist()
+        uf.unpersist()
+        uf = new_uf
+        if_cache = solve_i(uf).persist()
+        new_if = truncate_lineage(if_cache)
+        if_cache.unpersist()
+        if_.unpersist()
+        if_ = new_if
+    return uf, if_
+
+
 def als(
     ratings: DataFrame,
     k: int = NLATENT,
@@ -165,27 +188,15 @@ def als(
     ratings = ratings.select("user", "item", "rating").persist()
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
-    uf = _init_factors(users, k, seed).persist()
-    if_ = _init_factors(items, k, seed + 1).persist()
-    from ..plans.checkpoint import truncate_lineage
-    for _ in range(iterations):
-        # truncate_lineage per alternation: without it the plan chains
-        # one pandas-UDF stage per solve and Catalyst analysis time
-        # grows superlinearly (hangs by ~8 iterations).  persist ->
-        # checkpoint -> unpersist the pre-checkpoint cache (run_bsp's
-        # order) so cached copies never accumulate across iterations.
-        uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,
-                               regnormal).persist()
-        new_uf = truncate_lineage(uf_cache)
-        uf_cache.unpersist()
-        uf.unpersist()
-        uf = new_uf
-        if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
-                               regnormal).persist()
-        new_if = truncate_lineage(if_cache)
-        if_cache.unpersist()
-        if_.unpersist()
-        if_ = new_if
+    uf, if_ = _alternate(
+        ratings,
+        _init_factors(users, k, seed).persist(),
+        _init_factors(items, k, seed + 1).persist(),
+        lambda fx: _solve_side(ratings, fx, "user", "item", k, reg,
+                               regnormal),
+        lambda fx: _solve_side(ratings, fx, "item", "user", k, reg,
+                               regnormal),
+        iterations)
     ratings.unpersist()
     return uf, if_
 
@@ -223,22 +234,15 @@ def wals(
     ratings = ratings.select("user", "item", "rating", "weight").persist()
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
-    uf = _init_factors_portable(users, k, 0).persist()
-    if_ = _init_factors_portable(items, k, 1).persist()
-    from ..plans.checkpoint import truncate_lineage
-    for _ in range(iterations):
-        uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,
-                               regnormal, weighted=True).persist()
-        new_uf = truncate_lineage(uf_cache)
-        uf_cache.unpersist()
-        uf.unpersist()
-        uf = new_uf
-        if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
-                               regnormal, weighted=True).persist()
-        new_if = truncate_lineage(if_cache)
-        if_cache.unpersist()
-        if_.unpersist()
-        if_ = new_if
+    uf, if_ = _alternate(
+        ratings,
+        _init_factors_portable(users, k, 0).persist(),
+        _init_factors_portable(items, k, 1).persist(),
+        lambda fx: _solve_side(ratings, fx, "user", "item", k, reg,
+                               regnormal, weighted=True),
+        lambda fx: _solve_side(ratings, fx, "item", "user", k, reg,
+                               regnormal, weighted=True),
+        iterations)
     ratings.unpersist()
     return uf, if_
 
@@ -270,25 +274,18 @@ def sparse_als(
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
     if portable_init:
-        uf = _init_factors_portable(users, k, 0).persist()
-        if_ = _init_factors_portable(items, k, 1).persist()
+        uf0 = _init_factors_portable(users, k, 0).persist()
+        if0 = _init_factors_portable(items, k, 1).persist()
     else:
-        uf = _init_factors(users, k, seed).persist()
-        if_ = _init_factors(items, k, seed + 1).persist()
-    from ..plans.checkpoint import truncate_lineage
-    for _ in range(iterations):
-        uf_cache = _solve_side(ratings, if_, "user", "item", k, reg,
-                               False, sparsity=user_sparsity).persist()
-        new_uf = truncate_lineage(uf_cache)
-        uf_cache.unpersist()
-        uf.unpersist()
-        uf = new_uf
-        if_cache = _solve_side(ratings, uf, "item", "user", k, reg,
-                               False, sparsity=item_sparsity).persist()
-        new_if = truncate_lineage(if_cache)
-        if_cache.unpersist()
-        if_.unpersist()
-        if_ = new_if
+        uf0 = _init_factors(users, k, seed).persist()
+        if0 = _init_factors(items, k, seed + 1).persist()
+    uf, if_ = _alternate(
+        ratings, uf0, if0,
+        lambda fx: _solve_side(ratings, fx, "user", "item", k, reg,
+                               False, sparsity=user_sparsity),
+        lambda fx: _solve_side(ratings, fx, "item", "user", k, reg,
+                               False, sparsity=item_sparsity),
+        iterations)
     ratings.unpersist()
     return uf, if_
 
