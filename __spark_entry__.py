@@ -925,6 +925,55 @@ def q_lda_word_topics(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round-3 ordering: queries with no driver CORRECTNESS row yet
+        # --- come first (the driver checks the first 50 registry entries;
+        # --- the rest stay covered by scripts/oracle_dev.py --all + pytest).
+        "graph_laplacian": q_laplacian,
+        "spectral_embedding2": q_spectral_embedding,
+        "spectral_clusters2": q_spectral_clusters,
+        "cf_sgd_user_factors": q_sgd_user_factors,
+        "cf_sgd_rmse": q_sgd_rmse,
+        "cf_biassgd_user_params": q_biassgd_user_params,
+        "cf_biassgd_rmse": q_biassgd_rmse,
+        "cf_svdpp_user_params": q_svdpp_user_params,
+        "cf_svdpp_rmse": q_svdpp_rmse,
+        "cf_wals1_user_factors": q_wals1_user_factors,
+        "cf_als2_user_factors": q_als2_user_factors,
+        "cf_synthetic_als_stats": q_synthetic_als_stats,
+        "cf_implicit_ratings": q_implicit_ratings,
+        "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
+        "vision_match_graph": q_vision_match_graph,
+        "vision_panorama_groups": q_vision_panorama_groups,
+        "cf_sparse_als_support": q_sparse_als_support,
+        "cf_adpredictor_weights": q_adpredictor_weights,
+        "cf_svd_power_v": q_svd_power,
+        "cf_svd_lanczos": q_svd_lanczos,
+        "cf_svd_lanczos2_sigma": q_svd_lanczos2_sigma,
+        "lda_word_topics": q_lda_word_topics,
+        "graph_lbp_beliefs": q_lbp_beliefs,
+        "graph_mplp_labels": q_mplp_labels,
+        "graph_dd_labels": q_dd_labels,
+        "graph_tsc": q_tsc,
+        "cf_nmf_user_factors": q_nmf_user_factors,
+        "curation_hash_sample": q_hash_sample,
+        "curation_stratified_sample": q_stratified_sample,
+        "curation_scrub_pii": q_scrub_pii,
+        "curation_decontaminate": q_decontaminate,
+        "curation_pack_sequences": q_pack_sequences,
+        "curation_quality_buckets": q_quality_buckets,
+        "transcript_corpus": q_transcript_corpus,
+        "transcript_edges": q_transcript_edges,
+        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        "transcript_conv_stats": q_transcript_conv_stats,
+        "transcript_tool_transitions": q_tool_transitions,
+        "transcript_turn_latency": q_turn_latency,
+        "transcript_sessions": q_transcript_sessions,
+        "transcript_near_dups": q_transcript_near_dups,
+        "graph_contract_lpa": q_contract_lpa,
+        "graph_ingress_report": q_ingress_report,
+        "sim_knn_graph": q_knn_graph,
+        "sim_knn_components": q_knn_components,
+        # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
         "graph_pagerank_iter2": q_pagerank_iter2,
@@ -975,51 +1024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_sir": q_sir,
         "cascade_percolation": q_percolation,
         "graph_topo_layers": q_topo_layers,
-        "graph_laplacian": q_laplacian,
-        "spectral_embedding2": q_spectral_embedding,
-        "spectral_clusters2": q_spectral_clusters,
-        "cf_sgd_user_factors": q_sgd_user_factors,
-        "cf_sgd_rmse": q_sgd_rmse,
-        "cf_biassgd_user_params": q_biassgd_user_params,
-        "cf_biassgd_rmse": q_biassgd_rmse,
-        "cf_svdpp_user_params": q_svdpp_user_params,
-        "cf_svdpp_rmse": q_svdpp_rmse,
-        "cf_wals1_user_factors": q_wals1_user_factors,
-        "cf_als2_user_factors": q_als2_user_factors,
-        "cf_synthetic_als_stats": q_synthetic_als_stats,
-        "cf_implicit_ratings": q_implicit_ratings,
-        "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
-        "vision_match_graph": q_vision_match_graph,
-        "vision_panorama_groups": q_vision_panorama_groups,
-        "cf_sparse_als_support": q_sparse_als_support,
-        "cf_adpredictor_weights": q_adpredictor_weights,
-        "cf_svd_power_v": q_svd_power,
-        "cf_svd_lanczos": q_svd_lanczos,
-        "cf_svd_lanczos2_sigma": q_svd_lanczos2_sigma,
-        "lda_word_topics": q_lda_word_topics,
-        "graph_lbp_beliefs": q_lbp_beliefs,
-        "graph_mplp_labels": q_mplp_labels,
-        "graph_dd_labels": q_dd_labels,
-        "graph_tsc": q_tsc,
-        "cf_nmf_user_factors": q_nmf_user_factors,
-        "curation_hash_sample": q_hash_sample,
-        "curation_stratified_sample": q_stratified_sample,
-        "curation_scrub_pii": q_scrub_pii,
-        "curation_decontaminate": q_decontaminate,
-        "curation_pack_sequences": q_pack_sequences,
-        "curation_quality_buckets": q_quality_buckets,
-        "transcript_corpus": q_transcript_corpus,
-        "transcript_edges": q_transcript_edges,
-        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
-        "transcript_conv_stats": q_transcript_conv_stats,
-        "transcript_tool_transitions": q_tool_transitions,
-        "transcript_turn_latency": q_turn_latency,
-        "transcript_sessions": q_transcript_sessions,
-        "transcript_near_dups": q_transcript_near_dups,
-        "graph_contract_lpa": q_contract_lpa,
-        "graph_ingress_report": q_ingress_report,
-        "sim_knn_graph": q_knn_graph,
-        "sim_knn_components": q_knn_components,
     }
 
 

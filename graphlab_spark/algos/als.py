@@ -316,9 +316,11 @@ def rmse(ratings: DataFrame, user_factors: DataFrame,
 
 
 def _maybe_broadcast(dim: DataFrame, rows: int,
-                     limit: int = 10_000_000) -> DataFrame:
+                     limit: int = 1_000_000) -> DataFrame:
     """Broadcast-hint a dimension only when its known row count is
-    safely below executor memory; otherwise let AQE pick the join."""
+    small enough that the serialized table stays MB-scale (an explicit
+    hint bypasses ``autoBroadcastJoinThreshold``, so an over-eager
+    limit can OOM the driver); otherwise let AQE pick the join."""
     return F.broadcast(dim) if rows <= limit else dim
 
 

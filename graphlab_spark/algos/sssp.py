@@ -133,7 +133,7 @@ def sssp(
 
 
 def extract_path(state: DataFrame, target: int, max_hops: int = 10_000,
-                 collect_threshold: int = 2_000_000) -> list[int]:
+                 collect_threshold: int = 200_000) -> list[int]:
     """Walk parent pointers from ``target`` back to a source — the
     reference's ``sssp_getpath`` post-processing.  Returns the vertex
     sequence source..target ([] when target is unreachable).

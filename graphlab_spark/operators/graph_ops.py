@@ -177,8 +177,11 @@ def contract_graph(graph: EdgeGraph, labels: DataFrame,
     them, iterate coarsen→solve→refine).
 
     ``labels``: ``(id, label)`` — any labeling (LPA communities, CC
-    components, METIS parts).  Unlabeled endpoints keep their own id
-    (stringified) as a singleton label, so the contraction is total.
+    components, METIS parts).  Unlabeled endpoints get a ``__v<id>``
+    singleton label (prefixed so a partial labeling can never merge an
+    unlabeled vertex into a community whose label happens to equal the
+    vertex id — LPA/CC labels are themselves id-derived strings), so
+    the contraction is total.
     ``keep_internal=False`` (default) drops intra-label edges — their
     count is the community's internal volume, one groupBy away if
     wanted; ``True`` keeps them as supernode self-loops.
@@ -197,8 +200,10 @@ def contract_graph(graph: EdgeGraph, labels: DataFrame,
     e = (
         graph.edges.join(a, "src", "left").join(b, "dst", "left")
         .select(
-            F.coalesce("_sl", F.col("src").cast("string")).alias("src_label"),
-            F.coalesce("_dl", F.col("dst").cast("string")).alias("dst_label"),
+            F.coalesce("_sl", F.concat(F.lit("__v"), F.col("src").cast("string")))
+            .alias("src_label"),
+            F.coalesce("_dl", F.concat(F.lit("__v"), F.col("dst").cast("string")))
+            .alias("dst_label"),
         )
     )
     if not keep_internal:

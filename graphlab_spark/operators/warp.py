@@ -125,6 +125,15 @@ def neighborhood(
         )
     view = view.join(nbr, "other_id")
     if include_center:
+        clash = sorted(
+            (set(state.columns) - {"id"}) & set(view.columns))
+        if clash:
+            raise ValueError(
+                "include_center=True joins the center state columns "
+                f"unprefixed, but {clash} already exist on the "
+                "neighborhood view (edge attribute / degree / other_* "
+                "name collision) — rename the state column(s) or read "
+                "them through map_reduce_neighborhood's other_* side")
         view = view.join(state, "id")
     return view
 

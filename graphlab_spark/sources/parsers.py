@@ -56,22 +56,27 @@ def load_adj(spark: SparkSession, path: str,
     carry millions).  ``strict`` replays the reference's ``n != nadded``
     parse failure (``:140``): any line whose target count disagrees
     with its declared ``n`` aborts the load (one validation pass over
-    the text; the reference pays the same read).  Self-loops are
-    dropped from the edge set but count toward ``nadded``, exactly as
-    the reference's loop does (``:136-138``)."""
+    the text; the reference pays the same read).  Lines where ``n``
+    cannot be read at all (a lone source token, or a non-numeric
+    count) are silently skipped — the reference's ``strm.fail()``
+    reading ``n`` returns true without error (``:129-130``).
+    Self-loops are dropped from the edge set but count toward
+    ``nadded``, exactly as the reference's loop does (``:136-138``)."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     toks = F.split(F.trim("value"), r"\s+")
-    n_declared = toks.getItem(1).cast("long")
+    # F.get (not getItem): a lone-token line must yield NULL, not an
+    # ANSI out-of-bounds error — NULL n = "strm.fail() reading n" = skip
+    n_declared = F.get(toks, 1).try_cast("long")
     n_actual = (F.size(toks) - F.lit(2)).cast("long")
     if strict:
-        bad = lines.filter(n_declared.isNull()
-                           | (n_actual != n_declared)).limit(1).collect()
+        bad = lines.filter(n_declared.isNotNull()
+                           & (n_actual != n_declared)).limit(1).collect()
         if bad:
             raise ValueError(
                 f"adj parse failure (declared n != targets present): "
                 f"{bad[0]['value'][:120]!r}")
     return _pairs(
-        lines.filter(n_actual > 0).select(
+        lines.filter(n_declared.isNotNull() & (n_actual > 0)).select(
             toks.getItem(0).alias("src"),
             F.explode(F.slice(toks, 3, F.greatest(n_actual, F.lit(1))))
             .alias("dst"),

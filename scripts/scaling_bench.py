@@ -45,6 +45,10 @@ SHUFFLE_PARTITIONS = 64
 # ratio below the saturation knee and with headroom for host noise.
 LEVELS = tuple(int(x) for x in
                os.environ.get("SCALING_LEVELS", "8,32").split(","))
+if len(LEVELS) != 2 or LEVELS[0] >= LEVELS[1]:
+    raise SystemExit(
+        f"SCALING_LEVELS must be exactly two ascending core counts "
+        f"'lo,hi' (e.g. '8,32'); got {os.environ.get('SCALING_LEVELS')!r}")
 TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
 
 

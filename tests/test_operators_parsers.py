@@ -66,6 +66,23 @@ def test_adj_parser(spark, tmp_path):
     assert got == FIXTURE
 
 
+def test_adj_parser_skips_lines_without_readable_n(spark, tmp_path):
+    """A lone source token (or non-numeric n) makes the reference's
+    ``strm >> n`` fail, which silently skips the line rather than
+    aborting (builtin_parsers.hpp:129-130) — strict mode must not be
+    stricter than the reference here."""
+    p = tmp_path / "g.adj"
+    p.write_text("0 1 5\n7\n1 2 0 5\nx y\n2 2 0 5\n3 2 0 5\n")
+    got = {(r.src, r.dst)
+           for r in load_format(spark, str(p), "adj").collect()}
+    assert got == FIXTURE
+    # a readable-but-wrong n still aborts in strict mode
+    bad = tmp_path / "bad.adj"
+    bad.write_text("0 3 5\n")
+    with pytest.raises(ValueError, match="adj parse failure"):
+        load_format(spark, str(bad), "adj")
+
+
 def test_format_convert_roundtrip(spark, tmp_path):
     """The reference's format_convert tool: load any -> save any
     (format_convert.cpp:24-81)."""
@@ -243,9 +260,18 @@ def test_contract_graph_golden(spark, fixture_graph):
 
 def test_contract_graph_unlabeled_fallback(spark, fixture_graph):
     from graphlab_spark.operators.graph_ops import contract_graph
-    # vertex 5 unlabeled -> keeps its own id as singleton label
+    # vertex 5 unlabeled -> gets a prefixed __v5 singleton label (the
+    # prefix keeps an id-derived community label like "5" from silently
+    # absorbing the unlabeled vertex)
     labels = spark.createDataFrame(
         [(0, "a"), (1, "a"), (2, "a"), (3, "a")], "id long, label string")
     got = {(r.src, r.dst): r.w for r in contract_graph(fixture_graph, labels).collect()}
-    # (0,5),(1,5),(2,5),(3,5) all cross a->5; (1,0),(2,0),(3,0) internal
-    assert got == {("a", "5"): 4}
+    # (0,5),(1,5),(2,5),(3,5) all cross a->__v5; (1,0),(2,0),(3,0) internal
+    assert got == {("a", "__v5"): 4}
+    # an existing community literally labeled "5" must stay distinct
+    # from the unlabeled vertex 5's singleton
+    labels2 = spark.createDataFrame(
+        [(0, "5"), (1, "5"), (2, "5"), (3, "5")], "id long, label string")
+    got2 = {(r.src, r.dst): r.w
+            for r in contract_graph(fixture_graph, labels2).collect()}
+    assert got2 == {("5", "__v5"): 4}

@@ -94,3 +94,19 @@ def test_warp_pagerank_tol_converges(fixture_graph):
         .first()["d"]
     )
     assert diff < 1e-6
+
+
+def test_neighborhood_include_center_name_collision_raises(fixture_graph, spark):
+    import pytest
+
+    state = fixture_graph.vertices.select(
+        "id", F.lit(1.0).alias("other_id"))  # collides with the view's key
+    with pytest.raises(ValueError, match="include_center"):
+        warp.neighborhood(fixture_graph, state, direction="in",
+                          include_center=True)
+    # non-colliding state still joins fine
+    ok = warp.neighborhood(
+        fixture_graph, fixture_graph.vertices.select(
+            "id", F.lit(2.0).alias("mass")),
+        direction="in", include_center=True)
+    assert "mass" in ok.columns and ok.count() == 7
