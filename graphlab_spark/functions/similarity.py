@@ -62,17 +62,35 @@ def with_norm(emb: DataFrame) -> DataFrame:
     return emb.withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
 
 
-def cosine_pairs(emb: DataFrame, tau: float = COSINE_TAU) -> DataFrame:
-    """(vec_a, vec_b, cos) for all pairs with cosine >= tau, cos rounded
-    to 6 dp.  Exact quadratic verify — at scale, feed it LSH candidates
-    instead of the full cross join."""
+def cosine_pairs(emb: DataFrame, tau: float = COSINE_TAU,
+                 candidates: DataFrame | None = None) -> DataFrame:
+    """(vec_a, vec_b, cos) for pairs with cosine >= tau, cos rounded
+    to 6 dp.
+
+    Scale contract (same shape as ``knn_graph``): ``candidates=None``
+    scores every pair — the exact O(N^2) correctness baseline the
+    driver oracle replays.  At scale pass ``candidates`` = a
+    (src, dst) pair DataFrame from a sub-quadratic generator
+    (``lsh_knn_candidates``, IVF cell co-membership); pairs are
+    canonicalized to vec_a < vec_b and only those are scored, so cost
+    is O(|candidates|) and the scoring/filter plan (two id equi-joins,
+    no cross product) is shared with the exact path."""
     n = with_norm(emb).persist()
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
                  F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
                  F.col("nrm").alias("nb"))
+    if candidates is None:
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        cand = (
+            candidates.select(F.least("src", "dst").alias("vec_a"),
+                              F.greatest("src", "dst").alias("vec_b"))
+            .filter(F.col("vec_a") < F.col("vec_b")).distinct()
+        )
+        pairs = cand.join(a, "vec_a").join(b, "vec_b")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        pairs
         .select("vec_a", "vec_b",
                 F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("cos"))
         .filter(F.col("cos") >= tau)
@@ -444,17 +462,21 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}"""
 
 
-def cosine_dup_clusters(emb: DataFrame, tau: float = COSINE_TAU) -> DataFrame:
+def cosine_dup_clusters(emb: DataFrame, tau: float = COSINE_TAU,
+                        candidates: DataFrame | None = None) -> DataFrame:
     """(vec_id, canonical_id): semantic near-duplicate clusters —
     connected components over the cosine>=tau pair graph, canonical =
     smallest vec_id (the embedding-space twin of
     ``dedup.minhash_dup_clusters``; same transitive-closure rationale).
-    At scale feed the pair stage from LSH/IVF candidates instead of
-    the exact quadratic verify — the clustering step is unchanged."""
+    ``candidates`` routes straight into ``cosine_pairs`` — at scale
+    pass ``lsh_knn_candidates(emb)`` (or an IVF generator) so the pair
+    stage is sub-quadratic; the clustering step is unchanged, and CC's
+    transitive closure absorbs generator misses whenever a dup cluster
+    stays connected through any chain of surviving pairs."""
     from ..algos.connected_components import connected_components
     from ..graph import EdgeGraph
 
-    pairs = cosine_pairs(emb, tau)
+    pairs = cosine_pairs(emb, tau, candidates=candidates)
     edges = pairs.select(F.col("vec_a").alias("src"),
                          F.col("vec_b").alias("dst"))
     g = EdgeGraph(edges)
@@ -544,12 +566,21 @@ def knn_graph(emb: DataFrame, k: int = 3,
 
 def lsh_knn_candidates(emb: DataFrame, n_tables: int = LSH_TABLES,
                        n_planes: int | None = None,
-                       dim: int = LSH_DIM) -> DataFrame:
+                       dim: int = LSH_DIM,
+                       multiprobe: bool = True) -> DataFrame:
     """All-to-all (src, dst) candidate pairs from LSH bucket
     co-occupancy (any table) — the sub-quadratic generator for
-    ``knn_graph`` at scale.  Plane count defaults to ``derived_planes``
-    of the input size so per-bucket populations stay bounded as N
-    grows (the round-1 geometry lesson)."""
+    ``knn_graph`` / ``cosine_pairs`` at scale.  Plane count defaults to
+    ``derived_planes`` of the input size so per-bucket populations stay
+    bounded as N grows (the round-1 geometry lesson).
+
+    ``multiprobe=True`` (the knn default) adds Hamming-1 probes — a
+    (1+planes)x candidate factor bought for top-k recall.  For
+    near-duplicate detection pass ``multiprobe=False``: near-identical
+    vectors share the *exact* bucket in every table (their sign
+    patterns agree wherever margins exceed the perturbation), so the
+    extra probes only inflate candidate volume on locally dense
+    corpora."""
     if n_planes is None:
         n_planes = derived_planes(emb.count())
     bucketed = with_lsh_buckets(emb, n_tables=n_tables, n_planes=n_planes,
@@ -562,7 +593,8 @@ def lsh_knn_candidates(emb: DataFrame, n_tables: int = LSH_TABLES,
         # recall a single bucket per table cannot give.
         probes = F.array(*(
             [F.col(f"b{t}")] +
-            [F.expr(f"int(b{t} ^ {1 << j})") for j in range(n_planes)]
+            ([F.expr(f"int(b{t} ^ {1 << j})") for j in range(n_planes)]
+             if multiprobe else [])
         ))
         l = bucketed.select(F.col("vec_id").alias("src"),
                             F.explode(probes).alias("bucket"))
