@@ -561,6 +561,31 @@ def q_wals1_user_factors(spark, sf_dir):
         "id", F.round(F.element_at("factor", 1), 6).alias("v"))
 
 
+def q_warp_als1_user_factors(spark, sf_dir):
+    """ALS expressed through the warp fine-grained combinators
+    (``warp_als_coord.cpp`` at k=1, where one coordinate-descent sweep
+    equals the exact rank-1 solve): map_reduce_neighborhood gathers the
+    (numerator, denominator) struct, parfor applies z = num/(den+reg).
+    Computes the same fixed point as wals(k=1) — same WALS oracle."""
+    from graphlab_spark.operators.warp import warp_als1
+    uf = warp_als1(_wratings(spark, sf_dir), reg=0.01, iterations=3)
+    return uf.select("id", F.round("f", 6).alias("v"))
+
+
+def q_als2_regnormal_user_factors(spark, sf_dir):
+    """ALS k=2 under the reference's --regnormal flag
+    (``als.cpp:323-326``): lambda scales with the user's rating count
+    and is ZERO for items (no out-edges in the user->item orientation,
+    ``als.cpp:415``) — the one ALS mode with no prior contract query.
+    Same Cramer-expressible rank as cf_als2_user_factors."""
+    from graphlab_spark.algos.als import wals
+    uf, _ = wals(_ratings(spark, sf_dir).withColumn("weight", F.lit(1.0)),
+                 k=2, reg=0.01, regnormal=True, iterations=2)
+    return uf.select(
+        "id", F.round(F.element_at("factor", 1), 6).alias("v1"),
+        F.round(F.element_at("factor", 2), 6).alias("v2"))
+
+
 def q_als2_user_factors(spark, sf_dir):
     """ALS at k=2: the per-vertex 2x2 normal-equation solve has a
     Cramer's-rule closed form, so the whole alternation is oracle-
@@ -973,6 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ingress_report": q_ingress_report,
         "sim_knn_graph": q_knn_graph,
         "sim_knn_components": q_knn_components,
+        # --- new round-3 queries (also inside the driver's 50-row window):
+        "cf_als2_regnormal_user_factors": q_als2_regnormal_user_factors,
+        "cf_warp_als1_user_factors": q_warp_als1_user_factors,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1302,6 +1330,11 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_svdpp_rmse": O.sql_svdpp_rmse(k=4, iterations=3),
         "cf_wals1_user_factors": O.sql_wals1_user_factors(iterations=3),
         "cf_als2_user_factors": O.sql_als2_user_factors(iterations=2),
+        # the warp twin computes the same fixed point as wals(k=1) —
+        # identical oracle (ulp noise absorbed by round 6):
+        "cf_warp_als1_user_factors": O.sql_wals1_user_factors(iterations=3),
+        "cf_als2_regnormal_user_factors":
+            O.sql_als2_regnormal_user_factors(iterations=2),
         "cf_synthetic_als_stats": O.sql_synthetic_als_stats(
             nusers=50, nmovies=200, d=3),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),

@@ -156,7 +156,10 @@ def map_reduce_neighborhood(
     whole graph): ``combine`` over ``map_expr`` evaluated per incident
     edge; vertices with an empty neighborhood get ``default`` — the
     reference returns a default-constructed accumulator there
-    (``basic_map_reduce_neighborhood``, ``:137-160``).
+    (``basic_map_reduce_neighborhood``, ``:137-160``).  ``default`` may
+    be a Column for non-scalar gather types (e.g. the (numerator,
+    denominator) struct of ``warp_als_coord.cpp:185-215``, whose
+    default-constructed accumulator is ``(0, 0)``).
     """
     nb = neighborhood(graph, state, direction, vset, include_degrees)
     agg = (
@@ -165,8 +168,9 @@ def map_reduce_neighborhood(
         .agg(combine("__mapped").alias(result_col))
     )
     centers = (vset if vset is not None else graph.vertices).select("id")
+    fallback = default if isinstance(default, Column) else F.lit(default)
     return centers.join(agg, "id", "left").select(
-        "id", F.coalesce(result_col, F.lit(default)).alias(result_col))
+        "id", F.coalesce(result_col, fallback).alias(result_col))
 
 
 def broadcast_neighborhood(
@@ -248,6 +252,85 @@ def parfor_all_vertices(
     """
     from .vertex_ops import transform_vertices
     return transform_vertices(state, transforms, vset)
+
+
+def warp_als1(
+    ratings: DataFrame, reg: float = 0.01, iterations: int = 3
+) -> DataFrame:
+    """ALS written against the warp API — the k=1 instance of
+    ``toolkits/collaborative_filtering/warp_als_coord.cpp``.
+
+    The reference's coordinate-descent sweep per vertex is, for each
+    latent coordinate t: ``frac = map_reduce(ALL_EDGES, als_coord_map)``
+    — a (numerator, denominator) gather of
+    ``((R_ij + w_it h_jt) h_jt, h_jt^2)`` (``warp_als_coord.cpp:
+    218-236``) — then ``z = frac.numerator / (frac.denominator +
+    LAMBDA)`` (``:261``) and a residual ``transform_neighborhood``
+    (``:239-245``).  At k=1 the single coordinate IS the factor, the
+    residual term telescopes (``R_ij + w_i h_j = A_ij``), and one sweep
+    equals the exact rank-1 normal-equation solve — so this twin
+    reproduces :func:`graphlab_spark.algos.als.wals` at k=1 and reuses
+    its value oracle (``oracles.sql_wals1_user_factors``).
+
+    Bipartite encoding mirrors the reference's loader: item vertex ids
+    are negated with a safe offset so the two sides share one id space
+    (``target_id = -(target_id + SAFE_NEG_OFFSET)``,
+    ``warp_als_coord.cpp:49,177``).  Input ``(user, item, rating
+    [, weight])``; missing weight = 1.0.  Returns user ``(id, f)``.
+    """
+    from ..plans.checkpoint import truncate_lineage
+    from .portable import lcg_hash
+
+    if "weight" not in ratings.columns:
+        ratings = ratings.withColumn("weight", F.lit(1.0))
+    edges = ratings.select(
+        F.col("user").alias("src"),
+        (-(F.col("item") + 2)).alias("dst"),   # SAFE_NEG_OFFSET = 2
+        "rating", "weight")
+    graph = EdgeGraph(edges, drop_self_loops=False)
+
+    def init(side_df: DataFrame, orig: Column, side: int) -> DataFrame:
+        # wals' portable LCG init: 0.1 * lcg_unit(v*31 + c*7 + side*13)
+        # with c=0 (k=1), keyed on the ORIGINAL item id.
+        return side_df.select(
+            "id",
+            (F.lit(0.1) * (lcg_hash(orig * 31 + side * 13)
+                           / F.lit(2.0 ** 31))).alias("f"))
+
+    users = ratings.select(F.col("user").alias("id")).distinct().persist()
+    items = (ratings.select((-(F.col("item") + 2)).alias("id"))
+             .distinct().persist())
+    uf = init(users, F.col("id"), 0)
+    if_ = init(items, -F.col("id") - 2, 1)
+
+    zero = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+
+    def combine(c: str) -> Column:
+        # gather_type::operator+= (warp_als_coord.cpp:207-211)
+        return F.struct(F.sum(F.col(c)["num"]).alias("num"),
+                        F.sum(F.col(c)["den"]).alias("den"))
+
+    def sweep(state: DataFrame, direction: str, vset: DataFrame) -> DataFrame:
+        frac = map_reduce_neighborhood(
+            graph, state,
+            F.struct((F.col("weight") * F.col("rating") * F.col("other_f"))
+                     .alias("num"),
+                     (F.col("weight") * F.col("other_f") * F.col("other_f"))
+                     .alias("den")),
+            combine=combine, direction=direction, vset=vset,
+            default=zero, result_col="frac")
+        return parfor_all_vertices(
+            frac, {"f": F.col("frac")["num"]
+                   / (F.col("frac")["den"] + F.lit(float(reg)))}
+        ).select("id", "f")
+
+    for _ in range(iterations):
+        uf = truncate_lineage(sweep(uf.unionByName(if_), "out", users))
+        if_ = truncate_lineage(sweep(uf.unionByName(if_), "in", items))
+    users.unpersist()
+    items.unpersist()
+    graph.edges.unpersist()
+    return uf
 
 
 def warp_pagerank(

@@ -1194,6 +1194,56 @@ SELECT id, round(v1, 6) AS v1, round(v2, 6) AS v2 FROM fac
 WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
 
 
+def sql_als2_regnormal_user_factors(iterations: int = 2,
+                                    reg: float = 0.01) -> str:
+    """ALS k=2 with the reference's ``--regnormal`` mode
+    (``als.cpp:323-326``): lambda scales with ``vertex.num_out_edges()``
+    — the user's rating count — and is ZERO for items (no out-edges in
+    the user->item orientation of ``als.cpp:415``).  Same Cramer
+    closed form as :func:`sql_als2_user_factors`; items solve
+    unregularized (sound here: every part has >=8 distinct suppliers in
+    the lineitem-derived ratings, so the 2x2 item system is full-rank)."""
+    init1 = sql_lcg_hash("b.id * 31 + 13")        # side=1, c=0
+    init2 = sql_lcg_hash("b.id * 31 + 20")        # side=1, c=1
+    cramer = """(b1*a22 - b2*a12) / (a11*a22 - a12*a12) AS v1,
+        (a11*b2 - a12*b1) / (a11*a22 - a12*a12) AS v2"""
+    uv = f"""(SELECT id, {cramer}
+ FROM (SELECT r.u AS id,
+              sum(q.v1*q.v1) + {reg!r} * count(*) AS a11,
+              sum(q.v1*q.v2) AS a12,
+              sum(q.v2*q.v2) + {reg!r} * count(*) AS a22,
+              sum(r.r*q.v1) AS b1, sum(r.r*q.v2) AS b2
+       FROM ratings r JOIN fac q ON q.side = 1 AND q.id = r.it
+       GROUP BY r.u))"""
+    iv = f"""(SELECT id, {cramer}
+ FROM (SELECT r.it AS id,
+              sum(p.v1*p.v1) AS a11, sum(p.v1*p.v2) AS a12,
+              sum(p.v2*p.v2) AS a22,
+              sum(r.r*p.v1) AS b1, sum(r.r*p.v2) AS b2
+       FROM ratings r JOIN {uv} p ON p.id = r.u
+       GROUP BY r.it))"""
+    return f"""
+WITH RECURSIVE
+{RATINGS_CTE},
+fac(iter, side, id, v1, v2) AS (
+  SELECT 0, 1, b.id, 0.1 * ({init1} / 2147483648.0),
+               0.1 * ({init2} / 2147483648.0)
+  FROM (SELECT DISTINCT it AS id FROM ratings) b
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.iter + 1 AS iter, 0 AS side, un.id, un.v1, un.v2
+    FROM {uv} un CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+    UNION ALL
+    SELECT m.iter + 1, 1, inew.id, inew.v1, inew.v2
+    FROM {iv} inew CROSS JOIN (SELECT DISTINCT iter FROM fac) m
+    WHERE m.iter < {iterations}
+  )
+)
+SELECT id, round(v1, 6) AS v1, round(v2, 6) AS v2 FROM fac
+WHERE side = 0 AND iter = (SELECT max(iter) FROM fac)"""
+
+
 # ---------------------------------------------------------------------------
 # MPLP MAP labels (mirrors algos/mplp.py; K=2, ln(PSI) Potts pairwise)
 # ---------------------------------------------------------------------------

@@ -110,3 +110,42 @@ def test_neighborhood_include_center_name_collision_raises(fixture_graph, spark)
             "id", F.lit(2.0).alias("mass")),
         direction="in", include_center=True)
     assert "mass" in ok.columns and ok.count() == 7
+
+
+def test_warp_als1_matches_wals_k1(spark):
+    """warp_als_coord.cpp at k=1: one coordinate-descent sweep equals
+    the exact rank-1 weighted normal-equation solve, so the warp twin
+    must reproduce wals(k=1) to float round-off."""
+    from graphlab_spark.algos.als import wals
+    from graphlab_spark.operators.warp import warp_als1
+
+    users = spark.range(20).select(F.col("id").alias("user"))
+    items = spark.range(15).select(F.col("id").alias("item"))
+    ratings = (
+        users.crossJoin(items)
+        .filter(F.pmod(F.xxhash64("user", "item"), F.lit(3)) == 0)
+        .select("user", "item",
+                (F.pmod(F.xxhash64("user", "item", F.lit(1)), F.lit(50))
+                 / F.lit(50.0)).alias("rating"),
+                (F.lit(1.0) + F.pmod(F.xxhash64("user", "item", F.lit(2)),
+                                     F.lit(3))).alias("weight"))
+        .persist()
+    )
+    ref, _ = wals(ratings, k=1, reg=0.01, iterations=2)
+    got = warp_als1(ratings, reg=0.01, iterations=2)
+    diff = (
+        ref.select("id", F.element_at("factor", 1).alias("r"))
+        .join(got.withColumnRenamed("f", "g"), "id", "full")
+        .agg(F.max(F.abs(F.col("r") - F.col("g"))).alias("d"),
+             F.count("*").alias("n"))
+        .first()
+    )
+    assert diff["n"] == 20 and diff["d"] < 1e-9
+    ratings.unpersist()
+
+
+def test_warp_als1_empty_ratings(spark):
+    from graphlab_spark.operators.warp import warp_als1
+    empty = spark.createDataFrame(
+        [], "user long, item long, rating double")
+    assert warp_als1(empty).count() == 0
