@@ -586,6 +586,43 @@ def q_als2_regnormal_user_factors(spark, sf_dir):
         F.round(F.element_at("factor", 2), 6).alias("v2"))
 
 
+def q_minhash_pairs_scale(spark, sf_dir):
+    """The minhash-LSH SHIPPING plan as a graded artifact
+    (rows-only): portable=False hashes shingles with xxhash64 — no
+    dense-rank shingle dim, hence no global sort anywhere in the plan.
+    Signatures are engine-specific (DuckDB has no xxhash64, so no value
+    oracle), but the verified-pair semantics are identical — pytest
+    asserts pair-set equality with the portable twin
+    (test_minhash_nonportable_same_pairs)."""
+    return (
+        D.minhash_lsh_pairs(_docs(spark, sf_dir), portable=False)
+        .select("doc_a", "doc_b", "jac"))
+
+
+def q_lda_word_topics_scale(spark, sf_dir):
+    """LDA CVB0 scale path (rows-only): portable=False keys words by
+    xxhash64 instead of the dense-rank vocab dim (a single-partition
+    sort at 100-TB vocab sizes).  Different pseudo-random init, same
+    CVB0 semantics — pytest asserts the no-Window plan shape, per-
+    (doc, word) responsibility normalization, and word-mass identity
+    (test_lda_scale_path_invariants)."""
+    from graphlab_spark.algos.lda import lda_cvb0, word_topics
+    gamma = lda_cvb0(_docs(spark, sf_dir), k=4, iterations=2,
+                     portable=False)
+    return word_topics(gamma).select(
+        "word", "k", F.round("weight", 6).alias("weight"))
+
+
+def q_quality_buckets_scale(spark, sf_dir):
+    """Quality-bucket mixing table, scale path (rows-only):
+    portable=False derives bucket boundaries from approxQuantile
+    (one aggregation; no exact-ntile global-order window), so the plan
+    survives any corpus size.  Pytest bounds per-bucket drift vs exact
+    ntile to boundary ties (test_quality_buckets_scale_path_close_to_
+    exact)."""
+    return C.quality_buckets(_docs(spark, sf_dir), portable=False)
+
+
 def q_als2_user_factors(spark, sf_dir):
     """ALS at k=2: the per-vertex 2x2 normal-equation solve has a
     Cramer's-rule closed form, so the whole alternation is oracle-
@@ -1001,6 +1038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-3 queries (also inside the driver's 50-row window):
         "cf_als2_regnormal_user_factors": q_als2_regnormal_user_factors,
         "cf_warp_als1_user_factors": q_warp_als1_user_factors,
+        # --- scale-path twins of the portable-default operators (rows-only:
+        # --- xxhash64/approxQuantile plans DuckDB can't replay; semantic
+        # --- equivalence to the portable twin is pytest-asserted):
+        "dedup_minhash_pairs_scale": q_minhash_pairs_scale,
+        "lda_word_topics_scale": q_lda_word_topics_scale,
+        "curation_quality_buckets_scale": q_quality_buckets_scale,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1377,5 +1420,10 @@ FROM transcripts GROUP BY conv_id""",
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs
-        # closed forms and numpy.linalg.svd).
+        # closed forms and numpy.linalg.svd).  Also rows-only by design:
+        # dedup_minhash_pairs_scale / lda_word_topics_scale /
+        # curation_quality_buckets_scale — the portable=False shipping
+        # plans use xxhash64 / approxQuantile, which DuckDB cannot
+        # replay; each is pytest-equivalence-checked against its
+        # portable twin (see the q_* docstrings for the test names).
     }

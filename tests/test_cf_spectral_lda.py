@@ -553,3 +553,26 @@ def test_adpredictor_learns_separable_clicks(spark):
     uw2, _ = adpredictor(r, iterations=4)
     assert sorted(map(tuple, uw.collect())) == sorted(
         map(tuple, uw2.collect()))
+
+
+def test_lda_scale_vs_portable_word_mass_equal(spark):
+    """The scale path (xxhash64 word ids) has a different pseudo-random
+    init than the portable twin, so responsibilities differ — but the
+    per-word topic MASS (sum over k of expected counts) is the word's
+    corpus count under CVB0's per-(doc, word) normalization, so the two
+    paths must agree on it exactly."""
+    from graphlab_spark.algos.lda import lda_cvb0, word_topics
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "delta epsilon delta")
+         for i in range(20)],
+        "doc_id long, text string")
+
+    def mass(portable):
+        wt = word_topics(lda_cvb0(docs, k=3, iterations=2,
+                                  portable=portable))
+        return {r["word"]: round(r["t"], 6) for r in
+                wt.groupBy("word").agg(F.sum("weight").alias("t"))
+                .collect()}
+
+    assert mass(True) == mass(False)
