@@ -586,6 +586,30 @@ def q_als2_regnormal_user_factors(spark, sf_dir):
         F.round(F.element_at("factor", 2), 6).alias("v2"))
 
 
+def q_mplp_table_labels(spark, sf_dir):
+    """General factor-table MPLP over the link graph (K=2): each
+    canonical undirected factor carries its OWN portable-LCG log-
+    potential table (the explicit dense-table form of the reference's
+    ``factors/dense_table.hpp`` / ``mplp_structured_prediction.cpp``
+    surface), unaries are the engine's portable log-phi.  Same damped
+    Globerson-Jaakkola update as graph_mplp_labels, table read from
+    the per-edge array column."""
+    from graphlab_spark.algos.mplp import _log_phi, mplp_table_labels
+    from graphlab_spark.operators.portable import lcg_hash
+    g = _graph(spark, sf_dir)
+    unary = _log_phi(g.vertices).select(
+        "id", F.array("t0", "t1").alias("theta"))
+
+    def t(x, y):
+        h = lcg_hash(F.col("src") * 9 + F.col("dst") * 31 + (x * 2 + y))
+        return -(F.lit(0.2) + F.lit(0.6) * (h / F.lit(2.0 ** 31)))
+
+    factors = g.canonical_undirected_edges.select(
+        "src", "dst",
+        F.array(t(0, 0), t(0, 1), t(1, 0), t(1, 1)).alias("table"))
+    return mplp_table_labels(unary, factors, 2, iterations=10)
+
+
 def q_minhash_pairs_scale(spark, sf_dir):
     """The minhash-LSH SHIPPING plan as a graded artifact
     (rows-only): portable=False hashes shingles with xxhash64 — no
@@ -1038,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-3 queries (also inside the driver's 50-row window):
         "cf_als2_regnormal_user_factors": q_als2_regnormal_user_factors,
         "cf_warp_als1_user_factors": q_warp_als1_user_factors,
+        "graph_mplp_table_labels": q_mplp_table_labels,
         # --- scale-path twins of the portable-default operators (rows-only:
         # --- xxhash64/approxQuantile plans DuckDB can't replay; semantic
         # --- equivalence to the portable twin is pytest-asserted):
@@ -1391,6 +1416,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),
         "graph_mplp_labels": O.sql_mplp_labels(iterations=10),
+        "graph_mplp_table_labels": O.sql_mplp_table_labels(iterations=10),
         "graph_dd_labels": O.sql_dd_labels(iterations=10),
         "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
         "transcript_corpus": (

@@ -166,6 +166,144 @@ def mplp_labels(graph: EdgeGraph, iterations: int = 10) -> DataFrame:
     return out
 
 
+def _node_sums_k(d: DataFrame, k: int) -> DataFrame:
+    """K-state node sums: s_i(x) = sum over incident factors of the
+    dual component toward variable i, one column per state."""
+    su = d.groupBy(F.col("src").alias("id")).agg(
+        *[F.sum(f"du{x}").alias(f"s{x}") for x in range(k)])
+    sv = d.groupBy(F.col("dst").alias("id")).agg(
+        *[F.sum(f"dv{x}").alias(f"s{x}") for x in range(k)])
+    return su.unionByName(sv).groupBy("id").agg(
+        *[F.sum(f"s{x}").alias(f"s{x}") for x in range(k)])
+
+
+def mplp_table_duals(
+    unary: DataFrame, factors: DataFrame, k: int, iterations: int = 10
+) -> DataFrame:
+    """General factor-table MPLP: explicit per-edge potential tables
+    instead of the implicit Potts constant of :func:`mplp_duals`.
+
+    The reference's general structured-prediction surface carries
+    arbitrary K-state unary priors per vertex
+    (``mplp_structured_prediction.cpp:40-48``) and materialized dense
+    factor tables (``factors/dense_table.hpp``,
+    ``factors/factor_graph.hpp``); the MPLP edge update itself is the
+    same Globerson-Jaakkola coordinate-descent step as
+    ``mplp_denoise.cpp:390-404`` with THETA_ij read from the factor's
+    own table rather than a shared smoothing matrix.
+
+    Inputs: ``unary = (id, theta: array<double>[k])`` — log node
+    potentials; ``factors = (src, dst, table: array<double>[k*k])`` —
+    log pairwise potentials, row-major ``table[x*k + y]`` for
+    src-state x / dst-state y, one row per undirected factor (src<dst
+    canonical orientation recommended; orientation only names the
+    sides).  The BSP damping is the same fixed-point-preserving
+    ``alpha = 1/max(deg_u, deg_v)`` as the Potts engine (module
+    docstring).  All updates are column expressions — the K duals per
+    side are generated columns, the table stays an array read via
+    ``element_at`` — so the plan is pure Catalyst codegen at any k.
+
+    Returns ``(src, dst, table, alpha, du0.., dv0..)``.
+    """
+    ks = range(k)
+    dg = (
+        factors.select(F.col("src").alias("id"))
+        .unionAll(factors.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("dg"))
+    )
+    base_c = (
+        factors.join(dg.select(F.col("id").alias("src"),
+                               F.col("dg").alias("dgu")), "src")
+        .join(dg.select(F.col("id").alias("dst"),
+                        F.col("dg").alias("dgv")), "dst")
+        .select("src", "dst", "table",
+                (F.lit(1.0) / F.greatest("dgu", "dgv")).alias("alpha"))
+        .persist()
+    )
+    base = truncate_lineage(base_c)
+    base_c.unpersist()
+    lphi_c = unary.select(
+        "id", *[F.element_at("theta", x + 1).alias(f"t{x}") for x in ks]
+    ).persist()
+    lphi = truncate_lineage(lphi_c)
+    lphi_c.unpersist()
+    d = base.select(
+        "src", "dst", "table", "alpha",
+        *[F.lit(0.0).alias(f"du{x}") for x in ks],
+        *[F.lit(0.0).alias(f"dv{x}") for x in ks])
+    d = truncate_lineage(d)
+
+    def tbl(x: int, y: int):  # noqa: ANN202 - Column
+        return F.element_at("table", x * k + y + 1)
+
+    for _ in range(iterations):
+        s = _node_sums_k(d, k)
+        j = (
+            d
+            .join(s.select(F.col("id").alias("src"),
+                           *[F.col(f"s{x}").alias(f"su{x}") for x in ks]),
+                  "src")
+            .join(s.select(F.col("id").alias("dst"),
+                           *[F.col(f"s{x}").alias(f"sv{x}") for x in ks]),
+                  "dst")
+            .join(lphi.select(F.col("id").alias("src"),
+                              *[F.col(f"t{x}").alias(f"a{x}") for x in ks]),
+                  "src")
+            .join(lphi.select(F.col("id").alias("dst"),
+                              *[F.col(f"t{x}").alias(f"b{x}") for x in ks]),
+                  "dst")
+        )
+        cu = [F.col(f"a{x}") + F.col(f"su{x}") - F.col(f"du{x}") for x in ks]
+        cv = [F.col(f"b{y}") + F.col(f"sv{y}") - F.col(f"dv{y}") for y in ks]
+        half = F.lit(0.5)
+        a = F.col("alpha")
+        ka = F.lit(1.0) - a
+
+        def damp(old: str, new):  # noqa: ANN001 - Column
+            return (ka * F.col(old) + a * new).alias(old)
+
+        new_d = j.select(
+            "src", "dst", "table", "alpha",
+            *[damp(f"du{x}", -cu[x] * half
+                   + half * F.greatest(*[tbl(x, y) + cv[y] for y in ks])
+                   if k > 1 else -cu[x] * half
+                   + half * (tbl(x, 0) + cv[0]))
+              for x in ks],
+            *[damp(f"dv{y}", -cv[y] * half
+                   + half * F.greatest(*[tbl(x, y) + cu[x] for x in ks])
+                   if k > 1 else -cv[y] * half
+                   + half * (tbl(0, y) + cu[0]))
+              for y in ks],
+        )
+        cached = new_d.persist()
+        nxt = truncate_lineage(cached)
+        cached.unpersist()
+        d.unpersist()
+        d = nxt
+    return d
+
+
+def mplp_table_labels(
+    unary: DataFrame, factors: DataFrame, k: int, iterations: int = 10
+) -> DataFrame:
+    """(id, label): MAP label per variable = argmax over states of the
+    reparameterized unary ``theta_i + s_i`` (``mplp_denoise.cpp:421``),
+    ties to the smallest state index.  Vertices present only in
+    ``unary`` (no incident factor) decode from theta alone."""
+    ks = range(k)
+    d = mplp_table_duals(unary, factors, k, iterations)
+    s = _node_sums_k(d, k)
+    lphi = unary.select(
+        "id", *[F.element_at("theta", x + 1).alias(f"t{x}") for x in ks])
+    j = lphi.join(s, "id", "left")
+    m = [F.col(f"t{x}") + F.coalesce(f"s{x}", F.lit(0.0)) for x in ks]
+    best, lbl = m[0], F.lit(0)
+    for x in range(1, k):
+        lbl = F.when(m[x] > best, F.lit(x)).otherwise(lbl)
+        best = F.greatest(best, m[x])
+    return j.select("id", lbl.alias("label"))
+
+
 def mplp_dual_objective(graph: EdgeGraph, iterations: int = 10) -> float:
     """The MPLP dual bound: sum over variables of
     max_x (theta_i(x) + s_i(x)) plus sum over factors of

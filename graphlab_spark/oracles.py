@@ -1311,6 +1311,77 @@ SELECT p.id,
 FROM lphi p LEFT JOIN fs USING (id)""")
 
 
+def sql_mplp_table_labels(iterations: int = 10) -> str:
+    """General factor-table MPLP (mirrors algos/mplp.py::
+    mplp_table_labels at K=2) — same recursion as
+    :func:`sql_mplp_labels` but THETA_ij comes from each factor's own
+    portable-LCG table instead of the shared Potts constant."""
+    u = sql_lcg_hash("id")
+
+    def t(x: int, y: int) -> str:
+        h = sql_lcg_hash(f"c.src * 9 + c.dst * 31 + {x * 2 + y}")
+        return f"-(0.2 + 0.6 * ({h} / 2147483648.0))"
+
+    lphi = (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    etab = (f"etab AS (SELECT c.src, c.dst, {t(0, 0)} AS t00, "
+            f"{t(0, 1)} AS t01, {t(1, 0)} AS t10, {t(1, 1)} AS t11 "
+            "FROM canon c)")
+    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+    alpha = ("alph AS (SELECT c.src, c.dst, "
+             "1.0 / greatest(u.dg, v.dg) AS alpha FROM canon c "
+             "JOIN fdeg u ON u.id = c.src JOIN fdeg v ON v.id = c.dst)")
+    sums = """(SELECT id, sum(s0) AS s0, sum(s1) AS s1 FROM (
+        SELECT src AS id, du0 AS s0, du1 AS s1 FROM mp
+        UNION ALL SELECT dst, dv0, dv1 FROM mp) GROUP BY id)"""
+    rec = f"""
+mp(iter, src, dst, du0, du1, dv0, dv1) AS (
+  SELECT 0, src, dst, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM canon
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, src, dst,
+           (1 - alpha) * du0 + alpha *
+           (-cu0 / 2 + greatest(t00 + cv0, t01 + cv1) / 2) AS du0,
+           (1 - alpha) * du1 + alpha *
+           (-cu1 / 2 + greatest(t10 + cv0, t11 + cv1) / 2) AS du1,
+           (1 - alpha) * dv0 + alpha *
+           (-cv0 / 2 + greatest(t00 + cu0, t10 + cu1) / 2) AS dv0,
+           (1 - alpha) * dv1 + alpha *
+           (-cv1 / 2 + greatest(t01 + cu0, t11 + cu1) / 2) AS dv1
+    FROM (
+      SELECT m.iter + 1 AS iter, m.src, m.dst, al.alpha,
+             et.t00, et.t01, et.t10, et.t11,
+             m.du0, m.du1, m.dv0, m.dv1,
+             a.t0 + su.s0 - m.du0 AS cu0, a.t1 + su.s1 - m.du1 AS cu1,
+             b.t0 + sv.s0 - m.dv0 AS cv0, b.t1 + sv.s1 - m.dv1 AS cv1
+      FROM mp m
+      JOIN {sums} su ON su.id = m.src
+      JOIN {sums} sv ON sv.id = m.dst
+      JOIN lphi a ON a.id = m.src
+      JOIN lphi b ON b.id = m.dst
+      JOIN etab et ON et.src = m.src AND et.dst = m.dst
+      JOIN alph al ON al.src = m.src AND al.dst = m.dst
+      WHERE m.iter < {iterations}
+    )
+  )
+)"""
+    return (_rec(_VERTS, _SYM, _CANON, lphi, etab, fdeg, alpha, rec) + """
+, fs AS (SELECT id, sum(s0) AS s0, sum(s1) AS s1 FROM (
+    SELECT src AS id, du0 AS s0, du1 AS s1 FROM mp
+    WHERE iter = (SELECT max(iter) FROM mp)
+    UNION ALL
+    SELECT dst, dv0, dv1 FROM mp
+    WHERE iter = (SELECT max(iter) FROM mp)) GROUP BY id)
+SELECT p.id,
+       CASE WHEN p.t1 + coalesce(fs.s1, 0.0) > p.t0 + coalesce(fs.s0, 0.0)
+            THEN 1 ELSE 0 END AS label
+FROM lphi p LEFT JOIN fs USING (id)""")
+
+
 # ---------------------------------------------------------------------------
 # dual decomposition (mirrors algos/dd.py; edge slaves, subgradient)
 # ---------------------------------------------------------------------------

@@ -576,3 +576,87 @@ def test_lda_scale_vs_portable_word_mass_equal(spark):
                 .collect()}
 
     assert mass(True) == mass(False)
+
+
+def _tree_factor_instance():
+    """Deterministic 7-node, K=3 tree factor graph with generic
+    (asymmetric, tie-free) log-potential tables."""
+    K = 3
+    edges = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (2, 6)]
+
+    def h(*xs):
+        v = 17
+        for x in xs:
+            v = (v * 1103515245 + x * 12345 + 12345) % (2 ** 31)
+        return v / (2 ** 31)
+
+    theta = {v: [-2.0 * h(v, x) for x in range(K)] for v in range(7)}
+    tables = {e: [-1.5 * h(e[0], e[1], x, y)
+                  for x in range(K) for y in range(K)] for e in edges}
+    return K, edges, theta, tables
+
+
+def test_mplp_table_exact_map_on_tree(spark):
+    """General factor-table MPLP: on a tree the LP relaxation is tight,
+    so the decoded labels must equal exact junction-tree (here brute
+    force: 3^7 assignments) MAP."""
+    import itertools
+    from graphlab_spark.algos.mplp import mplp_table_labels
+
+    K, edges, theta, tables = _tree_factor_instance()
+    unary = spark.createDataFrame(
+        [(v, theta[v]) for v in theta], "id long, theta array<double>")
+    factors = spark.createDataFrame(
+        [(s, d, tables[(s, d)]) for s, d in edges],
+        "src long, dst long, table array<double>")
+    got = {r["id"]: r["label"]
+           for r in mplp_table_labels(unary, factors, K,
+                                      iterations=60).collect()}
+    best, best_s = None, float("-inf")
+    for x in itertools.product(range(K), repeat=7):
+        s = sum(theta[v][x[v]] for v in range(7))
+        s += sum(tables[(a, b)][x[a] * K + x[b]] for a, b in edges)
+        if s > best_s:
+            best, best_s = x, s
+    assert tuple(got[v] for v in range(7)) == best
+
+
+def test_mplp_table_potts_matches_builtin(spark):
+    """With a constant ln(PSI) Potts table and the engine's portable
+    log-phi unaries, the table engine must reproduce mplp_labels
+    exactly (same damped update, table read from the array column)."""
+    import math
+    from graphlab_spark.algos.lbp import PSI
+    from graphlab_spark.algos.mplp import (_log_phi, mplp_labels,
+                                           mplp_table_labels)
+
+    edges = [(0, 5), (1, 0), (1, 5), (2, 0), (2, 5), (3, 0), (3, 5)]
+    g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                  num_edge_partitions=2)
+    ref = {r["id"]: r["label"] for r in mplp_labels(g, iterations=10).collect()}
+    lth = [math.log(p) for row in PSI for p in row]
+    unary = _log_phi(g.vertices).select(
+        "id", F.array("t0", "t1").alias("theta"))
+    factors = g.canonical_undirected_edges.select(
+        "src", "dst", F.array(*[F.lit(v) for v in lth]).alias("table"))
+    got = {r["id"]: r["label"]
+           for r in mplp_table_labels(unary, factors, 2,
+                                      iterations=10).collect()}
+    assert got == ref
+    g.unpersist()
+
+
+def test_mplp_table_isolated_vertex_decodes_from_theta(spark):
+    from graphlab_spark.algos.mplp import mplp_table_labels
+    unary = spark.createDataFrame(
+        [(0, [0.0, -1.0]), (1, [-2.5, 0.0]), (9, [-3.0, -0.5])],
+        "id long, theta array<double>")
+    factors = spark.createDataFrame(
+        [(0, 1, [0.0, -2.0, -2.0, 0.0])],
+        "src long, dst long, table array<double>")
+    got = {r["id"]: r["label"]
+           for r in mplp_table_labels(unary, factors, 2,
+                                      iterations=8).collect()}
+    # joint scores: (1,1) = -1.0 beats (0,0) = -2.5, (0,1) = -2.0,
+    # (1,0) = -5.5; isolated vertex 9 decodes from theta alone.
+    assert got[9] == 1 and got[0] == 1 and got[1] == 1

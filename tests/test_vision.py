@@ -75,3 +75,57 @@ def test_geometry_stubs_raise(spark):
                      (V.composite_images, (None,))):
         with pytest.raises(NotImplementedError):
             fn(*args)
+
+
+def test_match_graph_scale_candidates_linear(spark):
+    """1e5-image corpus: the visual-word matcher must stay linear under
+    the df-cap and recover every planted overlap group exactly.
+
+    Construction: 25k groups of 4 images.  Each image's payload is 8
+    chunks of 16 bytes; the qdesc probe offsets (0/5/10/15) of chunk 0
+    carry a GLOBAL constant (a stop-feature seen by all 100k images —
+    must be dropped by the df cap, never joined), chunks 1..7 encode
+    the group id (shared by exactly the 4 group members)."""
+    n_groups, gsize = 25_000, 4
+    imgs = spark.range(n_groups * gsize).select(
+        F.col("id").alias("img_id"), (F.col("id") / gsize).cast("long").alias("g"))
+
+    def block(k):
+        if k == 0:   # global stop-feature chunk
+            return F.lit("S" + "aaaa" + "T" + "aaaa" + "O" + "aaaa" + "P")
+        p0 = F.char(F.lit(32) + F.pmod(F.col("g"), F.lit(90)))
+        p5 = F.char(F.lit(32) + F.pmod(F.col("g") / 90, F.lit(90)).cast("long"))
+        p10 = F.char(F.lit(32) + F.pmod(F.col("g") / 8100, F.lit(90)).cast("long"))
+        p15 = F.char(F.lit(32) + F.lit(k * 10))
+        return F.concat(p0, F.lit("aaaa"), p5, F.lit("aaaa"),
+                        p10, F.lit("aaaa"), p15)
+
+    payload = F.encode(F.concat(*[block(k) for k in range(8)]), "UTF-8")
+    images = imgs.select("img_id", payload.alias("payload")).persist()
+
+    feats = V.compute_features(images).persist()
+    assert feats.count() == n_groups * gsize * 8  # every keypoint extracted
+
+    # the stop-feature must be cut: its qdesc has df = 100k > DF_CAP,
+    # and after the cut every surviving descriptor's df is exactly the
+    # group size — the candidate join volume is sum(df^2) = linear.
+    live_df = (feats.groupBy("qdesc")
+               .agg(F.countDistinct("img_id").alias("df"))
+               .filter(F.col("df") <= V.DF_CAP))
+    assert live_df.agg(F.max("df")).first()[0] == gsize
+
+    matches = V.match_features(feats).persist()
+    # exactly C(4,2) pairs per group with all 7 group chunks matching
+    assert matches.count() == n_groups * 6
+    assert matches.filter(F.col("matches") != 7).count() == 0
+    bad = matches.filter(
+        (F.col("img_a") / gsize).cast("long")
+        != (F.col("img_b") / gsize).cast("long")).count()
+    assert bad == 0  # no cross-group pair survives
+
+    # panorama grouping stays exact at this scale: pano = min of group
+    panos = V.panorama_groups(matches)
+    wrong = panos.filter(
+        F.col("pano") != (F.col("id") / gsize).cast("long") * gsize).count()
+    assert wrong == 0 and panos.count() == n_groups * gsize
+    images.unpersist(); feats.unpersist(); matches.unpersist()
