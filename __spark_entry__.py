@@ -586,6 +586,16 @@ def q_als2_regnormal_user_factors(spark, sf_dir):
         F.round(F.element_at("factor", 2), 6).alias("v2"))
 
 
+def q_warp_nmf1_user_factors(spark, sf_dir):
+    """NMF expressed through the warp combinators (``warp_nmf.cpp`` at
+    k=1, where the masked Lee-Seung multiplicative update telescopes to
+    one (num, den) gather + rescale).  Same fixed point as nmf(k=1) —
+    same NMF oracle at rank 1."""
+    from graphlab_spark.operators.warp import warp_nmf1
+    w = warp_nmf1(_ratings(spark, sf_dir), iterations=3)
+    return w.select("id", "f", F.round("v", 6).alias("v"))
+
+
 def q_mplp_table_labels(spark, sf_dir):
     """General factor-table MPLP over the link graph (K=2): each
     canonical undirected factor carries its OWN portable-LCG log-
@@ -1062,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-3 queries (also inside the driver's 50-row window):
         "cf_als2_regnormal_user_factors": q_als2_regnormal_user_factors,
         "cf_warp_als1_user_factors": q_warp_als1_user_factors,
+        "cf_warp_nmf1_user_factors": q_warp_nmf1_user_factors,
         "graph_mplp_table_labels": q_mplp_table_labels,
         # --- scale-path twins of the portable-default operators (rows-only:
         # --- xxhash64/approxQuantile plans DuckDB can't replay; semantic
@@ -1401,6 +1412,9 @@ SELECT id, cluster FROM r WHERE rn = 1
         # the warp twin computes the same fixed point as wals(k=1) —
         # identical oracle (ulp noise absorbed by round 6):
         "cf_warp_als1_user_factors": O.sql_wals1_user_factors(iterations=3),
+        # the warp NMF twin computes the same fixed point as nmf(k=1) —
+        # the rank-parameterized NMF oracle at k=1:
+        "cf_warp_nmf1_user_factors": O.sql_nmf_user_factors(k=1, iterations=3),
         "cf_als2_regnormal_user_factors":
             O.sql_als2_regnormal_user_factors(iterations=2),
         "cf_synthetic_als_stats": O.sql_synthetic_als_stats(

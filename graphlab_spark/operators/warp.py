@@ -333,6 +333,79 @@ def warp_als1(
     return uf
 
 
+def warp_nmf1(
+    ratings: DataFrame, iterations: int = 3, eps: float = 1e-9
+) -> DataFrame:
+    """NMF written against the warp API — the k=1 instance of
+    ``toolkits/collaborative_filtering/warp_nmf.cpp``.
+
+    The reference's multiplicative sweep per vertex gathers
+    ``delta = sum_edges other.pvec * obs / pred`` and rescales
+    ``pvec *= delta / px`` (``warp_nmf.cpp:184-196``).  At k=1 with
+    ``pred = w h`` the masked Lee-Seung update telescopes to
+
+        w_new = w * sum(r h) / (w * sum(h^2) + eps)
+
+    so one (numerator, denominator) struct gather — the same shape as
+    :func:`warp_als1` — plus a parfor rescale reproduces
+    :func:`graphlab_spark.algos.nmf.nmf` at k=1 and reuses its value
+    oracle (``oracles.sql_nmf_user_factors(k=1)``).  Input
+    ``(user, item, rating)``; returns user ``(id, f=0, v)`` long-form.
+    """
+    from ..plans.checkpoint import truncate_lineage
+    from .portable import lcg_hash
+
+    edges = ratings.select(
+        F.col("user").alias("src"),
+        (-(F.col("item") + 2)).alias("dst"),   # SAFE_NEG_OFFSET, as warp_als1
+        "rating")
+    graph = EdgeGraph(edges, drop_self_loops=False)
+
+    def init(side_df: DataFrame, orig: Column, side: int) -> DataFrame:
+        # nmf's strictly-positive portable init at f=0:
+        # 0.1 + 0.4 * lcg_unit(id*31 + f*7 + side*13)
+        return side_df.select(
+            "id",
+            (F.lit(0.1) + F.lit(0.4) * (lcg_hash(orig * 31 + side * 13)
+                                        / F.lit(2.0 ** 31))).alias("f"))
+
+    users = ratings.select(F.col("user").alias("id")).distinct().persist()
+    items = (ratings.select((-(F.col("item") + 2)).alias("id"))
+             .distinct().persist())
+    uf = init(users, F.col("id"), 0)
+    if_ = init(items, -F.col("id") - 2, 1)
+
+    zero = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+
+    def combine(c: str) -> Column:
+        return F.struct(F.sum(F.col(c)["num"]).alias("num"),
+                        F.sum(F.col(c)["den"]).alias("den"))
+
+    def sweep(cur: DataFrame, other: DataFrame, direction: str,
+              vset: DataFrame) -> DataFrame:
+        frac = map_reduce_neighborhood(
+            graph, other,
+            F.struct((F.col("rating") * F.col("other_f")).alias("num"),
+                     (F.col("other_f") * F.col("other_f")).alias("den")),
+            combine=combine, direction=direction, vset=vset,
+            default=zero, result_col="frac")
+        joined = cur.join(frac, "id")
+        return parfor_all_vertices(
+            joined,
+            {"f": F.col("f") * F.col("frac")["num"]
+             / (F.col("f") * F.col("frac")["den"] + F.lit(float(eps)))}
+        ).select("id", "f")
+
+    for _ in range(iterations):
+        uf = truncate_lineage(sweep(uf, if_, "out", users))
+        if_ = truncate_lineage(sweep(if_, uf, "in", items))
+    users.unpersist()
+    items.unpersist()
+    graph.edges.unpersist()
+    return (uf.select("id", F.col("f").alias("v"))
+            .select("id", F.lit(0).alias("f"), "v"))
+
+
 def warp_pagerank(
     graph: EdgeGraph, iterations: int = 10, tol: float | None = None
 ) -> DataFrame:

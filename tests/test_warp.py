@@ -149,3 +149,34 @@ def test_warp_als1_empty_ratings(spark):
     empty = spark.createDataFrame(
         [], "user long, item long, rating double")
     assert warp_als1(empty).count() == 0
+
+
+def test_warp_nmf1_matches_nmf_k1(spark):
+    """warp_nmf.cpp at k=1: the masked Lee-Seung multiplicative update
+    telescopes to one (num, den) gather + rescale, so the warp twin
+    must reproduce nmf(k=1) to float round-off."""
+    from graphlab_spark.algos.nmf import nmf
+    from graphlab_spark.operators.warp import warp_nmf1
+
+    users = spark.range(15).select(F.col("id").alias("user"))
+    items = spark.range(12).select(F.col("id").alias("item"))
+    ratings = (
+        users.crossJoin(items)
+        .filter(F.pmod(F.xxhash64("user", "item"), F.lit(2)) == 0)
+        .select("user", "item",
+                (F.lit(0.5) + F.pmod(F.xxhash64("user", "item", F.lit(9)),
+                                     F.lit(40)) / F.lit(20.0))
+                .alias("rating"))
+        .persist()
+    )
+    ref, _ = nmf(ratings, k=1, iterations=3)
+    got = warp_nmf1(ratings, iterations=3)
+    diff = (
+        ref.select("id", "f", F.col("v").alias("rv"))
+        .join(got.withColumnRenamed("v", "gv"), ["id", "f"], "full")
+        .agg(F.max(F.abs(F.col("rv") - F.col("gv"))).alias("d"),
+             F.count("*").alias("n"))
+        .first()
+    )
+    assert diff["n"] == 15 and diff["d"] < 1e-9
+    ratings.unpersist()
