@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 NLATENT = 20  # als.cpp:115
 LAMBDA = 0.01  # als.cpp:431
 
+# Skew-split solve thresholds (see _solve_side): below HYBRID_MIN_K the
+# expression path is cheap (k(k+1)/2 agg columns stay narrow) and the
+# ANSI oracles replay it, so the split never engages; above it,
+# vertices with at most HYBRID_DEGREE_CAP ratings solve through the
+# whole-neighborhood Arrow kernel (at the cap and k=20 one group is
+# ~10 MB of Arrow — comfortable), and only heavier hubs pay the
+# constant-memory expression aggregation.
+HYBRID_MIN_K = 8
+HYBRID_DEGREE_CAP = 65536
+
 
 def _init_factors(ids: DataFrame, k: int, seed: int) -> DataFrame:
     """Deterministic pseudo-random factors in [-0.5, 0.5]: component c of
@@ -54,6 +64,7 @@ def _solve_side(
     ratings: DataFrame, fixed: DataFrame, key: str, other: str,
     k: int, reg: float, regnormal: bool,
     weighted: bool = False, sparsity: int | None = None,
+    low_degree_ids: DataFrame | None = None,
 ) -> DataFrame:
     """New factors for the ``key`` side given the ``other`` side fixed.
 
@@ -67,6 +78,16 @@ def _solve_side(
     ``cosamp.hpp``): keep the ``s`` largest-magnitude coordinates of
     the dense solution and re-solve restricted to that support — one
     CoSaMP-style identify+re-estimate step, deterministic.
+
+    ``low_degree_ids`` enables the skew-split solve: ids listed there
+    (precomputed: rating count <= HYBRID_DEGREE_CAP) gather their whole
+    (deg, k) neighborhood into one Arrow group and solve via one
+    ``X^T X`` matmul (fast — measured ~4x over the expression
+    aggregation at k=20/sf0.1, BASELINE §5); everyone else — the
+    power-law hubs whose neighborhood would not fit an executor — runs
+    the constant-memory expression-side normal equations.  Both paths
+    solve the identical system; they differ only in float summation
+    order.
     """
     cols = [F.col(key).alias("id"), "rating", "factor"]
     if weighted:
@@ -80,22 +101,39 @@ def _solve_side(
     # under --regnormal, exactly as the reference's LDLT does.
     user_side = key == "user"
 
+    if low_degree_ids is not None:
+        low = _solve_whole_neighborhood(
+            joined.join(low_degree_ids, "id", "left_semi"),
+            k, reg, regnormal, user_side, weighted, sparsity)
+        # hubs fall through to the constant-memory expression path
+        joined = joined.join(low_degree_ids, "id", "left_anti")
+    else:
+        low = None
+
     # Accumulate the normal equations EXPRESSION-SIDE, like the
     # reference's constant-memory ``+=`` gather (als.cpp:182-222): the
     # k(k+1)/2 upper-triangle XtX sums + k Xy sums ride Spark's native
     # partial+final hash aggregate, so a power-law hot vertex costs
     # O(k^2) state instead of materializing its whole (deg, k)
     # neighborhood in one Arrow group (which OOMs at hub degrees).
+    # Project the factor array to k scalar columns ONCE per row before
+    # aggregating: the k(k+1)/2 product sums then read plain doubles.
+    # (Folding element_at into each aggregate re-walks the array per
+    # term — measured 9x slower at k=20 on sf0.1; see BASELINE §5.)
     w = F.col("weight") if weighted else F.lit(1.0)
+    flat = joined.select(
+        "id", (w * F.col("rating")).alias("_wr"),
+        *[(F.element_at("factor", i + 1)).alias(f"_f{i}") for i in range(k)],
+        *([(w.cast("double")).alias("_w")] if weighted else []))
+    wf = F.col("_w") if weighted else F.lit(1.0)
     aggs = []
     for i in range(k):
-        fi = F.element_at("factor", i + 1)
-        aggs.append(F.sum(w * F.col("rating") * fi).alias(f"_b{i}"))
+        fi = F.col(f"_f{i}")
+        aggs.append(F.sum(F.col("_wr") * fi).alias(f"_b{i}"))
         for j in range(i, k):
-            fj = F.element_at("factor", j + 1)
-            aggs.append(F.sum(w * fi * fj).alias(f"_a{i}_{j}"))
+            aggs.append(F.sum(wf * fi * F.col(f"_f{j}")).alias(f"_a{i}_{j}"))
     aggs.append(F.count("*").alias("_nobs"))
-    stats = joined.groupBy("id").agg(*aggs)
+    stats = flat.groupBy("id").agg(*aggs)
 
     def solve_batch(pdfs: "Iterator[pd.DataFrame]"):
         # rows are independent aggregated vertices — mapInPandas batch
@@ -119,32 +157,79 @@ def _solve_side(
                 lam = np.full(n, float(reg))
             A[:, np.arange(k), np.arange(k)] += lam[:, None]
 
-            def solve1(Ar, br):
-                try:
-                    return np.linalg.solve(Ar, br)
-                except np.linalg.LinAlgError:
-                    # lam=0 + rank-deficient neighborhood: least-squares
-                    # pseudo-solution (the reference's LDLT degrades
-                    # silently)
-                    return np.linalg.lstsq(Ar, br, rcond=None)[0]
-
             try:
                 f = np.linalg.solve(A, b)
             except np.linalg.LinAlgError:
-                f = np.stack([solve1(A[r], b[r]) for r in range(n)])
+                f = np.stack([_solve1(A[r], b[r]) for r in range(n)])
             if sparsity is not None and sparsity < k:
                 idx = np.argsort(-np.abs(f), axis=1)[:, :sparsity]
                 out = np.zeros_like(f)
                 for r in range(n):
                     sup = np.sort(idx[r])
-                    out[r, sup] = solve1(A[r][np.ix_(sup, sup)],
-                                         b[r][sup])
+                    out[r, sup] = _solve1(A[r][np.ix_(sup, sup)],
+                                          b[r][sup])
                 f = out
             yield pd.DataFrame({"id": pdf["id"],
                                 "factor": [row.tolist() for row in f]})
 
-    return stats.mapInPandas(solve_batch,
+    high = stats.mapInPandas(solve_batch,
                              schema="id long, factor array<double>")
+    return high if low is None else low.unionByName(high)
+
+
+def _solve1(Ar, br):
+    """k x k solve with the least-squares fallback both solve paths
+    share (lam=0 + rank-deficient neighborhood: the reference's LDLT
+    degrades silently)."""
+    try:
+        return np.linalg.solve(Ar, br)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(Ar, br, rcond=None)[0]
+
+
+def _solve_whole_neighborhood(
+    joined: DataFrame, k: int, reg: float, regnormal: bool,
+    user_side: bool, weighted: bool, sparsity: int | None,
+) -> DataFrame:
+    """The low-degree arm of the skew-split: one Arrow group per vertex
+    (``applyInPandas`` guarantees the whole group in one batch), normal
+    equations as a single ``X^T X`` matmul.  Callers must pre-filter to
+    vertices with at most HYBRID_DEGREE_CAP ratings — a power-law hub
+    here would materialize its entire (deg, k) neighborhood."""
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["factor"].to_numpy())            # (n, k)
+        y = pdf["rating"].to_numpy()
+        w = pdf["weight"].to_numpy() if weighted else None
+        if regnormal:
+            lam = reg * len(pdf) if user_side else 0.0
+        else:
+            lam = reg
+        Xw = X * w[:, None] if weighted else X
+        A = X.T @ Xw + lam * np.eye(k)
+        b = Xw.T @ y
+        f = _solve1(A, b)
+        if sparsity is not None and sparsity < k:
+            sup = np.sort(np.argsort(-np.abs(f))[:sparsity])
+            fs = np.zeros(k)
+            fs[sup] = _solve1(A[np.ix_(sup, sup)], b[sup])
+            f = fs
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]],
+                             "factor": [f.tolist()]})
+
+    return joined.groupBy("id").applyInPandas(
+        solve, schema="id long, factor array<double>")
+
+
+def _low_degree_ids(ratings: DataFrame, key: str) -> DataFrame:
+    """ids on the ``key`` side with at most HYBRID_DEGREE_CAP ratings —
+    the vertices whose whole neighborhood safely fits one Arrow group."""
+    return (
+        ratings.groupBy(F.col(key).alias("id"))
+        .agg(F.count("*").alias("_deg"))
+        .filter(F.col("_deg") <= HYBRID_DEGREE_CAP)
+        .select("id")
+    )
 
 
 def _alternate(ratings, uf, if_, solve_u, solve_i, iterations):
@@ -188,17 +273,37 @@ def als(
     ratings = ratings.select("user", "item", "rating").persist()
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
+    low_u, low_i = _hybrid_split(ratings, k)
     uf, if_ = _alternate(
         ratings,
         _init_factors(users, k, seed).persist(),
         _init_factors(items, k, seed + 1).persist(),
         lambda fx: _solve_side(ratings, fx, "user", "item", k, reg,
-                               regnormal),
+                               regnormal, low_degree_ids=low_u),
         lambda fx: _solve_side(ratings, fx, "item", "user", k, reg,
-                               regnormal),
+                               regnormal, low_degree_ids=low_i),
         iterations)
+    _hybrid_unpersist(low_u, low_i)
     ratings.unpersist()
     return uf, if_
+
+
+def _hybrid_split(ratings: DataFrame, k: int):
+    """(low_user_ids, low_item_ids) when the skew-split engages
+    (k >= HYBRID_MIN_K), else (None, None).  Below the threshold the
+    expression path's k(k+1)/2 agg columns are narrow enough to beat
+    the split's extra semi/anti joins — and every ANSI-oracled contract
+    query (k <= 2) keeps the exact plan DuckDB replays."""
+    if k < HYBRID_MIN_K:
+        return None, None
+    return (_low_degree_ids(ratings, "user").persist(),
+            _low_degree_ids(ratings, "item").persist())
+
+
+def _hybrid_unpersist(low_u, low_i) -> None:
+    for df in (low_u, low_i):
+        if df is not None:
+            df.unpersist()
 
 
 def _init_factors_portable(ids: DataFrame, k: int, side: int) -> DataFrame:
@@ -234,15 +339,19 @@ def wals(
     ratings = ratings.select("user", "item", "rating", "weight").persist()
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
+    low_u, low_i = _hybrid_split(ratings, k)
     uf, if_ = _alternate(
         ratings,
         _init_factors_portable(users, k, 0).persist(),
         _init_factors_portable(items, k, 1).persist(),
         lambda fx: _solve_side(ratings, fx, "user", "item", k, reg,
-                               regnormal, weighted=True),
+                               regnormal, weighted=True,
+                               low_degree_ids=low_u),
         lambda fx: _solve_side(ratings, fx, "item", "user", k, reg,
-                               regnormal, weighted=True),
+                               regnormal, weighted=True,
+                               low_degree_ids=low_i),
         iterations)
+    _hybrid_unpersist(low_u, low_i)
     ratings.unpersist()
     return uf, if_
 
@@ -279,13 +388,17 @@ def sparse_als(
     else:
         uf0 = _init_factors(users, k, seed).persist()
         if0 = _init_factors(items, k, seed + 1).persist()
+    low_u, low_i = _hybrid_split(ratings, k)
     uf, if_ = _alternate(
         ratings, uf0, if0,
         lambda fx: _solve_side(ratings, fx, "user", "item", k, reg,
-                               False, sparsity=user_sparsity),
+                               False, sparsity=user_sparsity,
+                               low_degree_ids=low_u),
         lambda fx: _solve_side(ratings, fx, "item", "user", k, reg,
-                               False, sparsity=item_sparsity),
+                               False, sparsity=item_sparsity,
+                               low_degree_ids=low_i),
         iterations)
+    _hybrid_unpersist(low_u, low_i)
     ratings.unpersist()
     return uf, if_
 

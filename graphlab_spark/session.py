@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Wide partial aggregates (ALS normal equations carry k(k+1)/2
+        # sum columns — 230 at the reference's k=20) must stay inside
+        # whole-stage codegen: the default maxFields=100 silently drops
+        # such plans to interpreted row aggregation (measured 2x wall
+        # on the k=20 solve at sf0.1 — BASELINE §5).
+        .config("spark.sql.codegen.maxFields", "500")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -222,3 +222,46 @@ def test_add_implicit_ratings_rejects_unweighted_call_on_weighted_input(spark):
         "user long, item long, rating double, weight double")
     with _pytest.raises(ValueError, match="weight"):
         add_implicit_ratings(r, percentage=0.5)
+
+
+def _factors_dict(df):
+    return {r["id"]: r["factor"] for r in df.collect()}
+
+
+def test_als_hybrid_split_matches_expression_path(spark, low_rank_ratings,
+                                                  monkeypatch):
+    """The skew-split solve (k >= HYBRID_MIN_K) must compute the same
+    factors as the pure expression path — the two arms solve identical
+    normal equations and differ only in float summation order."""
+    import importlib
+    A = importlib.import_module("graphlab_spark.algos.als")
+
+    uf_h, _ = als(low_rank_ratings, k=8, reg=0.01, iterations=2)
+    monkeypatch.setattr(A, "HYBRID_MIN_K", 10 ** 9)  # force expression path
+    uf_e, _ = als(low_rank_ratings, k=8, reg=0.01, iterations=2)
+    a, b = _factors_dict(uf_h), _factors_dict(uf_e)
+    assert set(a) == set(b)
+    md = max(abs(x - y) for i in a for x, y in zip(a[i], b[i]))
+    assert md < 1e-9
+
+
+def test_als_hybrid_routes_hubs_through_expression_arm(spark,
+                                                       low_rank_ratings,
+                                                       monkeypatch):
+    """With the degree cap forced tiny, heavy vertices take the
+    constant-memory expression arm and light ones the Arrow kernel —
+    the union must still equal the single-path result."""
+    import importlib
+    A = importlib.import_module("graphlab_spark.algos.als")
+
+    # every user rates 20 items, every item has 30 raters: cap=25
+    # sends all users to the kernel and all items to the hub arm
+    monkeypatch.setattr(A, "HYBRID_DEGREE_CAP", 25)
+    uf_h, if_h = als(low_rank_ratings, k=8, reg=0.01, iterations=2)
+    monkeypatch.setattr(A, "HYBRID_MIN_K", 10 ** 9)
+    uf_e, if_e = als(low_rank_ratings, k=8, reg=0.01, iterations=2)
+    for hy, ex in ((uf_h, uf_e), (if_h, if_e)):
+        a, b = _factors_dict(hy), _factors_dict(ex)
+        assert set(a) == set(b)
+        md = max(abs(x - y) for i in a for x, y in zip(a[i], b[i]))
+        assert md < 1e-9
