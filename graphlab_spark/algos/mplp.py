@@ -211,6 +211,20 @@ def mplp_table_duals(
         .unionAll(factors.select(F.col("dst").alias("id")))
         .groupBy("id").agg(F.count("*").alias("dg"))
     )
+    # The iteration body inner-joins each factor row to BOTH endpoints'
+    # unary rows; a factor referencing an id absent from `unary` would
+    # silently vanish from the dual state (the coupling would never be
+    # enforced and the MAP would be wrong with no error).  The Potts
+    # engine derives lphi from graph.vertices so it can't hit this;
+    # this general surface validates up front — one tiny anti-join over
+    # the already-aggregated endpoint ids.
+    orphan = dg.join(unary.select("id"), "id", "left_anti").take(1)
+    if orphan:
+        raise ValueError(
+            f"mplp_table_duals: factor endpoint id {orphan[0]['id']} has "
+            "no unary row — every src/dst in `factors` must appear in "
+            "`unary` (factors with missing endpoints would otherwise be "
+            "silently dropped from the dual updates)")
     base_c = (
         factors.join(dg.select(F.col("id").alias("src"),
                                F.col("dg").alias("dgu")), "src")

@@ -254,6 +254,73 @@ def parfor_all_vertices(
     return transform_vertices(state, transforms, vset)
 
 
+#: Bipartite id-space encoding offset shared by the warp CF twins —
+#: item vertex ids become ``-(item + SAFE_NEG_OFFSET)`` so the two
+#: sides share one id space (``warp_als_coord.cpp:49,177``).
+SAFE_NEG_OFFSET = 2
+
+def _frac_zero() -> Column:
+    """Default-constructed (numerator, denominator) gather accumulator
+    (``warp_als_coord.cpp:185-215`` / ``warp_nmf.cpp:184-196``).  A
+    function, not a module constant: building Columns requires an
+    active SparkContext."""
+    return F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+
+
+def _frac_combine(c: str) -> Column:
+    """gather_type::operator+= for the (num, den) struct
+    (``warp_als_coord.cpp:207-211``)."""
+    return F.struct(F.sum(F.col(c)["num"]).alias("num"),
+                    F.sum(F.col(c)["den"]).alias("den"))
+
+
+def _bipartite_cf_graph(
+    ratings: DataFrame, extra_cols: list[str], caller: str
+) -> tuple[EdgeGraph, DataFrame, DataFrame]:
+    """Shared loader for the warp CF twins: encode (user, item) ratings
+    into one signed vertex-id space and return (graph, users, items)
+    with the side frames persisted.
+
+    The reference's vertex ids are unsigned (``graph_vertex_id_type``),
+    so the user and item domains can never collide there; with signed
+    Spark longs a negative user id would alias an encoded item vertex
+    (and vice versa), silently merging two distinct vertices — reject
+    such inputs up front.  The guard is one column-pruned aggregate
+    over the ratings scan that the side-frame builds do anyway.
+    """
+    lo = ratings.agg(F.min("user").alias("u"), F.min("item").alias("i")).first()
+    if lo is not None and lo["u"] is not None and (lo["u"] < 0 or lo["i"] < 0):
+        raise ValueError(
+            f"{caller} requires nonnegative user/item ids (got min user "
+            f"{lo['u']}, min item {lo['i']}): the bipartite encoding "
+            f"dst = -(item + {SAFE_NEG_OFFSET}) maps item vertices into "
+            "the negative half of the id space, so negative input ids "
+            "would alias vertices across the two sides")
+    edges = ratings.select(
+        F.col("user").alias("src"),
+        (-(F.col("item") + SAFE_NEG_OFFSET)).alias("dst"),
+        *extra_cols)
+    graph = EdgeGraph(edges, drop_self_loops=False)
+    users = ratings.select(F.col("user").alias("id")).distinct().persist()
+    items = (ratings.select(
+        (-(F.col("item") + SAFE_NEG_OFFSET)).alias("id"))
+        .distinct().persist())
+    return graph, users, items
+
+
+def _lcg_side_init(side_df: DataFrame, orig: Column, side: int,
+                   scale: float, offset: float) -> DataFrame:
+    """The CF twins' portable LCG factor init, keyed on the ORIGINAL
+    (pre-encoding) id: ``offset + scale * lcg_unit(id*31 + side*13)``
+    — wals' ``0.1 * u`` (offset 0) and nmf's strictly-positive
+    ``0.1 + 0.4 * u``."""
+    from .portable import lcg_hash
+
+    unit = lcg_hash(orig * 31 + side * 13) / F.lit(2.0 ** 31)
+    return side_df.select(
+        "id", (F.lit(offset) + F.lit(scale) * unit).alias("f"))
+
+
 def warp_als1(
     ratings: DataFrame, reg: float = 0.01, iterations: int = 3
 ) -> DataFrame:
@@ -275,58 +342,45 @@ def warp_als1(
     Bipartite encoding mirrors the reference's loader: item vertex ids
     are negated with a safe offset so the two sides share one id space
     (``target_id = -(target_id + SAFE_NEG_OFFSET)``,
-    ``warp_als_coord.cpp:49,177``).  Input ``(user, item, rating
+    ``warp_als_coord.cpp:49,177``; nonnegative input ids required —
+    see :func:`_bipartite_cf_graph`).  Input ``(user, item, rating
     [, weight])``; missing weight = 1.0.  Returns user ``(id, f)``.
     """
     from ..plans.checkpoint import truncate_lineage
-    from .portable import lcg_hash
 
     if "weight" not in ratings.columns:
         ratings = ratings.withColumn("weight", F.lit(1.0))
-    edges = ratings.select(
-        F.col("user").alias("src"),
-        (-(F.col("item") + 2)).alias("dst"),   # SAFE_NEG_OFFSET = 2
-        "rating", "weight")
-    graph = EdgeGraph(edges, drop_self_loops=False)
+    graph, users, items = _bipartite_cf_graph(
+        ratings, ["rating", "weight"], "warp_als1")
+    # wals' portable LCG init: 0.1 * lcg_unit(v*31 + c*7 + side*13)
+    # with c=0 (k=1), keyed on the ORIGINAL item id.
+    uf = _lcg_side_init(users, F.col("id"), 0, 0.1, 0.0)
+    if_ = _lcg_side_init(items, -F.col("id") - SAFE_NEG_OFFSET, 1, 0.1, 0.0)
 
-    def init(side_df: DataFrame, orig: Column, side: int) -> DataFrame:
-        # wals' portable LCG init: 0.1 * lcg_unit(v*31 + c*7 + side*13)
-        # with c=0 (k=1), keyed on the ORIGINAL item id.
-        return side_df.select(
-            "id",
-            (F.lit(0.1) * (lcg_hash(orig * 31 + side * 13)
-                           / F.lit(2.0 ** 31))).alias("f"))
-
-    users = ratings.select(F.col("user").alias("id")).distinct().persist()
-    items = (ratings.select((-(F.col("item") + 2)).alias("id"))
-             .distinct().persist())
-    uf = init(users, F.col("id"), 0)
-    if_ = init(items, -F.col("id") - 2, 1)
-
-    zero = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
-
-    def combine(c: str) -> Column:
-        # gather_type::operator+= (warp_als_coord.cpp:207-211)
-        return F.struct(F.sum(F.col(c)["num"]).alias("num"),
-                        F.sum(F.col(c)["den"]).alias("den"))
-
-    def sweep(state: DataFrame, direction: str, vset: DataFrame) -> DataFrame:
+    def sweep(far: DataFrame, direction: str, vset: DataFrame) -> DataFrame:
+        # The mapper only reads the FAR endpoint's factor (other_f), so
+        # the neighborhood state is just the far side's frame — no
+        # uf ∪ if_ union; the center's new factor is the closed-form
+        # rank-1 normal-equation solve over the gathered (num, den).
         frac = map_reduce_neighborhood(
-            graph, state,
+            graph, far,
             F.struct((F.col("weight") * F.col("rating") * F.col("other_f"))
                      .alias("num"),
                      (F.col("weight") * F.col("other_f") * F.col("other_f"))
                      .alias("den")),
-            combine=combine, direction=direction, vset=vset,
-            default=zero, result_col="frac")
+            combine=_frac_combine, direction=direction, vset=vset,
+            default=_frac_zero(), result_col="frac")
         return parfor_all_vertices(
             frac, {"f": F.col("frac")["num"]
                    / (F.col("frac")["den"] + F.lit(float(reg)))}
         ).select("id", "f")
 
-    for _ in range(iterations):
-        uf = truncate_lineage(sweep(uf.unionByName(if_), "out", users))
-        if_ = truncate_lineage(sweep(uf.unionByName(if_), "in", items))
+    for it in range(iterations):
+        uf = truncate_lineage(sweep(if_, "out", users))
+        if it < iterations - 1:
+            # The final item sweep's output feeds nothing (only uf is
+            # returned) — skip it rather than eagerly materialize it.
+            if_ = truncate_lineage(sweep(uf, "in", items))
     users.unpersist()
     items.unpersist()
     graph.edges.unpersist()
@@ -350,36 +404,18 @@ def warp_nmf1(
     :func:`warp_als1` — plus a parfor rescale reproduces
     :func:`graphlab_spark.algos.nmf.nmf` at k=1 and reuses its value
     oracle (``oracles.sql_nmf_user_factors(k=1)``).  Input
-    ``(user, item, rating)``; returns user ``(id, f=0, v)`` long-form.
+    ``(user, item, rating)``, nonnegative ids (see
+    :func:`_bipartite_cf_graph`); returns user ``(id, f=0, v)``
+    long-form.
     """
     from ..plans.checkpoint import truncate_lineage
-    from .portable import lcg_hash
 
-    edges = ratings.select(
-        F.col("user").alias("src"),
-        (-(F.col("item") + 2)).alias("dst"),   # SAFE_NEG_OFFSET, as warp_als1
-        "rating")
-    graph = EdgeGraph(edges, drop_self_loops=False)
-
-    def init(side_df: DataFrame, orig: Column, side: int) -> DataFrame:
-        # nmf's strictly-positive portable init at f=0:
-        # 0.1 + 0.4 * lcg_unit(id*31 + f*7 + side*13)
-        return side_df.select(
-            "id",
-            (F.lit(0.1) + F.lit(0.4) * (lcg_hash(orig * 31 + side * 13)
-                                        / F.lit(2.0 ** 31))).alias("f"))
-
-    users = ratings.select(F.col("user").alias("id")).distinct().persist()
-    items = (ratings.select((-(F.col("item") + 2)).alias("id"))
-             .distinct().persist())
-    uf = init(users, F.col("id"), 0)
-    if_ = init(items, -F.col("id") - 2, 1)
-
-    zero = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
-
-    def combine(c: str) -> Column:
-        return F.struct(F.sum(F.col(c)["num"]).alias("num"),
-                        F.sum(F.col(c)["den"]).alias("den"))
+    graph, users, items = _bipartite_cf_graph(
+        ratings, ["rating"], "warp_nmf1")
+    # nmf's strictly-positive portable init at f=0:
+    # 0.1 + 0.4 * lcg_unit(id*31 + f*7 + side*13)
+    uf = _lcg_side_init(users, F.col("id"), 0, 0.4, 0.1)
+    if_ = _lcg_side_init(items, -F.col("id") - SAFE_NEG_OFFSET, 1, 0.4, 0.1)
 
     def sweep(cur: DataFrame, other: DataFrame, direction: str,
               vset: DataFrame) -> DataFrame:
@@ -387,8 +423,8 @@ def warp_nmf1(
             graph, other,
             F.struct((F.col("rating") * F.col("other_f")).alias("num"),
                      (F.col("other_f") * F.col("other_f")).alias("den")),
-            combine=combine, direction=direction, vset=vset,
-            default=zero, result_col="frac")
+            combine=_frac_combine, direction=direction, vset=vset,
+            default=_frac_zero(), result_col="frac")
         joined = cur.join(frac, "id")
         return parfor_all_vertices(
             joined,
@@ -396,9 +432,11 @@ def warp_nmf1(
              / (F.col("f") * F.col("frac")["den"] + F.lit(float(eps)))}
         ).select("id", "f")
 
-    for _ in range(iterations):
+    for it in range(iterations):
         uf = truncate_lineage(sweep(uf, if_, "out", users))
-        if_ = truncate_lineage(sweep(if_, uf, "in", items))
+        if it < iterations - 1:
+            # Final item sweep feeds nothing (only uf is returned).
+            if_ = truncate_lineage(sweep(if_, uf, "in", items))
     users.unpersist()
     items.unpersist()
     graph.edges.unpersist()

@@ -660,3 +660,19 @@ def test_mplp_table_isolated_vertex_decodes_from_theta(spark):
     # joint scores: (1,1) = -1.0 beats (0,0) = -2.5, (0,1) = -2.0,
     # (1,0) = -5.5; isolated vertex 9 decodes from theta alone.
     assert got[9] == 1 and got[0] == 1 and got[1] == 1
+
+
+def test_mplp_table_orphan_factor_endpoint_raises(spark):
+    """A factor endpoint with no unary row would be silently dropped by
+    the dual-update inner joins (the coupling never enforced); the
+    general surface must reject it instead."""
+    import pytest
+
+    from graphlab_spark.algos.mplp import mplp_table_labels
+    unary = spark.createDataFrame(
+        [(0, [0.0, -1.0])], "id long, theta array<double>")
+    factors = spark.createDataFrame(
+        [(0, 1, [0.0, -2.0, -2.0, 0.0])],
+        "src long, dst long, table array<double>")
+    with pytest.raises(ValueError, match="no unary row"):
+        mplp_table_labels(unary, factors, 2, iterations=2)

@@ -180,3 +180,23 @@ def test_warp_nmf1_matches_nmf_k1(spark):
     )
     assert diff["n"] == 15 and diff["d"] < 1e-9
     ratings.unpersist()
+
+
+def test_warp_cf_twins_reject_negative_ids(spark):
+    """The bipartite encoding dst = -(item + 2) maps items into the
+    negative id half-space; a negative user (or item) id would alias a
+    vertex on the other side and silently merge two distinct vertices,
+    so both twins must reject such inputs up front."""
+    import pytest
+
+    from graphlab_spark.operators.warp import warp_als1, warp_nmf1
+
+    neg_user = spark.createDataFrame(
+        [(-3, 7, 1.0), (0, 1, 2.0)], "user long, item long, rating double")
+    neg_item = spark.createDataFrame(
+        [(3, -2, 1.0), (0, 1, 2.0)], "user long, item long, rating double")
+    for bad in (neg_user, neg_item):
+        with pytest.raises(ValueError, match="nonnegative"):
+            warp_als1(bad, iterations=1)
+        with pytest.raises(ValueError, match="nonnegative"):
+            warp_nmf1(bad, iterations=1)
