@@ -1,0 +1,234 @@
+"""AD3 (Alternating Directions Dual Decomposition) MAP inference
+(graphical-models toolkit).
+
+Reference: ``/root/reference/toolkits/graphical_models/ad3_qp.hpp``
+(``ad3_vertex_program``, the ``algorithm=2`` branch of
+``dd_main.cpp:136``) — the ADMM variant of dual decomposition from
+Martins et al., "Alternating Directions Dual Decomposition" (arXiv
+1212.6550), run over the same bipartite variable/factor decomposition
+as :mod:`.dd`:
+
+- even BSP iteration: each factor gathers its variables' global
+  posteriors ``q`` (``beliefs``) and Lagrange multipliers, then solves
+  the local QP ``max <eta, mu> + <theta_f, z> - 1/2 ||mu||^2`` over
+  the factor's local marginal polytope with
+  ``eta_u = q_u + lambda_fu + theta_u / d_u``
+  (``SolveQP_dense``, ``ad3_qp.hpp:356-470``; the linear term is
+  ``total.neighbor_distribution + total.messages`` where the gather
+  packs ``multiplier_messages + edge potentials`` per slot,
+  ``dd_grlab.hpp:966-976``), and scatters the per-variable posteriors
+  ``p_fu`` onto its edges (``local_messages``,
+  ``dd_grlab.hpp:1132-1152``);
+- odd BSP iteration: each variable averages the incident local
+  posteriors ``q_u = sum_f p_fu / d_u`` (``dd_grlab.hpp:1040-1044``)
+  and the duals step toward agreement
+  ``lambda_fu += step * (q_u - p_fu)`` (``dd_grlab.hpp:1125-1127``,
+  constant step — ``update_stepsize`` case 0, default 1.0,
+  ``dd_opts.hpp:78``).
+
+One :func:`ad3_state` iteration fuses that even/odd pair.  The
+reference solves the factor QP with a generic active-set method
+(incrementally-updated inverse, ``num_max_iterations_QP_ = 10``); for
+a *binary pairwise* factor the same QP is strictly concave in the
+variable marginals ``(x, y) = (mu_u(1), mu_v(1))`` with the joint
+``z = mu_f(1,1)`` eliminated at ``min(x, y)`` (supermodular factor,
+``Dq >= 0``) or ``max(0, x + y - 1)`` (submodular), so its unique
+optimum has a closed form — the three-candidate case analysis below,
+the same solution the active-set iteration converges to.  Everything
+is plain column expressions (north rule: no per-row Python).
+
+Objective in (x, y) after folding the unaries (shares ``theta/d`` as
+:mod:`.dd`) and the Potts table ``LTH``:
+
+    max  A x + B y + Dq z(x, y) - x^2 - y^2,   x, y in [0, 1]
+    A  = (eta_u1 - eta_u0) + (t10 - t00) + 1
+    B  = (eta_v1 - eta_v0) + (t01 - t00) + 1
+    Dq = t11 + t00 - t10 - t01
+
+(the ``+1`` and ``-x^2`` come from ``-1/2 ||mu_u||^2 =
+-1/2 + x - x^2`` for a binary marginal).
+
+MAP decode matches the reference's ``beliefs.maxCoeff`` (first max →
+state 0 on ties): label 1 iff ``q > 0.5``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import EdgeGraph
+from ..plans.checkpoint import truncate_lineage
+from .dd import _unary_shares
+from .mplp import LTH
+
+STEP = 1.0  # opts.step_size default, stepsize rule 0 (dd_opts.hpp:78)
+
+
+def _clip(c: Column) -> Column:
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), c))
+
+
+def _qp_pair(a: Column, b: Column, dq: Column) -> tuple[Column, Column]:
+    """The unique optimum (x, y) of ``A x + B y + Dq z - x^2 - y^2``
+    over the binary pairwise local polytope (module docstring).
+
+    Supermodular (``Dq >= 0``, z = min(x, y)): try z = x (valid if the
+    separable optimum has x <= y), then z = y, else the tied boundary
+    x = y.  Submodular (z = max(0, x + y - 1)): try z = 0
+    (x + y <= 1), then z = x + y - 1, else the x + y = 1 boundary.
+    This is the binary-pairwise closed form of the QP that
+    ``SolveQP_dense`` (``ad3_qp.hpp:356``) solves by active sets.
+    """
+    half = F.lit(0.5)
+    # Dq >= 0 candidates
+    x1, y1 = _clip((a + dq) * half), _clip(b * half)
+    x2, y2 = _clip(a * half), _clip((b + dq) * half)
+    w = _clip((a + b + dq) * F.lit(0.25))
+    # Dq < 0 candidates
+    x3, y3 = _clip(a * half), _clip(b * half)
+    x4, y4 = _clip((a + dq) * half), _clip((b + dq) * half)
+    x5 = _clip((a - b + F.lit(2.0)) * F.lit(0.25))
+    x = (
+        F.when(dq >= 0,
+               F.when(x1 <= y1, x1).when(y2 <= x2, x2).otherwise(w))
+        .otherwise(
+            F.when(x3 + y3 <= 1.0, x3)
+            .when(x4 + y4 >= 1.0, x4).otherwise(x5))
+    )
+    y = (
+        F.when(dq >= 0,
+               F.when(x1 <= y1, y1).when(y2 <= x2, y2).otherwise(w))
+        .otherwise(
+            F.when(x3 + y3 <= 1.0, y3)
+            .when(x4 + y4 >= 1.0, y4)
+            .otherwise(F.lit(1.0) - x5))
+    )
+    return x, y
+
+
+def _ab(qu: Column, qv: Column, dlu: Column, dlv: Column
+        ) -> tuple[Column, Column]:
+    """(A, B) from the current globals/duals and the baked unary-share
+    differences ``cu = au1 - au0 + t10 - t00 + 1`` (column ``cu``/
+    ``cv`` on the state frame); ``eta_u1 - eta_u0 =
+    (2 q_u - 1) + dlu + (au1 - au0)``."""
+    two = F.lit(2.0)
+    return (two * qu - F.lit(1.0) + dlu + F.col("cu"),
+            two * qv - F.lit(1.0) + dlv + F.col("cv"))
+
+
+def ad3_state(graph: EdgeGraph, iterations: int = 10,
+              step: float = STEP) -> DataFrame:
+    """Factor table after ``iterations`` fused AD3 rounds:
+    ``(src, dst, cu, cv, dlu, dlv, pu, pv)`` — one row per canonical
+    undirected pairwise factor; ``dl* = lambda(1) - lambda(0)`` (only
+    the difference enters the QP), ``p* = local posterior of state 1``.
+
+    Round t: ``p_t = QP(q_{t-1}, lambda_{t-1})`` → ``q_t = avg(p_t)``
+    (one shuffle) → ``lambda_t = lambda_{t-1} + step (q_t - p_t)``;
+    ``q_0 = 0.5`` (``dd_main.hpp:236``), ``lambda_0 = 0``.
+    """
+    und = graph.canonical_undirected_edges.select("src", "dst").persist()
+    un = _unary_shares(graph, und)
+    dq = F.lit(LTH[1][1] + LTH[0][0] - LTH[1][0] - LTH[0][1])
+    zero, halfq = F.lit(0.0), F.lit(0.5)
+    base_c = (
+        und.join(un.select(F.col("id").alias("src"),
+                           (F.col("u1") - F.col("u0")
+                            + F.lit(LTH[1][0] - LTH[0][0] + 1.0))
+                           .alias("cu")), "src")
+        .join(un.select(F.col("id").alias("dst"),
+                        (F.col("u1") - F.col("u0")
+                         + F.lit(LTH[0][1] - LTH[0][0] + 1.0))
+                        .alias("cv")), "dst")
+        .persist()
+    )
+    base = truncate_lineage(base_c)
+    base_c.unpersist()
+    a0, b0 = _ab(halfq, halfq, zero, zero)
+    px0, py0 = _qp_pair(a0, b0, dq)
+    d = base.select(
+        "src", "dst", "cu", "cv",
+        zero.alias("dlu"), zero.alias("dlv"),
+        px0.alias("pu"), py0.alias("pv"))
+    d = truncate_lineage(d)
+    st = F.lit(float(step))
+    for _ in range(iterations - 1):
+        q = (
+            d.select(F.col("src").alias("id"), F.col("pu").alias("p"))
+            .unionAll(d.select(F.col("dst").alias("id"),
+                               F.col("pv").alias("p")))
+            .groupBy("id").agg(F.avg("p").alias("q"))
+        )
+        j = (
+            d.join(q.select(F.col("id").alias("src"),
+                            F.col("q").alias("qu")), "src")
+            .join(q.select(F.col("id").alias("dst"),
+                           F.col("q").alias("qv")), "dst")
+        )
+        # lambda(s) += step (q(s) - p(s)); the (1)-(0) difference
+        # steps by 2 step (q - p).
+        ndlu = F.col("dlu") + F.lit(2.0) * st * (F.col("qu") - F.col("pu"))
+        ndlv = F.col("dlv") + F.lit(2.0) * st * (F.col("qv") - F.col("pv"))
+        mid = j.select("src", "dst", "cu", "cv", "qu", "qv",
+                       ndlu.alias("dlu"), ndlv.alias("dlv"))
+        a, b = _ab(F.col("qu"), F.col("qv"), F.col("dlu"), F.col("dlv"))
+        px, py = _qp_pair(a, b, dq)
+        new_d = mid.select("src", "dst", "cu", "cv", "dlu", "dlv",
+                           px.alias("pu"), py.alias("pv"))
+        cached = new_d.persist()
+        nxt = truncate_lineage(cached)
+        cached.unpersist()
+        d.unpersist()
+        d = nxt
+    und.unpersist()
+    return d
+
+
+def ad3_labels(graph: EdgeGraph, iterations: int = 10,
+               step: float = STEP) -> DataFrame:
+    """(id, label): MAP decode — the global posterior ``q`` is the
+    average of the final local posteriors (``dd_grlab.hpp:1040``);
+    ``beliefs.maxCoeff`` takes the first max, so ties go to state 0:
+    label 1 iff ``q > 0.5``.  Variables with no incident factor have
+    no row (same surface as :func:`.dd.dd_labels`)."""
+    d = ad3_state(graph, iterations, step)
+    q = (
+        d.select(F.col("src").alias("id"), F.col("pu").alias("p"))
+        .unionAll(d.select(F.col("dst").alias("id"),
+                           F.col("pv").alias("p")))
+        .groupBy("id").agg(F.avg("p").alias("q"))
+    )
+    return q.select(
+        "id", F.when(F.col("q") > 0.5, 1).otherwise(0).alias("label"))
+
+
+def ad3_residuals(graph: EdgeGraph, iterations: int = 10,
+                  step: float = STEP) -> dict[str, float]:
+    """ADMM primal/dual agreement diagnostics at the final round:
+    primal residual ``sum_f sum_u (p_fu - q_u)^2`` (the reference's
+    ``primal_res_contrib``, ``dd_grlab.hpp:1066-1070``) and the mean
+    |q - round(q)| integrality gap.  One extra job; driver-side
+    scalars only."""
+    d = ad3_state(graph, iterations, step).persist()
+    q = (
+        d.select(F.col("src").alias("id"), F.col("pu").alias("p"))
+        .unionAll(d.select(F.col("dst").alias("id"),
+                           F.col("pv").alias("p")))
+        .groupBy("id").agg(F.avg("p").alias("q"))
+    )
+    j = (
+        d.join(q.select(F.col("id").alias("src"), F.col("q").alias("qu")),
+               "src")
+        .join(q.select(F.col("id").alias("dst"), F.col("q").alias("qv")),
+              "dst")
+        .select(((F.col("pu") - F.col("qu")) ** 2
+                 + (F.col("pv") - F.col("qv")) ** 2).alias("r"))
+        .agg(F.sum("r").alias("primal_res"))
+    )
+    gap = q.agg(F.avg(F.abs(F.col("q") - F.round("q"))).alias("g"))
+    row, grow = j.first(), gap.first()
+    d.unpersist()
+    return {"primal_residual": float(row["primal_res"] or 0.0),
+            "mean_integrality_gap": float(grow["g"] or 0.0)}

@@ -1462,6 +1462,91 @@ SELECT id, CASE WHEN v1 > 0.5 THEN 1 ELSE 0 END AS label FROM fv""")
 
 
 # ---------------------------------------------------------------------------
+# AD3 / ADMM dual decomposition (mirrors algos/ad3.py)
+# ---------------------------------------------------------------------------
+
+def sql_ad3_labels(iterations: int = 10, step: float = 1.0) -> str:
+    """Replays :func:`graphlab_spark.algos.ad3.ad3_labels` exactly: the
+    same unary shares, the same closed-form binary-pairwise QP (the
+    Potts ``Dq`` is a positive literal, so only the supermodular branch
+    is emitted — Spark constant-folds the same way), the same fused
+    round ``p = QP(q, dl)`` → ``q = avg(p)`` → ``dl += 2 step (q-p)``."""
+    import math as _math
+    u = sql_lcg_hash("id")
+    t = [[_math.log(p) for p in row] for row in PSI_SQL]
+    dq = repr(t[1][1] + t[0][0] - t[1][0] - t[0][1])
+    cu_const = repr(t[1][0] - t[0][0] + 1.0)
+    cv_const = repr(t[0][1] - t[0][0] + 1.0)
+    lphi = (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
+          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    base = (f"base AS (SELECT c.src, c.dst, "
+            f"a.u1 - a.u0 + {cu_const} AS cu, "
+            f"b.u1 - b.u0 + {cv_const} AS cv FROM canon c "
+            "JOIN un a ON a.id = c.src JOIN un b ON b.id = c.dst)")
+
+    def clip(e: str) -> str:
+        return f"least(1.0, greatest(0.0, {e}))"
+
+    def qp(a: str, b: str) -> tuple[str, str]:
+        x1 = clip(f"({a} + {dq}) * 0.5")
+        y1 = clip(f"({b}) * 0.5")
+        x2 = clip(f"({a}) * 0.5")
+        y2 = clip(f"({b} + {dq}) * 0.5")
+        w = clip(f"({a} + {b} + {dq}) * 0.25")
+        px = (f"CASE WHEN {x1} <= {y1} THEN {x1} "
+              f"WHEN {y2} <= {x2} THEN {x2} ELSE {w} END")
+        py = (f"CASE WHEN {x1} <= {y1} THEN {y1} "
+              f"WHEN {y2} <= {x2} THEN {y2} ELSE {w} END")
+        return px, py
+
+    px0, py0 = qp("2.0 * 0.5 - 1.0 + 0.0 + cu", "2.0 * 0.5 - 1.0 + 0.0 + cv")
+    px, py = qp("A", "B")
+    qavg = """(SELECT id, avg(p) AS q FROM (
+        SELECT src AS id, pu AS p FROM ad3
+        UNION ALL SELECT dst, pv FROM ad3) GROUP BY id)"""
+    rec = f"""
+ad3(iter, src, dst, cu, cv, dlu, dlv, pu, pv) AS (
+  SELECT 0, src, dst, cu, cv, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         {px0}, {py0}
+  FROM base
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, src, dst, cu, cv, dlu, dlv,
+           {px} AS pu, {py} AS pv
+    FROM (
+      SELECT iter, src, dst, cu, cv, dlu, dlv,
+             2.0 * qu - 1.0 + dlu + cu AS A,
+             2.0 * qv - 1.0 + dlv + cv AS B
+      FROM (
+        SELECT m.iter + 1 AS iter, m.src, m.dst, m.cu, m.cv,
+               m.dlu + 2.0 * {step!r} * (su.q - m.pu) AS dlu,
+               m.dlv + 2.0 * {step!r} * (sv.q - m.pv) AS dlv,
+               su.q AS qu, sv.q AS qv
+        FROM ad3 m
+        JOIN {qavg} su ON su.id = m.src
+        JOIN {qavg} sv ON sv.id = m.dst
+        WHERE m.iter < {iterations - 1}
+      )
+    )
+  )
+)"""
+    return (_rec(_VERTS, _SYM, _CANON, lphi, fdeg, un, base, rec) + """
+, fq AS (SELECT id, avg(p) AS q FROM (
+    SELECT src AS id, pu AS p FROM ad3
+    WHERE iter = (SELECT max(iter) FROM ad3)
+    UNION ALL
+    SELECT dst, pv FROM ad3
+    WHERE iter = (SELECT max(iter) FROM ad3)) GROUP BY id)
+SELECT id, CASE WHEN q > 0.5 THEN 1 ELSE 0 END AS label FROM fq""")
+
+
+# ---------------------------------------------------------------------------
 # AdPredictor (mirrors algos/adpredictor.py; A&S-polynomial probit)
 # ---------------------------------------------------------------------------
 

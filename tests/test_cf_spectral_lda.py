@@ -676,3 +676,65 @@ def test_mplp_table_orphan_factor_endpoint_raises(spark):
         "src long, dst long, table array<double>")
     with pytest.raises(ValueError, match="no unary row"):
         mplp_table_labels(unary, factors, 2, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# AD3 / ADMM dual decomposition (ad3_qp.hpp, dd_main.cpp algorithm=2)
+# ---------------------------------------------------------------------------
+
+
+def test_ad3_pair_qp_closed_form_is_grid_optimal(spark):
+    """The closed-form binary-pairwise QP solve must attain the grid
+    maximum of A x + B y + Dq z(x,y) - x^2 - y^2 over the local
+    polytope for random coefficients in BOTH the supermodular and
+    submodular branches."""
+    import numpy as np
+
+    from graphlab_spark.algos.ad3 import _qp_pair
+
+    rng = np.random.RandomState(11)
+    cases = [(float(a), float(b), float(d))
+             for a, b, d in rng.uniform(-4, 4, (40, 3))]
+    df = spark.createDataFrame(cases, "a double, b double, d double")
+    x, y = _qp_pair(F.col("a"), F.col("b"), F.col("d"))
+    got = df.select("a", "b", "d", x.alias("x"), y.alias("y")).collect()
+    g = np.linspace(0, 1, 801)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+    assert any(r["d"] < 0 for r in got) and any(r["d"] >= 0 for r in got)
+    for r in got:
+        A, B, D = r["a"], r["b"], r["d"]
+        Z = np.minimum(X, Y) if D >= 0 else np.maximum(0.0, X + Y - 1.0)
+        grid_max = (A * X + B * Y + D * Z - X ** 2 - Y ** 2).max()
+        zs = (min(r["x"], r["y"]) if D >= 0
+              else max(0.0, r["x"] + r["y"] - 1.0))
+        mine = A * r["x"] + B * r["y"] + D * zs - r["x"] ** 2 - r["y"] ** 2
+        assert mine >= grid_max - 1e-5, (A, B, D, r["x"], r["y"])
+
+
+def test_ad3_map_matches_exact_enumeration(spark):
+    """On a small loopy graph the ADMM iterate converges to an integral
+    LP solution that equals the exact MAP (enumeration over 2^|V|)."""
+    import itertools
+    import math
+
+    from graphlab_spark.algos.ad3 import ad3_labels, ad3_residuals
+    from graphlab_spark.algos.lbp import PSI, node_potentials
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    g = EdgeGraph(spark.createDataFrame(E, "src long, dst long"))
+    lab = {r["id"]: r["label"]
+           for r in ad3_labels(g, iterations=40).collect()}
+    ph = {r["id"]: (r["phi0"], r["phi1"])
+          for r in node_potentials(g.vertices).collect()}
+    ids = sorted(ph)
+    best, bestx = -1e18, None
+    for xs in itertools.product([0, 1], repeat=len(ids)):
+        x = dict(zip(ids, xs))
+        s = (sum(math.log(ph[i][x[i]]) for i in ids)
+             + sum(math.log(PSI[x[u]][x[v]]) for u, v in E))
+        if s > best:
+            best, bestx = s, x
+    assert lab == bestx
+    res = ad3_residuals(g, iterations=40)
+    assert res["primal_residual"] < 1e-9
+    assert res["mean_integrality_gap"] < 1e-9
