@@ -837,6 +837,18 @@ def q_ad3_labels(spark, sf_dir):
     return ad3_labels(g, iterations=10)
 
 
+def q_dd_projected_labels(spark, sf_dir):
+    from graphlab_spark.algos.dd import dd_projected_labels
+    g = _graph(spark, sf_dir)
+    return dd_projected_labels(g, iterations=10)
+
+
+def q_bethe_admm_labels(spark, sf_dir):
+    from graphlab_spark.algos.ad3 import bethe_admm_labels
+    g = _graph(spark, sf_dir)
+    return bethe_admm_labels(g, iterations=10)
+
+
 _STRATA = {"en": 1.0, "es": 0.5, "zh": 0.1}
 
 
@@ -1036,7 +1048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_sgd_user_factors": q_sgd_user_factors,
         "cf_biassgd_user_params": q_biassgd_user_params,
         "cf_svdpp_user_params": q_svdpp_user_params,
-        "cf_svdpp_rmse": q_svdpp_rmse,
         "cf_wals1_user_factors": q_wals1_user_factors,
         "cf_als2_user_factors": q_als2_user_factors,
         "cf_synthetic_als_stats": q_synthetic_als_stats,
@@ -1054,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mplp_labels": q_mplp_labels,
         "graph_dd_labels": q_dd_labels,
         "graph_ad3_labels": q_ad3_labels,
+        "graph_dd_projected_labels": q_dd_projected_labels,
+        "graph_bethe_admm_labels": q_bethe_admm_labels,
         "graph_tsc": q_tsc,
         "cf_nmf_user_factors": q_nmf_user_factors,
         "curation_hash_sample": q_hash_sample,
@@ -1066,7 +1079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_edges": q_transcript_edges,
         "transcript_conv_stats": q_transcript_conv_stats,
         "transcript_tool_transitions": q_tool_transitions,
-        "transcript_turn_latency": q_turn_latency,
         "transcript_sessions": q_transcript_sessions,
         "transcript_near_dups": q_transcript_near_dups,
         "graph_contract_lpa": q_contract_lpa,
@@ -1091,12 +1103,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- in-window siblings: graph_pagerank_* x4 driver-green in r02
         # --- cover the pagerank machinery, cf_sgd_user_factors covers the
         # --- SGD state cf_sgd_rmse derives from).  Rotate them into the
-        # --- window next round (cf_biassgd_rmse displaced by the new
-        # --- graph_ad3_labels; cf_svdpp_rmse keeps the rmse shape and
-        # --- cf_biassgd_user_params the biassgd state in-window):
+        # --- window next round (the three *_rmse queries displaced by
+        # --- the new graph_ad3_labels / graph_dd_projected_labels —
+        # --- each rmse is a derived scalar over a factor state whose
+        # --- full-state query stays in-window):
         "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
         "cf_sgd_rmse": q_sgd_rmse,
         "cf_biassgd_rmse": q_biassgd_rmse,
+        "cf_svdpp_rmse": q_svdpp_rmse,
+        # --- (displaced by graph_bethe_admm_labels: same per-conv
+        # --- window shape as in-window transcript_conv_stats)
+        "transcript_turn_latency": q_turn_latency,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1450,6 +1467,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_mplp_table_labels": O.sql_mplp_table_labels(iterations=10),
         "graph_dd_labels": O.sql_dd_labels(iterations=10),
         "graph_ad3_labels": O.sql_ad3_labels(iterations=10),
+        "graph_dd_projected_labels": O.sql_dd_projected_labels(iterations=10),
+        "graph_bethe_admm_labels": O.sql_bethe_admm_labels(iterations=10),
         "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
         "transcript_corpus": (
             f"WITH {_T_CTES} SELECT conv_id, turn_idx, role, text, tool, "

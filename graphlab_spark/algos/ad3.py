@@ -204,6 +204,163 @@ def ad3_labels(graph: EdgeGraph, iterations: int = 10,
         "id", F.when(F.col("q") > 0.5, 1).otherwise(0).alias("label"))
 
 
+EXP = 10.0        # the reference's exponentiation base (ad3_qp.hpp:48)
+BELIEF_FLOOR = 10e-100   # adjust_beliefs clamp (ad3_qp.hpp:1054-1062)
+
+
+def bethe_admm_state(graph: EdgeGraph, iterations: int = 10,
+                     step: float = STEP, alpha: float = 1.0) -> DataFrame:
+    """Bethe-ADMM (``bethe_admm_vertex_program``, ``ad3_qp.hpp:963``,
+    the ``algorithm=3`` branch of ``dd_main.cpp:138``): the same
+    even/odd ADMM schedule as :func:`ad3_state`, but the factor
+    subproblem is one exponentiated-gradient / single-factor BP step
+    instead of an exact QP:
+
+    - ``eta_u(s) = (lambda_fu(s) + theta_u(s)/d_u
+      + step (q_u(s) - b_u(s))) / alpha`` and
+      ``eta_f(c) = theta_f(c) / alpha`` (``compute_beliefs``,
+      ``:1073-1090``), exponentiated base ``EXP`` = 10;
+    - the Bethe-entropy gradient folds in the previous beliefs:
+      ``ue(s) = EXP^eta_u(s) * EXP * b_u(s)`` and ``fe(c) =
+      EXP^eta_f(c) * fb(c) / EXP / prod_k b_k(c_k)``
+      (``compute_grad_phi``, ``:967-986``);
+    - one exact sum-product pass on the single factor (``run_bp``,
+      ``:990-1048``): ``fb'(c) ∝ fe(c) prod_k ue_k(c_k)`` and
+      ``b_u'(s) ∝ ue_u(s) sum_{c: c_u=s} fe(c) ue_v(c_v)``, each
+      normalized, then clamped at ``10e-100`` (``adjust_beliefs``).
+
+    The global/dual half is the shared admm machinery: ``q = avg b'``
+    and ``lambda += step (q - b')`` (``dd_grlab.hpp:1040,1125``).
+    State row per canonical undirected factor: unary shares
+    ``(shu0, shu1, shv0, shv1)``, duals ``(lu0, lu1, lv0, lv1)``,
+    factor-side unary beliefs ``(bu0, bu1, bv0, bv1)`` (these are the
+    local posteriors the duals compare against) and factor beliefs
+    ``(fb00, fb01, fb10, fb11)``.  Init: uniform beliefs (1/cards per
+    unary slot, 1/4 per config — ``dd_main.hpp:165-174``), ``q = 0.5``
+    (``:236``), zero duals.  All plain column expressions.
+    """
+    und = graph.canonical_undirected_edges.select("src", "dst").persist()
+    un = _unary_shares(graph, und)
+    zero, halfb = F.lit(0.0), F.lit(0.5)
+    base_c = (
+        und.join(un.select(F.col("id").alias("src"),
+                           F.col("u0").alias("shu0"),
+                           F.col("u1").alias("shu1")), "src")
+        .join(un.select(F.col("id").alias("dst"),
+                        F.col("u0").alias("shv0"),
+                        F.col("u1").alias("shv1")), "dst")
+        .persist()
+    )
+    base = truncate_lineage(base_c)
+    base_c.unpersist()
+    d = base.select(
+        "src", "dst", "shu0", "shu1", "shv0", "shv1",
+        zero.alias("lu0"), zero.alias("lu1"),
+        zero.alias("lv0"), zero.alias("lv1"),
+        halfb.alias("bu0"), halfb.alias("bu1"),
+        halfb.alias("bv0"), halfb.alias("bv1"),
+        *[F.lit(0.25).alias(f"fb{x}{y}") for x in (0, 1) for y in (0, 1)])
+    d = truncate_lineage(d)
+    st, al, ex = F.lit(float(step)), F.lit(float(alpha)), F.lit(EXP)
+    floor = F.lit(BELIEF_FLOOR)
+    fe_base = {(x, y): float(EXP) ** (LTH[x][y] / float(alpha))
+               for x in (0, 1) for y in (0, 1)}
+
+    def clamp(c: Column) -> Column:
+        return F.when(c < floor, floor).otherwise(c)
+
+    for t in range(iterations):
+        if t == 0:
+            j = d.select("*", halfb.alias("qu0"), halfb.alias("qu1"),
+                         halfb.alias("qv0"), halfb.alias("qv1"))
+        else:
+            q = (
+                d.select(F.col("src").alias("id"),
+                         F.col("bu0").alias("p0"), F.col("bu1").alias("p1"))
+                .unionAll(d.select(F.col("dst").alias("id"),
+                                   F.col("bv0").alias("p0"),
+                                   F.col("bv1").alias("p1")))
+                .groupBy("id").agg(F.avg("p0").alias("q0"),
+                                   F.avg("p1").alias("q1"))
+            )
+            j = (
+                d.join(q.select(F.col("id").alias("src"),
+                                F.col("q0").alias("qu0"),
+                                F.col("q1").alias("qu1")), "src")
+                .join(q.select(F.col("id").alias("dst"),
+                               F.col("q0").alias("qv0"),
+                               F.col("q1").alias("qv1")), "dst")
+            )
+            # dual step rides the same frame: lambda += step (q - b)
+            j = j.select(
+                "src", "dst", "shu0", "shu1", "shv0", "shv1",
+                (F.col("lu0") + st * (F.col("qu0") - F.col("bu0"))).alias("lu0"),
+                (F.col("lu1") + st * (F.col("qu1") - F.col("bu1"))).alias("lu1"),
+                (F.col("lv0") + st * (F.col("qv0") - F.col("bv0"))).alias("lv0"),
+                (F.col("lv1") + st * (F.col("qv1") - F.col("bv1"))).alias("lv1"),
+                "bu0", "bu1", "bv0", "bv1",
+                "fb00", "fb01", "fb10", "fb11",
+                "qu0", "qu1", "qv0", "qv1")
+        # exponentiated-gradient etas with the Bethe gradient folded in
+        ue = {}
+        for side, sh, lam, b, qq in (("u", "shu", "lu", "bu", "qu"),
+                                     ("v", "shv", "lv", "bv", "qv")):
+            for s in (0, 1):
+                eta = (F.col(f"{lam}{s}") + F.col(f"{sh}{s}")
+                       + st * (F.col(f"{qq}{s}") - F.col(f"{b}{s}"))) / al
+                ue[(side, s)] = F.pow(ex, eta) * ex * F.col(f"{b}{s}")
+        fe = {(x, y): F.lit(fe_base[(x, y)]) * F.col(f"fb{x}{y}") / ex
+              / (F.col(f"bu{x}") * F.col(f"bv{y}"))
+              for x in (0, 1) for y in (0, 1)}
+        # one sum-product pass on the single factor
+        joint = {(x, y): fe[(x, y)] * ue[("u", x)] * ue[("v", y)]
+                 for x in (0, 1) for y in (0, 1)}
+        jsum = (joint[(0, 0)] + joint[(0, 1)]
+                + joint[(1, 0)] + joint[(1, 1)])
+        mu = {x: ue[("u", x)] * (fe[(x, 0)] * ue[("v", 0)]
+                                 + fe[(x, 1)] * ue[("v", 1)])
+              for x in (0, 1)}
+        mv = {y: ue[("v", y)] * (fe[(0, y)] * ue[("u", 0)]
+                                 + fe[(1, y)] * ue[("u", 1)])
+              for y in (0, 1)}
+        usum, vsum = mu[0] + mu[1], mv[0] + mv[1]
+        new_d = j.select(
+            "src", "dst", "shu0", "shu1", "shv0", "shv1",
+            "lu0", "lu1", "lv0", "lv1",
+            clamp(mu[0] / usum).alias("bu0"),
+            clamp(mu[1] / usum).alias("bu1"),
+            clamp(mv[0] / vsum).alias("bv0"),
+            clamp(mv[1] / vsum).alias("bv1"),
+            *[clamp(joint[(x, y)] / jsum).alias(f"fb{x}{y}")
+              for x in (0, 1) for y in (0, 1)])
+        cached = new_d.persist()
+        nxt = truncate_lineage(cached)
+        cached.unpersist()
+        d.unpersist()
+        d = nxt
+    und.unpersist()
+    return d
+
+
+def bethe_admm_labels(graph: EdgeGraph, iterations: int = 10,
+                      step: float = STEP, alpha: float = 1.0) -> DataFrame:
+    """(id, label): unary decode of the Bethe-ADMM iterate — the
+    global posterior is the average of the factor-side unary beliefs
+    (``dd_grlab.hpp:1040``); ``maxCoeff`` ties to state 0, so label 1
+    iff ``avg b(1) > avg b(0)``."""
+    d = bethe_admm_state(graph, iterations, step, alpha)
+    q = (
+        d.select(F.col("src").alias("id"),
+                 F.col("bu0").alias("p0"), F.col("bu1").alias("p1"))
+        .unionAll(d.select(F.col("dst").alias("id"),
+                           F.col("bv0").alias("p0"),
+                           F.col("bv1").alias("p1")))
+        .groupBy("id").agg(F.avg("p0").alias("q0"), F.avg("p1").alias("q1"))
+    )
+    return q.select(
+        "id", F.when(F.col("q1") > F.col("q0"), 1).otherwise(0).alias("label"))
+
+
 def ad3_residuals(graph: EdgeGraph, iterations: int = 10,
                   step: float = STEP) -> dict[str, float]:
     """ADMM primal/dual agreement diagnostics at the final round:

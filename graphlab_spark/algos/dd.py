@@ -156,6 +156,101 @@ def dd_labels(graph: EdgeGraph, iterations: int = 10,
         "id", F.when(F.col("v1") > 0.5, 1).otherwise(0).alias("label"))
 
 
+def dd_projected_state(graph: EdgeGraph, iterations: int = 10,
+                       step0: float = STEP0) -> DataFrame:
+    """The ``algorithm=1`` branch of ``dd_main.cpp:134`` —
+    ``dd_vertex_program_projected`` (``dd_grlab.hpp:671-880``): each
+    factor takes the exact local MAP with *positively* signed duals
+    (gather packs ``multiplier_messages + potentials``,
+    ``dd_grlab.hpp:736``), each variable averages the incident local
+    MAP indicators into fractional beliefs ``q = sum p / d``
+    (``:772``), and the duals step toward consensus
+    ``lambda += step (q - p)`` (``:837``) with the reference's
+    diminishing rule 1 ``step0 / (context.iteration() + 2)``
+    (``dd_grlab.hpp:331``) — the odd BSP iterations are 2t+1, so fused
+    round t uses ``step0 / (2t + 3)``.
+
+    Same state layout as :func:`dd_state`; the slave argmax is the
+    identical lexicographic :func:`_slave_choice` (here the duals
+    enter with + sign, matching the projected gather; the symmetric
+    variant negates them, ``dd_grlab.hpp:627``)."""
+    und = graph.canonical_undirected_edges.select("src", "dst").persist()
+    un = _unary_shares(graph, und)
+    zero = F.lit(0.0)
+    base_c = (
+        und.join(un.select(F.col("id").alias("src"),
+                           F.col("u0").alias("au0"),
+                           F.col("u1").alias("au1")), "src")
+        .join(un.select(F.col("id").alias("dst"),
+                        F.col("u0").alias("bv0"),
+                        F.col("u1").alias("bv1")), "dst")
+        .persist()
+    )
+    base = truncate_lineage(base_c)
+    base_c.unpersist()
+    xi0, xj0, _ = _slave_choice(zero, zero, zero, zero,
+                                F.col("au0"), F.col("au1"),
+                                F.col("bv0"), F.col("bv1"))
+    d = base.select(
+        "src", "dst", "au0", "au1", "bv0", "bv1",
+        zero.alias("lu0"), zero.alias("lu1"),
+        zero.alias("lv0"), zero.alias("lv1"),
+        xi0.alias("xi"), xj0.alias("xj"))
+    d = truncate_lineage(d)
+    for t in range(iterations):
+        alpha = F.lit(step0 / (2.0 * t + 3.0))
+        q = (
+            d.select(F.col("src").alias("id"), F.col("xi").alias("p"))
+            .unionAll(d.select(F.col("dst").alias("id"),
+                               F.col("xj").alias("p")))
+            .groupBy("id").agg(F.avg("p").alias("q1"))
+        )
+        j = (
+            d
+            .join(q.select(F.col("id").alias("src"),
+                           F.col("q1").alias("qu1")), "src")
+            .join(q.select(F.col("id").alias("dst"),
+                           F.col("q1").alias("qv1")), "dst")
+        )
+        # lambda(s) += alpha (q(s) - p(s)); p is the choice indicator,
+        # so state 0 steps by (xi - qu1) and state 1 by (qu1 - xi).
+        nlu0 = F.col("lu0") + alpha * (F.col("xi") - F.col("qu1"))
+        nlu1 = F.col("lu1") + alpha * (F.col("qu1") - F.col("xi"))
+        nlv0 = F.col("lv0") + alpha * (F.col("xj") - F.col("qv1"))
+        nlv1 = F.col("lv1") + alpha * (F.col("qv1") - F.col("xj"))
+        xi, xj, _ = _slave_choice(nlu0, nlu1, nlv0, nlv1,
+                                  F.col("au0"), F.col("au1"),
+                                  F.col("bv0"), F.col("bv1"))
+        new_d = j.select(
+            "src", "dst", "au0", "au1", "bv0", "bv1",
+            nlu0.alias("lu0"), nlu1.alias("lu1"),
+            nlv0.alias("lv0"), nlv1.alias("lv1"),
+            xi.alias("xi"), xj.alias("xj"))
+        cached = new_d.persist()
+        nxt = truncate_lineage(cached)
+        cached.unpersist()
+        d.unpersist()
+        d = nxt
+    und.unpersist()
+    return d
+
+
+def dd_projected_labels(graph: EdgeGraph, iterations: int = 10,
+                        step0: float = STEP0) -> DataFrame:
+    """(id, label): the unary decode of the projected variant —
+    ``beliefs.maxCoeff`` over ``q = avg p`` (``dd_grlab.hpp:772-774``,
+    first max on ties → state 0): label 1 iff ``q > 0.5``."""
+    d = dd_projected_state(graph, iterations, step0)
+    q = (
+        d.select(F.col("src").alias("id"), F.col("xi").alias("p"))
+        .unionAll(d.select(F.col("dst").alias("id"),
+                           F.col("xj").alias("p")))
+        .groupBy("id").agg(F.avg("p").alias("q1"))
+    )
+    return q.select(
+        "id", F.when(F.col("q1") > 0.5, 1).otherwise(0).alias("label"))
+
+
 def dd_dual_objective(graph: EdgeGraph, iterations: int = 10,
                       step0: float = STEP0) -> float:
     """Sum over slaves of their local MAP value — an upper bound on

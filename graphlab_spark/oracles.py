@@ -1461,6 +1461,86 @@ dd(iter, src, dst, au0, au1, bv0, bv1, lu0, lu1, lv0, lv1, xi, xj) AS (
 SELECT id, CASE WHEN v1 > 0.5 THEN 1 ELSE 0 END AS label FROM fv""")
 
 
+def sql_dd_projected_labels(iterations: int = 10,
+                            step0: float = 0.5) -> str:
+    """Replays :func:`graphlab_spark.algos.dd.dd_projected_labels`:
+    the same lexicographic slave argmax with +duals, the consensus
+    dual step ``lambda += alpha (q - p)`` with
+    ``alpha = step0 / (2t + 3)``, and the ``q > 0.5`` unary decode."""
+    import math as _math
+    u = sql_lcg_hash("id")
+    lth = [[repr(_math.log(p)) for p in row] for row in PSI_SQL]
+    lphi = (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
+          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    base = ("base AS (SELECT c.src, c.dst, a.u0 AS au0, a.u1 AS au1, "
+            "b.u0 AS bv0, b.u1 AS bv1 FROM canon c "
+            "JOIN un a ON a.id = c.src JOIN un b ON b.id = c.dst)")
+
+    def choice(lu0, lu1, lv0, lv1):
+        s00 = f"(au0 + {lu0} + bv0 + {lv0} + {lth[0][0]})"
+        s01 = f"(au0 + {lu0} + bv1 + {lv1} + {lth[0][1]})"
+        s10 = f"(au1 + {lu1} + bv0 + {lv0} + {lth[1][0]})"
+        s11 = f"(au1 + {lu1} + bv1 + {lv1} + {lth[1][1]})"
+        m = f"greatest({s00}, {s01}, {s10}, {s11})"
+        xi = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 0 "
+              f"WHEN {s10} = {m} THEN 1 ELSE 1 END")
+        xj = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 1 "
+              f"WHEN {s10} = {m} THEN 0 ELSE 1 END")
+        return xi, xj
+
+    z = "CAST(0.0 AS DOUBLE)"
+    xi0, xj0 = choice(z, z, z, z)
+    nl = {
+        "lu0": "(lu0 + alpha * (xi - vu1))",
+        "lu1": "(lu1 + alpha * (vu1 - xi))",
+        "lv0": "(lv0 + alpha * (xj - vv1))",
+        "lv1": "(lv1 + alpha * (vv1 - xj))",
+    }
+    xi1, xj1 = choice(nl["lu0"], nl["lu1"], nl["lv0"], nl["lv1"])
+    votes = """(SELECT id, avg(p) AS q1 FROM (
+        SELECT src AS id, CAST(xi AS DOUBLE) AS p FROM ddp
+        UNION ALL SELECT dst, CAST(xj AS DOUBLE) FROM ddp) GROUP BY id)"""
+    rec = f"""
+ddp(iter, src, dst, au0, au1, bv0, bv1, lu0, lu1, lv0, lv1, xi, xj) AS (
+  SELECT 0, src, dst, au0, au1, bv0, bv1, {z}, {z}, {z}, {z},
+         {xi0}, {xj0}
+  FROM base
+  UNION ALL
+  SELECT * FROM (
+    SELECT iter, src, dst, au0, au1, bv0, bv1,
+           {nl['lu0']} AS lu0, {nl['lu1']} AS lu1,
+           {nl['lv0']} AS lv0, {nl['lv1']} AS lv1,
+           {xi1} AS xi, {xj1} AS xj
+    FROM (
+      SELECT m.iter + 1 AS iter, m.src, m.dst,
+             m.au0, m.au1, m.bv0, m.bv1,
+             m.lu0, m.lu1, m.lv0, m.lv1,
+             CAST(m.xi AS DOUBLE) AS xi, CAST(m.xj AS DOUBLE) AS xj,
+             {step0!r} / (2.0 * m.iter + 3.0) AS alpha,
+             su.q1 AS vu1, sv.q1 AS vv1
+      FROM ddp m
+      JOIN {votes} su ON su.id = m.src
+      JOIN {votes} sv ON sv.id = m.dst
+      WHERE m.iter < {iterations}
+    )
+  )
+)"""
+    return (_rec(_VERTS, _SYM, _CANON, lphi, fdeg, un, base, rec) + """
+, fq AS (SELECT id, avg(p) AS q1 FROM (
+    SELECT src AS id, CAST(xi AS DOUBLE) AS p FROM ddp
+    WHERE iter = (SELECT max(iter) FROM ddp)
+    UNION ALL
+    SELECT dst, CAST(xj AS DOUBLE) FROM ddp
+    WHERE iter = (SELECT max(iter) FROM ddp)) GROUP BY id)
+SELECT id, CASE WHEN q1 > 0.5 THEN 1 ELSE 0 END AS label FROM fq""")
+
+
 # ---------------------------------------------------------------------------
 # AD3 / ADMM dual decomposition (mirrors algos/ad3.py)
 # ---------------------------------------------------------------------------
@@ -1544,6 +1624,110 @@ ad3(iter, src, dst, cu, cv, dlu, dlv, pu, pv) AS (
     SELECT dst, pv FROM ad3
     WHERE iter = (SELECT max(iter) FROM ad3)) GROUP BY id)
 SELECT id, CASE WHEN q > 0.5 THEN 1 ELSE 0 END AS label FROM fq""")
+
+
+def sql_bethe_admm_labels(iterations: int = 10, step: float = 1.0,
+                          alpha: float = 1.0) -> str:
+    """Replays :func:`graphlab_spark.algos.ad3.bethe_admm_labels`: the
+    same fused ADMM round — dual step, exponentiated-gradient etas with
+    the Bethe gradient folded in, one single-factor sum-product pass,
+    normalize, clamp at 1e-99 — in a layered recursive CTE.  The first
+    round reuses the generic step (with q = b = 0.5 the dual update is
+    an exact IEEE no-op, matching the engine's skipped update)."""
+    import math as _math
+    lth = [[_math.log(p) for p in row] for row in PSI_SQL]
+    feb = {(x, y): repr(10.0 ** (lth[x][y] / float(alpha)))
+           for x in (0, 1) for y in (0, 1)}
+    st, al = repr(float(step)), repr(float(alpha))
+    u = sql_lcg_hash("id")
+    lphi = (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
+          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    binit = ("binit AS (SELECT c.src, c.dst, "
+             "a.u0 AS shu0, a.u1 AS shu1, b.u0 AS shv0, b.u1 AS shv1, "
+             "CAST(0.0 AS DOUBLE) AS lu0, CAST(0.0 AS DOUBLE) AS lu1, "
+             "CAST(0.0 AS DOUBLE) AS lv0, CAST(0.0 AS DOUBLE) AS lv1, "
+             "0.5 AS bu0, 0.5 AS bu1, 0.5 AS bv0, 0.5 AS bv1, "
+             "0.25 AS fb00, 0.25 AS fb01, 0.25 AS fb10, 0.25 AS fb11, "
+             "0.5 AS qu0, 0.5 AS qu1, 0.5 AS qv0, 0.5 AS qv1 "
+             "FROM canon c JOIN un a ON a.id = c.src "
+             "JOIN un b ON b.id = c.dst)")
+
+    carry = ("src, dst, shu0, shu1, shv0, shv1, "
+             "lu0, lu1, lv0, lv1")
+
+    def clampe(e: str) -> str:
+        return f"CASE WHEN {e} < 1e-99 THEN 1e-99 ELSE {e} END"
+
+    def step_sql(iter_expr: str, src_rel: str) -> str:
+        """One fused round over src_rel, which must provide
+        (src, dst, sh*, lu* pre-update, b*, fb*, q*)."""
+        dual = ", ".join(
+            f"l{s}{k} + {st} * (q{s}{k} - b{s}{k}) AS l{s}{k}"
+            for s in ("u", "v") for k in (0, 1))
+        la = (f"(SELECT {iter_expr} AS iter, src, dst, "
+              "shu0, shu1, shv0, shv1, "
+              f"{dual}, bu0, bu1, bv0, bv1, "
+              "fb00, fb01, fb10, fb11, qu0, qu1, qv0, qv1 "
+              f"FROM {src_rel})")
+        ue = ", ".join(
+            f"power(10.0, (l{s}{k} + sh{s}{k} + {st} * (q{s}{k} - b{s}{k}))"
+            f" / {al}) * 10.0 * b{s}{k} AS ue{s}{k}"
+            for s in ("u", "v") for k in (0, 1))
+        fe = ", ".join(
+            f"{feb[(x, y)]} * fb{x}{y} / 10.0 / (bu{x} * bv{y}) AS fe{x}{y}"
+            for x in (0, 1) for y in (0, 1))
+        lb = (f"(SELECT iter, {carry}, {ue}, {fe} FROM {la})")
+        joint = ", ".join(
+            f"fe{x}{y} * ueu{x} * uev{y} AS j{x}{y}"
+            for x in (0, 1) for y in (0, 1))
+        mu = ", ".join(
+            f"ueu{x} * (fe{x}0 * uev0 + fe{x}1 * uev1) AS mu{x}"
+            for x in (0, 1))
+        mv = ", ".join(
+            f"uev{y} * (fe0{y} * ueu0 + fe1{y} * ueu1) AS mv{y}"
+            for y in (0, 1))
+        lc = f"(SELECT iter, {carry}, {joint}, {mu}, {mv} FROM {lb})"
+        outs = ", ".join(
+            [clampe(f"mu{x} / (mu0 + mu1)") + f" AS bu{x}" for x in (0, 1)]
+            + [clampe(f"mv{y} / (mv0 + mv1)") + f" AS bv{y}"
+               for y in (0, 1)]
+            + [clampe(f"j{x}{y} / (j00 + j01 + j10 + j11)") + f" AS fb{x}{y}"
+               for x in (0, 1) for y in (0, 1)])
+        return f"SELECT iter, {carry}, {outs} FROM {lc}"
+
+    qavg = """(SELECT id, avg(p0) AS q0, avg(p1) AS q1 FROM (
+        SELECT src AS id, bu0 AS p0, bu1 AS p1 FROM ba
+        UNION ALL SELECT dst, bv0, bv1 FROM ba) GROUP BY id)"""
+    joined = (f"(SELECT m.iter AS piter, m.src, m.dst, "
+              "m.shu0, m.shu1, m.shv0, m.shv1, "
+              "m.lu0, m.lu1, m.lv0, m.lv1, "
+              "m.bu0, m.bu1, m.bv0, m.bv1, "
+              "m.fb00, m.fb01, m.fb10, m.fb11, "
+              "su.q0 AS qu0, su.q1 AS qu1, sv.q0 AS qv0, sv.q1 AS qv1 "
+              f"FROM ba m JOIN {qavg} su ON su.id = m.src "
+              f"JOIN {qavg} sv ON sv.id = m.dst "
+              f"WHERE m.iter < {iterations - 1})")
+    cols = (f"iter, {carry}, bu0, bu1, bv0, bv1, fb00, fb01, fb10, fb11")
+    rec = f"""
+ba({cols}) AS (
+  {step_sql("0", "binit")}
+  UNION ALL
+  SELECT * FROM ({step_sql("piter + 1", joined)})
+)"""
+    return (_rec(_VERTS, _SYM, _CANON, lphi, fdeg, un, binit, rec) + """
+, fq AS (SELECT id, avg(p0) AS q0, avg(p1) AS q1 FROM (
+    SELECT src AS id, bu0 AS p0, bu1 AS p1 FROM ba
+    WHERE iter = (SELECT max(iter) FROM ba)
+    UNION ALL
+    SELECT dst, bv0, bv1 FROM ba
+    WHERE iter = (SELECT max(iter) FROM ba)) GROUP BY id)
+SELECT id, CASE WHEN q1 > q0 THEN 1 ELSE 0 END AS label FROM fq""")
 
 
 # ---------------------------------------------------------------------------

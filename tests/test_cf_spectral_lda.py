@@ -738,3 +738,63 @@ def test_ad3_map_matches_exact_enumeration(spark):
     res = ad3_residuals(g, iterations=40)
     assert res["primal_residual"] < 1e-9
     assert res["mean_integrality_gap"] < 1e-9
+
+
+def test_dd_projected_map_on_decisive_tree(spark):
+    """The projected variant (algorithm=1) must also recover the exact
+    MAP on a small loopy graph, and its fractional consensus beliefs
+    must converge to the integral solution."""
+    import itertools
+    import math
+
+    from graphlab_spark.algos.dd import dd_projected_labels
+    from graphlab_spark.algos.lbp import PSI, node_potentials
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    g = EdgeGraph(spark.createDataFrame(E, "src long, dst long"))
+    lab = {r["id"]: r["label"]
+           for r in dd_projected_labels(g, iterations=25).collect()}
+    ph = {r["id"]: (r["phi0"], r["phi1"])
+          for r in node_potentials(g.vertices).collect()}
+    ids = sorted(ph)
+    best, bestx = -1e18, None
+    for xs in itertools.product([0, 1], repeat=len(ids)):
+        x = dict(zip(ids, xs))
+        s = (sum(math.log(ph[i][x[i]]) for i in ids)
+             + sum(math.log(PSI[x[u]][x[v]]) for u, v in E))
+        if s > best:
+            best, bestx = s, x
+    assert lab == bestx
+
+
+def test_bethe_admm_map_matches_exact_enumeration(spark):
+    """Bethe-ADMM (algorithm=3): the exponentiated-gradient/BP inner
+    step must also drive the consensus to the exact MAP on a small
+    loopy graph, with per-variable beliefs summing to 1."""
+    import itertools
+    import math
+
+    from graphlab_spark.algos.ad3 import bethe_admm_labels, bethe_admm_state
+    from graphlab_spark.algos.lbp import PSI, node_potentials
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    g = EdgeGraph(spark.createDataFrame(E, "src long, dst long"))
+    lab = {r["id"]: r["label"]
+           for r in bethe_admm_labels(g, iterations=25).collect()}
+    ph = {r["id"]: (r["phi0"], r["phi1"])
+          for r in node_potentials(g.vertices).collect()}
+    ids = sorted(ph)
+    best, bestx = -1e18, None
+    for xs in itertools.product([0, 1], repeat=len(ids)):
+        x = dict(zip(ids, xs))
+        s = (sum(math.log(ph[i][x[i]]) for i in ids)
+             + sum(math.log(PSI[x[u]][x[v]]) for u, v in E))
+        if s > best:
+            best, bestx = s, x
+    assert lab == bestx
+    st = bethe_admm_state(g, iterations=5)
+    row = st.select(
+        F.max(F.abs(F.col("bu0") + F.col("bu1") - 1.0)).alias("du"),
+        F.max(F.abs(F.col("fb00") + F.col("fb01") + F.col("fb10")
+                    + F.col("fb11") - 1.0)).alias("df")).first()
+    assert row["du"] < 1e-12 and row["df"] < 1e-12
