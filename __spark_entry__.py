@@ -849,6 +849,25 @@ def q_bethe_admm_labels(spark, sf_dir):
     return bethe_admm_labels(g, iterations=10)
 
 
+def q_budget_map(spark, sf_dir):
+    """SolveMAP_budget over IN-neighborhood budget factors: each dst
+    vertex constrains at most 3 of its distinct in-neighbors active
+    (in-neighborhoods include the type-hub vertices with thousands of
+    members, so the budget cut is actually exercised — out-degrees in
+    the events graph are <= 2 and would never bind); member scores are
+    the portable log-odds ln(phi1) - ln(phi0)."""
+    from graphlab_spark.algos.ad3 import budget_map_select
+    from graphlab_spark.algos.lbp import node_potentials
+    g = _graph(spark, sf_dir)
+    factors = (g.edges.select("src", "dst").distinct()
+               .select(F.col("dst").alias("fid"),
+                       F.col("src").alias("member"),
+                       F.lit(3).alias("budget")))
+    unary = node_potentials(g.vertices).select(
+        "id", (F.log("phi1") - F.log("phi0")).alias("theta"))
+    return budget_map_select(factors, unary)
+
+
 _STRATA = {"en": 1.0, "es": 0.5, "zh": 0.1}
 
 
@@ -1050,7 +1069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_svdpp_user_params": q_svdpp_user_params,
         "cf_wals1_user_factors": q_wals1_user_factors,
         "cf_als2_user_factors": q_als2_user_factors,
-        "cf_synthetic_als_stats": q_synthetic_als_stats,
         "cf_implicit_ratings": q_implicit_ratings,
         "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
         "vision_match_graph": q_vision_match_graph,
@@ -1067,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ad3_labels": q_ad3_labels,
         "graph_dd_projected_labels": q_dd_projected_labels,
         "graph_bethe_admm_labels": q_bethe_admm_labels,
+        "graph_budget_map": q_budget_map,
         "graph_tsc": q_tsc,
         "cf_nmf_user_factors": q_nmf_user_factors,
         "curation_hash_sample": q_hash_sample,
@@ -1114,6 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (displaced by graph_bethe_admm_labels: same per-conv
         # --- window shape as in-window transcript_conv_stats)
         "transcript_turn_latency": q_turn_latency,
+        # --- (displaced by graph_budget_map: the ALS generator's
+        # --- exactness is pytest-golden — exact-rank recovery — and
+        # --- its stats query has no in-window dependents)
+        "cf_synthetic_als_stats": q_synthetic_als_stats,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1469,6 +1492,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_ad3_labels": O.sql_ad3_labels(iterations=10),
         "graph_dd_projected_labels": O.sql_dd_projected_labels(iterations=10),
         "graph_bethe_admm_labels": O.sql_bethe_admm_labels(iterations=10),
+        "graph_budget_map": O.sql_budget_map(budget=3),
         "cf_nmf_user_factors": O.sql_nmf_user_factors(k=4, iterations=3),
         "transcript_corpus": (
             f"WITH {_T_CTES} SELECT conv_id, turn_idx, role, text, tool, "

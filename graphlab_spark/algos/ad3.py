@@ -361,6 +361,89 @@ def bethe_admm_labels(graph: EdgeGraph, iterations: int = 10,
         "id", F.when(F.col("q1") > F.col("q0"), 1).otherwise(0).alias("label"))
 
 
+def budget_map_select(factors: DataFrame, unary: DataFrame,
+                      budget_col: str = "budget") -> DataFrame:
+    """``SolveMAP_budget`` (``ad3_qp.hpp:852-903``) for every budget
+    factor at once: a budget factor over binary indicator variables
+    selects, among its members, the ones with nonnegative score — at
+    most ``budget`` of them, preferring higher scores and breaking
+    score ties by member index ascending (the reference sorts
+    ``(-log_potential, index)`` pairs, ``:876-881``).
+
+    Inputs: ``factors = (fid, member, <budget_col>)`` — one row per
+    (factor, member), constant budget per fid; ``unary = (id, theta)``
+    — the member's score (``total.messages`` in the reference).
+    Returns ``(fid, member, selected)`` with selected ∈ {0, 1}.
+
+    Plan: one partitioned window per factor (``row_number`` over
+    ``fid`` ordered by score desc, member asc) — no global sort, the
+    shuffle key is fid, skew bounded by the largest factor arity.
+    """
+    from pyspark.sql import Window
+
+    j = factors.join(unary.select(F.col("id").alias("member"), "theta"),
+                     "member")
+    w = Window.partitionBy("fid").orderBy(F.col("theta").desc(),
+                                          F.col("member").asc())
+    r = j.select("fid", "member", "theta", F.col(budget_col).alias("__b"),
+                 F.row_number().over(w).alias("__rk"))
+    return r.select(
+        "fid", "member",
+        F.when((F.col("theta") >= 0.0) & (F.col("__rk") <= F.col("__b")),
+               1).otherwise(0).alias("selected"))
+
+
+def budget_qp_project(xs: Column, budget: Column) -> Column:
+    """``SolveQP_budget``'s projection (``ad3_qp.hpp:675-760``,
+    ``project_onto_budget_constraint_cached``): project a vector onto
+    ``{mu in [0,1]^d : sum mu <= budget}``.
+
+    If the box-clipped vector already satisfies the budget it is the
+    projection; otherwise the unique threshold ``tau >= 0`` with
+    ``sum_j clip(x_j - tau, 0, 1) = budget`` shifts every coordinate
+    (the reference finds the same tau with a two-pointer sweep over
+    the sorted breakpoints).  Expressed entirely with array
+    expressions — ``f(tau)`` is non-increasing piecewise-linear with
+    breakpoints at ``{x_j} ∪ {x_j - 1}``, so the crossing segment is
+    found by evaluating f at every breakpoint (O(d²) work *inside one
+    row*, no shuffle; budget factors have modest arity by design).
+
+    ``xs``: ``array<double>``; ``budget``: numeric Column.  Returns
+    the projected ``array<double>``.
+    """
+    clipped = F.transform(xs, lambda v: F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), v)))
+    clipped_sum = F.aggregate(clipped, F.lit(0.0), lambda a, v: a + v)
+
+    def f_at(t: Column) -> Column:
+        return F.aggregate(
+            xs, F.lit(0.0),
+            lambda a, v: a + F.least(F.lit(1.0),
+                                     F.greatest(F.lit(0.0), v - t)))
+
+    # breakpoints sorted descending: f is 0 above bp[0]; walk down to
+    # the first breakpoint where f >= budget, then interpolate on the
+    # linear segment just above it.
+    bps = F.reverse(F.array_sort(F.concat(
+        xs, F.transform(xs, lambda v: v - F.lit(1.0)))))
+    # (bp, f(bp)) pairs; the filter keeps breakpoints with f >= budget,
+    # whose first element bounds the crossing from below.
+    lo = F.array_max(F.filter(bps, lambda t: f_at(t) >= budget))
+    hi = F.array_min(F.filter(bps, lambda t: f_at(t) < budget))
+    f_lo, f_hi = f_at(lo), f_at(hi)
+    # linear interpolation on [lo, hi]: f(hi) < budget <= f(lo)
+    tau = F.when(f_lo == budget, lo).otherwise(
+        hi - (hi - lo) * (budget - f_hi) / (f_lo - f_hi))
+    # tau may not go below 0 (the constraint is an inequality)
+    tau = F.greatest(F.lit(0.0), tau)
+    projected = F.transform(xs, lambda v: F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), v - tau)))
+    zeros = F.transform(xs, lambda v: F.lit(0.0))
+    return (F.when(budget <= 0.0, zeros)
+            .when(clipped_sum <= budget, clipped)
+            .otherwise(projected))
+
+
 def ad3_residuals(graph: EdgeGraph, iterations: int = 10,
                   step: float = STEP) -> dict[str, float]:
     """ADMM primal/dual agreement diagnostics at the final round:

@@ -1730,6 +1730,28 @@ ba({cols}) AS (
 SELECT id, CASE WHEN q1 > q0 THEN 1 ELSE 0 END AS label FROM fq""")
 
 
+def sql_budget_map(budget: int = 3) -> str:
+    """Replays :func:`graphlab_spark.algos.ad3.budget_map_select` over
+    in-neighborhood budget factors (``__spark_entry__.q_budget_map``):
+    row_number per factor ordered by (theta desc, member asc), selected
+    iff nonnegative score within the budget."""
+    u = sql_lcg_hash("id")
+    th = (f"th AS (SELECT id, "
+          f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) "
+          f"- ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS theta "
+          "FROM verts)")
+    fac = "fac AS (SELECT DISTINCT dst AS fid, src AS member FROM edges)"
+    r = ("r AS (SELECT f.fid, f.member, t.theta, "
+         "row_number() OVER (PARTITION BY f.fid "
+         "ORDER BY t.theta DESC, f.member ASC) AS rk "
+         "FROM fac f JOIN th t ON t.id = f.member)")
+    return (_rec(_VERTS, th, fac, r) + f"""
+SELECT fid, member,
+       CASE WHEN theta >= 0.0 AND rk <= {budget} THEN 1 ELSE 0 END
+       AS selected
+FROM r""")
+
+
 # ---------------------------------------------------------------------------
 # AdPredictor (mirrors algos/adpredictor.py; A&S-polynomial probit)
 # ---------------------------------------------------------------------------

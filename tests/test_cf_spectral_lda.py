@@ -798,3 +798,56 @@ def test_bethe_admm_map_matches_exact_enumeration(spark):
         F.max(F.abs(F.col("fb00") + F.col("fb01") + F.col("fb10")
                     + F.col("fb11") - 1.0)).alias("df")).first()
     assert row["du"] < 1e-12 and row["df"] < 1e-12
+
+
+def test_budget_qp_project_matches_bisection(spark):
+    """The array-expression budget projection must match a numpy
+    bisection waterfilling on random instances, including budget 0
+    (all-zero) and budget >= d (pure box clip)."""
+    import numpy as np
+
+    from graphlab_spark.algos.ad3 import budget_qp_project
+
+    def np_project(x, budget):
+        c = np.clip(x, 0, 1)
+        if c.sum() <= budget:
+            return c
+        lo_t, hi_t = 0.0, x.max()
+        for _ in range(200):
+            mid = (lo_t + hi_t) / 2
+            if np.clip(x - mid, 0, 1).sum() > budget:
+                lo_t = mid
+            else:
+                hi_t = mid
+        return np.clip(x - hi_t, 0, 1)
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        d = rng.randint(2, 12)
+        x = rng.uniform(-2, 3, d)
+        rows.append((i, [float(v) for v in x], float(rng.randint(0, d + 1))))
+    df = spark.createDataFrame(rows, "i int, xs array<double>, b double")
+    got = {r["i"]: np.array(r["p"]) for r in df.select(
+        "i", budget_qp_project(F.col("xs"), F.col("b")).alias("p")
+    ).collect()}
+    for i, x, b in rows:
+        assert np.allclose(got[i], np_project(np.array(x), b), atol=1e-6)
+
+
+def test_budget_map_select_reference_semantics(spark):
+    """SolveMAP_budget ties: nonnegative scores only, at most budget,
+    ties by (score desc, member asc); zero scores are selectable."""
+    from graphlab_spark.algos.ad3 import budget_map_select
+
+    fac = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 2), (1, 12, 2), (1, 13, 2),
+         (2, 10, 3), (2, 11, 3)],
+        "fid long, member long, budget int")
+    un = spark.createDataFrame(
+        [(10, 1.5), (11, -0.2), (12, 1.5), (13, 0.0)],
+        "id long, theta double")
+    sel = {(r["fid"], r["member"]): r["selected"]
+           for r in budget_map_select(fac, un).collect()}
+    assert sel == {(1, 10): 1, (1, 11): 0, (1, 12): 1, (1, 13): 0,
+                   (2, 10): 1, (2, 11): 0}
