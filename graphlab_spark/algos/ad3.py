@@ -381,6 +381,18 @@ def budget_map_select(factors: DataFrame, unary: DataFrame,
     """
     from pyspark.sql import Window
 
+    # The score join is inner, so a member with no unary row would
+    # silently vanish from the output (neither selected nor rejected)
+    # — the same wrong-with-no-error mode mplp_table_duals guards
+    # against.  One tiny anti-join validates up front.
+    orphan = (factors.select(F.col("member").alias("id")).distinct()
+              .join(unary.select("id"), "id", "left_anti").take(1))
+    if orphan:
+        raise ValueError(
+            f"budget_map_select: factor member id {orphan[0]['id']} has "
+            "no unary row — every member in `factors` must appear in "
+            "`unary` (members without scores would otherwise be "
+            "silently dropped from the selection)")
     j = factors.join(unary.select(F.col("id").alias("member"), "theta"),
                      "member")
     w = Window.partitionBy("fid").orderBy(F.col("theta").desc(),
@@ -445,13 +457,17 @@ def budget_qp_project(xs: Column, budget: Column) -> Column:
 
 
 def ad3_residuals(graph: EdgeGraph, iterations: int = 10,
-                  step: float = STEP) -> dict[str, float]:
+                  step: float = STEP,
+                  state: DataFrame | None = None) -> dict[str, float]:
     """ADMM primal/dual agreement diagnostics at the final round:
     primal residual ``sum_f sum_u (p_fu - q_u)^2`` (the reference's
     ``primal_res_contrib``, ``dd_grlab.hpp:1066-1070``) and the mean
     |q - round(q)| integrality gap.  One extra job; driver-side
-    scalars only."""
-    d = ad3_state(graph, iterations, step).persist()
+    scalars only.  Pass ``state`` (a prior :func:`ad3_state` result)
+    to avoid re-running the whole iteration when the caller wants
+    both labels and diagnostics."""
+    d = (state if state is not None
+         else ad3_state(graph, iterations, step)).persist()
     q = (
         d.select(F.col("src").alias("id"), F.col("pu").alias("p"))
         .unionAll(d.select(F.col("dst").alias("id"),

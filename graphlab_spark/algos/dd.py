@@ -75,9 +75,15 @@ def _unary_shares(graph: EdgeGraph, und: DataFrame) -> DataFrame:
     )
 
 
-def dd_state(graph: EdgeGraph, iterations: int = 10,
-             step0: float = STEP0) -> DataFrame:
-    """Slave table after ``iterations`` subgradient steps:
+def _dd_loop(graph: EdgeGraph, iterations: int,
+             alpha_of, dual_update) -> DataFrame:
+    """Shared slave-table scaffold for the DD variants: build the
+    canonical factor table with baked unary shares, then per round
+    aggregate the per-variable vote/consensus (one shuffle), apply the
+    variant's dual update, and recompute the lexicographic slave
+    argmax.  ``alpha_of(t) -> float`` is the variant's step schedule;
+    ``dual_update(alpha, choice, vote) -> (d0, d1)`` returns the two
+    per-state dual increments as Columns.  Returns
     (src, dst, au0, au1, bv0, bv1, lu0, lu1, lv0, lv1, xi, xj)."""
     und = graph.canonical_undirected_edges.select("src", "dst").persist()
     un = _unary_shares(graph, und)
@@ -103,7 +109,7 @@ def dd_state(graph: EdgeGraph, iterations: int = 10,
         xi0.alias("xi"), xj0.alias("xj"))
     d = truncate_lineage(d)
     for t in range(iterations):
-        alpha = F.lit(step0 / (1.0 + t))
+        alpha = F.lit(alpha_of(t))
         votes = (
             d.select(F.col("src").alias("id"), F.col("xi").alias("x"))
             .unionAll(d.select(F.col("dst").alias("id"),
@@ -117,12 +123,10 @@ def dd_state(graph: EdgeGraph, iterations: int = 10,
             .join(votes.select(F.col("id").alias("dst"),
                                F.col("v1").alias("vv1")), "dst")
         )
-        # l(x) += alpha * ([choice = x] - vote(x)); for binary states
-        # this is +-alpha * (vote1 - choice) on the two components
-        nlu0 = F.col("lu0") + alpha * (F.col("vu1") - F.col("xi"))
-        nlu1 = F.col("lu1") + alpha * (F.col("xi") - F.col("vu1"))
-        nlv0 = F.col("lv0") + alpha * (F.col("vv1") - F.col("xj"))
-        nlv1 = F.col("lv1") + alpha * (F.col("xj") - F.col("vv1"))
+        du0, du1 = dual_update(alpha, F.col("xi"), F.col("vu1"))
+        dv0, dv1 = dual_update(alpha, F.col("xj"), F.col("vv1"))
+        nlu0, nlu1 = F.col("lu0") + du0, F.col("lu1") + du1
+        nlv0, nlv1 = F.col("lv0") + dv0, F.col("lv1") + dv1
         xi, xj, _ = _slave_choice(nlu0, nlu1, nlv0, nlv1,
                                   F.col("au0"), F.col("au1"),
                                   F.col("bv0"), F.col("bv1"))
@@ -140,12 +144,9 @@ def dd_state(graph: EdgeGraph, iterations: int = 10,
     return d
 
 
-def dd_labels(graph: EdgeGraph, iterations: int = 10,
-              step0: float = STEP0) -> DataFrame:
-    """(id, label): primal decoding by slave vote — label 1 iff a
-    strict majority of the variable's slaves chose state 1 (the
-    reference's per-variable agreement heuristic); ties to 0."""
-    d = dd_state(graph, iterations, step0)
+def _vote_decode(d: DataFrame) -> DataFrame:
+    """(id, label): per-variable average of the slave choices,
+    label 1 iff the consensus exceeds 0.5 (ties to 0)."""
     votes = (
         d.select(F.col("src").alias("id"), F.col("xi").alias("x"))
         .unionAll(d.select(F.col("dst").alias("id"),
@@ -154,6 +155,27 @@ def dd_labels(graph: EdgeGraph, iterations: int = 10,
     )
     return votes.select(
         "id", F.when(F.col("v1") > 0.5, 1).otherwise(0).alias("label"))
+
+
+def dd_state(graph: EdgeGraph, iterations: int = 10,
+             step0: float = STEP0) -> DataFrame:
+    """Slave table after ``iterations`` subgradient steps:
+    l(x) += alpha_t ([choice = x] - vote(x)) with the diminishing
+    alpha_t = step0 / (1 + t); for binary states the two components
+    step by +-alpha (vote1 - choice)."""
+    return _dd_loop(
+        graph, iterations,
+        alpha_of=lambda t: step0 / (1.0 + t),
+        dual_update=lambda alpha, choice, vote: (
+            alpha * (vote - choice), alpha * (choice - vote)))
+
+
+def dd_labels(graph: EdgeGraph, iterations: int = 10,
+              step0: float = STEP0) -> DataFrame:
+    """(id, label): primal decoding by slave vote — label 1 iff a
+    strict majority of the variable's slaves chose state 1 (the
+    reference's per-variable agreement heuristic); ties to 0."""
+    return _vote_decode(dd_state(graph, iterations, step0))
 
 
 def dd_projected_state(graph: EdgeGraph, iterations: int = 10,
@@ -174,65 +196,11 @@ def dd_projected_state(graph: EdgeGraph, iterations: int = 10,
     identical lexicographic :func:`_slave_choice` (here the duals
     enter with + sign, matching the projected gather; the symmetric
     variant negates them, ``dd_grlab.hpp:627``)."""
-    und = graph.canonical_undirected_edges.select("src", "dst").persist()
-    un = _unary_shares(graph, und)
-    zero = F.lit(0.0)
-    base_c = (
-        und.join(un.select(F.col("id").alias("src"),
-                           F.col("u0").alias("au0"),
-                           F.col("u1").alias("au1")), "src")
-        .join(un.select(F.col("id").alias("dst"),
-                        F.col("u0").alias("bv0"),
-                        F.col("u1").alias("bv1")), "dst")
-        .persist()
-    )
-    base = truncate_lineage(base_c)
-    base_c.unpersist()
-    xi0, xj0, _ = _slave_choice(zero, zero, zero, zero,
-                                F.col("au0"), F.col("au1"),
-                                F.col("bv0"), F.col("bv1"))
-    d = base.select(
-        "src", "dst", "au0", "au1", "bv0", "bv1",
-        zero.alias("lu0"), zero.alias("lu1"),
-        zero.alias("lv0"), zero.alias("lv1"),
-        xi0.alias("xi"), xj0.alias("xj"))
-    d = truncate_lineage(d)
-    for t in range(iterations):
-        alpha = F.lit(step0 / (2.0 * t + 3.0))
-        q = (
-            d.select(F.col("src").alias("id"), F.col("xi").alias("p"))
-            .unionAll(d.select(F.col("dst").alias("id"),
-                               F.col("xj").alias("p")))
-            .groupBy("id").agg(F.avg("p").alias("q1"))
-        )
-        j = (
-            d
-            .join(q.select(F.col("id").alias("src"),
-                           F.col("q1").alias("qu1")), "src")
-            .join(q.select(F.col("id").alias("dst"),
-                           F.col("q1").alias("qv1")), "dst")
-        )
-        # lambda(s) += alpha (q(s) - p(s)); p is the choice indicator,
-        # so state 0 steps by (xi - qu1) and state 1 by (qu1 - xi).
-        nlu0 = F.col("lu0") + alpha * (F.col("xi") - F.col("qu1"))
-        nlu1 = F.col("lu1") + alpha * (F.col("qu1") - F.col("xi"))
-        nlv0 = F.col("lv0") + alpha * (F.col("xj") - F.col("qv1"))
-        nlv1 = F.col("lv1") + alpha * (F.col("qv1") - F.col("xj"))
-        xi, xj, _ = _slave_choice(nlu0, nlu1, nlv0, nlv1,
-                                  F.col("au0"), F.col("au1"),
-                                  F.col("bv0"), F.col("bv1"))
-        new_d = j.select(
-            "src", "dst", "au0", "au1", "bv0", "bv1",
-            nlu0.alias("lu0"), nlu1.alias("lu1"),
-            nlv0.alias("lv0"), nlv1.alias("lv1"),
-            xi.alias("xi"), xj.alias("xj"))
-        cached = new_d.persist()
-        nxt = truncate_lineage(cached)
-        cached.unpersist()
-        d.unpersist()
-        d = nxt
-    und.unpersist()
-    return d
+    return _dd_loop(
+        graph, iterations,
+        alpha_of=lambda t: step0 / (2.0 * t + 3.0),
+        dual_update=lambda alpha, choice, vote: (
+            alpha * (choice - vote), alpha * (vote - choice)))
 
 
 def dd_projected_labels(graph: EdgeGraph, iterations: int = 10,
@@ -240,15 +208,7 @@ def dd_projected_labels(graph: EdgeGraph, iterations: int = 10,
     """(id, label): the unary decode of the projected variant —
     ``beliefs.maxCoeff`` over ``q = avg p`` (``dd_grlab.hpp:772-774``,
     first max on ties → state 0): label 1 iff ``q > 0.5``."""
-    d = dd_projected_state(graph, iterations, step0)
-    q = (
-        d.select(F.col("src").alias("id"), F.col("xi").alias("p"))
-        .unionAll(d.select(F.col("dst").alias("id"),
-                           F.col("xj").alias("p")))
-        .groupBy("id").agg(F.avg("p").alias("q1"))
-    )
-    return q.select(
-        "id", F.when(F.col("q1") > 0.5, 1).otherwise(0).alias("label"))
+    return _vote_decode(dd_projected_state(graph, iterations, step0))
 
 
 def dd_dual_objective(graph: EdgeGraph, iterations: int = 10,

@@ -288,14 +288,25 @@ def _bipartite_cf_graph(
     such inputs up front.  The guard is one column-pruned aggregate
     over the ratings scan that the side-frame builds do anyway.
     """
-    lo = ratings.agg(F.min("user").alias("u"), F.min("item").alias("i")).first()
-    if lo is not None and lo["u"] is not None and (lo["u"] < 0 or lo["i"] < 0):
-        raise ValueError(
-            f"{caller} requires nonnegative user/item ids (got min user "
-            f"{lo['u']}, min item {lo['i']}): the bipartite encoding "
-            f"dst = -(item + {SAFE_NEG_OFFSET}) maps item vertices into "
-            "the negative half of the id space, so negative input ids "
-            "would alias vertices across the two sides")
+    lo = ratings.agg(
+        F.min("user").alias("u"), F.min("item").alias("i"),
+        F.count("*").alias("n"),
+        F.count("user").alias("nu"), F.count("item").alias("ni")).first()
+    if lo is not None and lo["n"] > 0:
+        if lo["nu"] < lo["n"] or lo["ni"] < lo["n"]:
+            raise ValueError(
+                f"{caller} requires non-null user/item ids "
+                f"({lo['n'] - lo['nu']} null users, "
+                f"{lo['n'] - lo['ni']} null items): null ids would "
+                "silently produce null edge endpoints")
+        if lo["u"] < 0 or lo["i"] < 0:
+            raise ValueError(
+                f"{caller} requires nonnegative user/item ids (got min "
+                f"user {lo['u']}, min item {lo['i']}): the bipartite "
+                f"encoding dst = -(item + {SAFE_NEG_OFFSET}) maps item "
+                "vertices into the negative half of the id space, so "
+                "negative input ids would alias vertices across the "
+                "two sides")
     edges = ratings.select(
         F.col("user").alias("src"),
         (-(F.col("item") + SAFE_NEG_OFFSET)).alias("dst"),

@@ -260,6 +260,44 @@ _portable_hash_sql = sql_lcg_hash
 
 
 # ---------------------------------------------------------------------------
+# Shared graphical-models SQL prelude (one source of truth for the six
+# engine oracles: lbp/mplp/mplp-table/dd/dd-projected/ad3/bethe)
+# ---------------------------------------------------------------------------
+
+def _gm_lphi() -> str:
+    """Portable log node potentials ln(phi0)/ln(phi1) over verts."""
+    u = sql_lcg_hash("id")
+    return (f"lphi AS (SELECT id, "
+            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
+            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+
+
+_GM_FDEG = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
+            "SELECT src AS id FROM canon UNION ALL "
+            "SELECT dst FROM canon) GROUP BY id)")
+
+_GM_UN = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
+          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+
+
+def _gm_choice(lu0: str, lu1: str, lv0: str, lv1: str) -> tuple:
+    """The DD slaves' lexicographic argmax over the 4 binary combos
+    (mirrors algos/dd._slave_choice)."""
+    import math as _math
+    lth = [[repr(_math.log(q)) for q in row] for row in PSI_SQL]
+    s00 = f"(au0 + {lu0} + bv0 + {lv0} + {lth[0][0]})"
+    s01 = f"(au0 + {lu0} + bv1 + {lv1} + {lth[0][1]})"
+    s10 = f"(au1 + {lu1} + bv0 + {lv0} + {lth[1][0]})"
+    s11 = f"(au1 + {lu1} + bv1 + {lv1} + {lth[1][1]})"
+    m = f"greatest({s00}, {s01}, {s10}, {s11})"
+    xi = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 0 "
+          f"WHEN {s10} = {m} THEN 1 ELSE 1 END")
+    xj = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 1 "
+          f"WHEN {s10} = {m} THEN 0 ELSE 1 END")
+    return xi, xj
+
+
+# ---------------------------------------------------------------------------
 # greedy coloring (mirrors algos/coloring.py Jones-Plassmann rounds)
 # ---------------------------------------------------------------------------
 
@@ -1252,12 +1290,8 @@ def sql_mplp_labels(iterations: int = 10) -> str:
     import math as _math
     u = sql_lcg_hash("id")
     lth = [[repr(_math.log(p)) for p in row] for row in PSI_SQL]
-    lphi = (f"lphi AS (SELECT id, "
-            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
-            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
-    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
-            "SELECT src AS id FROM canon UNION ALL "
-            "SELECT dst FROM canon) GROUP BY id)")
+    lphi = _gm_lphi()
+    fdeg = _GM_FDEG
     alpha = ("alph AS (SELECT c.src, c.dst, "
              "1.0 / greatest(u.dg, v.dg) AS alpha FROM canon c "
              "JOIN fdeg u ON u.id = c.src JOIN fdeg v ON v.id = c.dst)")
@@ -1322,15 +1356,11 @@ def sql_mplp_table_labels(iterations: int = 10) -> str:
         h = sql_lcg_hash(f"c.src * 9 + c.dst * 31 + {x * 2 + y}")
         return f"-(0.2 + 0.6 * ({h} / 2147483648.0))"
 
-    lphi = (f"lphi AS (SELECT id, "
-            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
-            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
+    lphi = _gm_lphi()
     etab = (f"etab AS (SELECT c.src, c.dst, {t(0, 0)} AS t00, "
             f"{t(0, 1)} AS t01, {t(1, 0)} AS t10, {t(1, 1)} AS t11 "
             "FROM canon c)")
-    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
-            "SELECT src AS id FROM canon UNION ALL "
-            "SELECT dst FROM canon) GROUP BY id)")
+    fdeg = _GM_FDEG
     alpha = ("alph AS (SELECT c.src, c.dst, "
              "1.0 / greatest(u.dg, v.dg) AS alpha FROM canon c "
              "JOIN fdeg u ON u.id = c.src JOIN fdeg v ON v.id = c.dst)")
@@ -1387,32 +1417,14 @@ FROM lphi p LEFT JOIN fs USING (id)""")
 # ---------------------------------------------------------------------------
 
 def sql_dd_labels(iterations: int = 10, step0: float = 0.5) -> str:
-    import math as _math
-    u = sql_lcg_hash("id")
-    lth = [[repr(_math.log(p)) for p in row] for row in PSI_SQL]
-    lphi = (f"lphi AS (SELECT id, "
-            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
-            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
-    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
-            "SELECT src AS id FROM canon UNION ALL "
-            "SELECT dst FROM canon) GROUP BY id)")
-    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
-          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    lphi = _gm_lphi()
+    fdeg = _GM_FDEG
+    un = _GM_UN
     base = ("base AS (SELECT c.src, c.dst, a.u0 AS au0, a.u1 AS au1, "
             "b.u0 AS bv0, b.u1 AS bv1 FROM canon c "
             "JOIN un a ON a.id = c.src JOIN un b ON b.id = c.dst)")
 
-    def choice(lu0, lu1, lv0, lv1):
-        s00 = f"(au0 + {lu0} + bv0 + {lv0} + {lth[0][0]})"
-        s01 = f"(au0 + {lu0} + bv1 + {lv1} + {lth[0][1]})"
-        s10 = f"(au1 + {lu1} + bv0 + {lv0} + {lth[1][0]})"
-        s11 = f"(au1 + {lu1} + bv1 + {lv1} + {lth[1][1]})"
-        m = f"greatest({s00}, {s01}, {s10}, {s11})"
-        xi = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 0 "
-              f"WHEN {s10} = {m} THEN 1 ELSE 1 END")
-        xj = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 1 "
-              f"WHEN {s10} = {m} THEN 0 ELSE 1 END")
-        return xi, xj
+    choice = _gm_choice
 
     z = "CAST(0.0 AS DOUBLE)"
     xi0, xj0 = choice(z, z, z, z)
@@ -1467,32 +1479,14 @@ def sql_dd_projected_labels(iterations: int = 10,
     the same lexicographic slave argmax with +duals, the consensus
     dual step ``lambda += alpha (q - p)`` with
     ``alpha = step0 / (2t + 3)``, and the ``q > 0.5`` unary decode."""
-    import math as _math
-    u = sql_lcg_hash("id")
-    lth = [[repr(_math.log(p)) for p in row] for row in PSI_SQL]
-    lphi = (f"lphi AS (SELECT id, "
-            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
-            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
-    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
-            "SELECT src AS id FROM canon UNION ALL "
-            "SELECT dst FROM canon) GROUP BY id)")
-    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
-          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    lphi = _gm_lphi()
+    fdeg = _GM_FDEG
+    un = _GM_UN
     base = ("base AS (SELECT c.src, c.dst, a.u0 AS au0, a.u1 AS au1, "
             "b.u0 AS bv0, b.u1 AS bv1 FROM canon c "
             "JOIN un a ON a.id = c.src JOIN un b ON b.id = c.dst)")
 
-    def choice(lu0, lu1, lv0, lv1):
-        s00 = f"(au0 + {lu0} + bv0 + {lv0} + {lth[0][0]})"
-        s01 = f"(au0 + {lu0} + bv1 + {lv1} + {lth[0][1]})"
-        s10 = f"(au1 + {lu1} + bv0 + {lv0} + {lth[1][0]})"
-        s11 = f"(au1 + {lu1} + bv1 + {lv1} + {lth[1][1]})"
-        m = f"greatest({s00}, {s01}, {s10}, {s11})"
-        xi = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 0 "
-              f"WHEN {s10} = {m} THEN 1 ELSE 1 END")
-        xj = (f"CASE WHEN {s00} = {m} THEN 0 WHEN {s01} = {m} THEN 1 "
-              f"WHEN {s10} = {m} THEN 0 ELSE 1 END")
-        return xi, xj
+    choice = _gm_choice
 
     z = "CAST(0.0 AS DOUBLE)"
     xi0, xj0 = choice(z, z, z, z)
@@ -1557,14 +1551,9 @@ def sql_ad3_labels(iterations: int = 10, step: float = 1.0) -> str:
     dq = repr(t[1][1] + t[0][0] - t[1][0] - t[0][1])
     cu_const = repr(t[1][0] - t[0][0] + 1.0)
     cv_const = repr(t[0][1] - t[0][0] + 1.0)
-    lphi = (f"lphi AS (SELECT id, "
-            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
-            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
-    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
-            "SELECT src AS id FROM canon UNION ALL "
-            "SELECT dst FROM canon) GROUP BY id)")
-    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
-          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    lphi = _gm_lphi()
+    fdeg = _GM_FDEG
+    un = _GM_UN
     base = (f"base AS (SELECT c.src, c.dst, "
             f"a.u1 - a.u0 + {cu_const} AS cu, "
             f"b.u1 - b.u0 + {cv_const} AS cv FROM canon c "
@@ -1640,14 +1629,9 @@ def sql_bethe_admm_labels(iterations: int = 10, step: float = 1.0,
            for x in (0, 1) for y in (0, 1)}
     st, al = repr(float(step)), repr(float(alpha))
     u = sql_lcg_hash("id")
-    lphi = (f"lphi AS (SELECT id, "
-            f"ln(1.0 - (0.3 + 0.4 * ({u} / 2147483648.0))) AS t0, "
-            f"ln(0.3 + 0.4 * ({u} / 2147483648.0)) AS t1 FROM verts)")
-    fdeg = ("fdeg AS (SELECT id, count(*) AS dg FROM ("
-            "SELECT src AS id FROM canon UNION ALL "
-            "SELECT dst FROM canon) GROUP BY id)")
-    un = ("un AS (SELECT p.id, p.t0 / d.dg AS u0, p.t1 / d.dg AS u1 "
-          "FROM lphi p JOIN fdeg d ON d.id = p.id)")
+    lphi = _gm_lphi()
+    fdeg = _GM_FDEG
+    un = _GM_UN
     binit = ("binit AS (SELECT c.src, c.dst, "
              "a.u0 AS shu0, a.u1 AS shu1, b.u0 AS shv0, b.u1 AS shv1, "
              "CAST(0.0 AS DOUBLE) AS lu0, CAST(0.0 AS DOUBLE) AS lu1, "

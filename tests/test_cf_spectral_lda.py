@@ -851,3 +851,15 @@ def test_budget_map_select_reference_semantics(spark):
            for r in budget_map_select(fac, un).collect()}
     assert sel == {(1, 10): 1, (1, 11): 0, (1, 12): 1, (1, 13): 0,
                    (2, 10): 1, (2, 11): 0}
+
+
+def test_budget_map_select_orphan_member_raises(spark):
+    """A factor member with no unary row must raise, not silently
+    vanish from the output via the score inner join."""
+    from graphlab_spark.algos.ad3 import budget_map_select
+
+    fac = spark.createDataFrame(
+        [(1, 10, 2), (1, 99, 2)], "fid long, member long, budget int")
+    un = spark.createDataFrame([(10, 1.5)], "id long, theta double")
+    with pytest.raises(ValueError, match="no unary row"):
+        budget_map_select(fac, un).collect()

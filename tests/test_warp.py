@@ -200,3 +200,21 @@ def test_warp_cf_twins_reject_negative_ids(spark):
             warp_als1(bad, iterations=1)
         with pytest.raises(ValueError, match="nonnegative"):
             warp_nmf1(bad, iterations=1)
+
+
+def test_warp_cf_twins_reject_null_ids(spark):
+    """Null user/item ids would silently produce null edge endpoints;
+    the guard must raise cleanly (including alongside negative ids on
+    the other column, which previously bypassed or crashed the check)."""
+    import pytest
+
+    from graphlab_spark.operators.warp import warp_als1
+
+    nulls = spark.createDataFrame(
+        [(3, None, 1.0), (1, 2, 1.0)], "user long, item long, rating double")
+    with pytest.raises(ValueError, match="non-null"):
+        warp_als1(nulls, iterations=1)
+    negnull = spark.createDataFrame(
+        [(None, -7, 1.0)], "user long, item long, rating double")
+    with pytest.raises(ValueError, match="non-null"):
+        warp_als1(negnull, iterations=1)
