@@ -283,6 +283,18 @@ def q_coloring(spark, sf_dir):
     return greedy_coloring(g)
 
 
+def q_warp_coloring(spark, sf_dir):
+    """Greedy coloring written against the warp fine-grained API
+    (``toolkits/graph_analytics/warp_coloring.cpp:63-137`` —
+    ``set_union_gather`` map-reduce + smallest-free-color apply, here
+    as two ``map_reduce_neighborhood`` reductions per Jones-Plassmann
+    round); bit-identical to the builtin, so it replays on the same
+    recursive-CTE coloring oracle."""
+    from graphlab_spark.algos.coloring import warp_coloring
+    g = _graph(spark, sf_dir)
+    return warp_coloring(g)
+
+
 def q_text_stats(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -686,6 +698,19 @@ def q_synthetic_als_stats(spark, sf_dir):
     return train.groupBy("item").agg(
         F.count("*").alias("deg"),
         F.round(F.sum("rating"), 6).alias("rsum"))
+
+
+def q_synthetic_image(spark, sf_dir):
+    """The structured-prediction synthetic-image generator
+    (``synthetic_image_data.cpp:79-131`` —
+    ``sources/parsers.py::load_synthetic_image``): radial sunset ring
+    masked at the integer horizon, portable-LCG color flips; the whole
+    pixel table replays in the DuckDB twin.  Fixed-size
+    (sf-independent) by design, like the reference tool's CLI."""
+    from graphlab_spark.sources.parsers import load_synthetic_image
+    vertices, _ = load_synthetic_image(
+        spark, rows=32, cols=32, ncolors=5, error_rate=0.5, seed=17)
+    return vertices.select("id", "r", "c", "true_color", "obs_color")
 
 
 def q_implicit_ratings(spark, sf_dir):
@@ -1137,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- exactness is pytest-golden — exact-rank recovery — and
         # --- its stats query has no in-window dependents)
         "cf_synthetic_als_stats": q_synthetic_als_stats,
+        "gm_synthetic_image": q_synthetic_image,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1160,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_vset_inout": q_vset_inout,
         "graph_directed_census": q_directed_census,
         "graph_coloring": q_coloring,
+        "graph_warp_coloring": q_warp_coloring,
         "graph_kcore_table": q_kcore_table,
         "graph_approx_diameter": q_approx_diameter,
         "text_stats": q_text_stats,
@@ -1447,6 +1474,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_kcore_k2": O.sql_kcore_k2(),
         "graph_kcore_table": O.sql_kcore_table(kmin=1, kmax=4),
         "graph_coloring": O.sql_coloring(),
+        "graph_warp_coloring": O.sql_coloring(),
         "graph_approx_diameter": O.sql_approx_diameter(direction="all"),
         "cluster_kmeans_full": O.sql_kmeans_full(k=4, iterations=10),
         "sim_ann_topk_lsh": S.sql_ann_topk_lsh(),
@@ -1476,6 +1504,8 @@ SELECT id, cluster FROM r WHERE rn = 1
             O.sql_als2_regnormal_user_factors(iterations=2),
         "cf_synthetic_als_stats": O.sql_synthetic_als_stats(
             nusers=50, nmovies=200, d=3),
+        "gm_synthetic_image": O.sql_synthetic_image(
+            rows=32, cols=32, ncolors=5, error_rate=0.5, seed=17),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),

@@ -141,3 +141,90 @@ def count_conflicts(graph: EdgeGraph, colors: DataFrame) -> int:
         .filter(F.col("c1") == F.col("c2"))
         .count()
     )
+
+
+def warp_coloring(graph: EdgeGraph, max_rounds: int = 200) -> DataFrame:
+    """Greedy coloring written against the warp fine-grained API
+    (``toolkits/graph_analytics/warp_coloring.cpp``): the gl3engine
+    program gathers the neighbor color set with a ``set_union_gather``
+    map-reduce (``warp_coloring.cpp:63-90``) and applies the smallest
+    free color (``:117-137``), optionally under edge-consistent locks.
+
+    As with :func:`greedy_coloring`, the async/locking schedule is not
+    reproducible on a BSP engine, so the round structure is the same
+    deterministic Jones-Plassmann replay — but both per-round
+    reductions (max pending-neighbor priority; set-union of colored
+    neighbor colors) run through ``warp.map_reduce_neighborhood``
+    instead of hand-built joins.  Both combiners are idempotent, so the
+    duplicate (u,v)/(v,u) rows of the warp ALL_EDGES view are harmless
+    and the output is **bit-identical** to :func:`greedy_coloring`
+    (asserted in tests/test_warp.py).
+
+    Returns ``(id, color)``.
+    """
+    from ..operators.warp import map_reduce_neighborhood
+
+    sym = graph.symmetric_edges.select("src", "dst").distinct().persist()
+    deg = (
+        sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    )
+    state = (
+        graph.vertices.join(deg, "id", "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"),
+                _portable_hash(F.col("id")).alias("h"),
+                F.lit(None).cast("int").alias("color"))
+        .persist()
+    )
+    my_pri = F.struct(F.col("deg").alias("d"), F.col("h").alias("hh"),
+                      F.col("id").alias("i"))
+    nbr_pri = F.when(
+        F.col("other_color").isNull(),
+        F.struct(F.col("other_deg").alias("d"), F.col("other_h").alias("hh"),
+                 F.col("other_id").alias("i")))
+    for _ in range(max_rounds):
+        pend = state.filter(F.col("color").isNull())
+        if pend.isEmpty():
+            break
+        mx = map_reduce_neighborhood(
+            graph, state, nbr_pri, combine=F.max, direction="all",
+            vset=pend.select("id"),
+            default=F.lit(None).cast(
+                "struct<d:bigint,hh:bigint,i:bigint>"),
+            result_col="mx")
+        winners = (
+            pend.join(mx, "id")
+            .filter(F.col("mx").isNull() | (my_pri > F.col("mx")))
+            .select("id")
+        )
+        used = map_reduce_neighborhood(
+            graph, state, F.col("other_color"),
+            combine=lambda c: F.collect_set(c), direction="all",
+            vset=winners, default=F.array().cast("array<int>"),
+            result_col="used")
+        free = F.expr(
+            "filter(sequence(0, size(used)), k -> NOT array_contains(used, k))[0]"
+        )
+        new_colors = used.select(
+            "id",
+            F.when(F.size("used") == 0, F.lit(0))
+            .otherwise(free).cast("int").alias("__new"))
+        prev = state
+        state_cache = (
+            state.join(new_colors, "id", "left")
+            .select("id", "deg", "h",
+                    F.coalesce("color", "__new").alias("color"))
+            .persist()
+        )
+        state = truncate_lineage(state_cache)
+        state_cache.unpersist()
+        prev.unpersist()
+    else:
+        still = state.filter(F.col("color").isNull()).count()
+        if still:
+            raise RuntimeError(
+                f"warp_coloring: {still} vertices still uncolored after "
+                f"max_rounds={max_rounds}; partial result withheld")
+    sym.unpersist()
+    out = state.select("id", "color")
+    state.unpersist()
+    return out

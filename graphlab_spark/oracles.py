@@ -2019,6 +2019,32 @@ SELECT item, CAST(count(*) AS BIGINT) AS deg,
 FROM train GROUP BY item"""
 
 
+def sql_synthetic_image(rows: int = 32, cols: int = 32, ncolors: int = 5,
+                        error_rate: float = 0.5, seed: int = 17) -> str:
+    """Twin of sources/parsers.py::load_synthetic_image
+    (synthetic_image_data.cpp:79-131): radial sunset ring masked at the
+    integer horizon, LCG-deterministic uniform color flips."""
+    cr, cc = rows / 2.0, cols / 2.0
+    mr = min(rows, cols) / 2.0
+    u = _sql_synth_unit(sql_edge_hash(str(seed + 1), "(r*65536+c)"))
+    rc = f"CAST({sql_edge_hash(str(seed + 2), '(r*65536+c)')} % {ncolors} AS INT)"
+    ring = (f"CAST(floor(least(1.0, sqrt((r-{cr!r})*(r-{cr!r}) + "
+            f"(c-{cc!r})*(c-{cc!r})) / {mr!r}) * {ncolors - 1}) AS INT)")
+    return f"""
+WITH px AS (
+  SELECT CAST(floor(i.range / {cols}) AS BIGINT) AS r,
+         CAST(i.range % {cols} AS BIGINT) AS c
+  FROM range({rows * cols}) i),
+base AS (
+  SELECT r, c,
+         CASE WHEN r < {rows // 2} THEN {ring} ELSE 0 END AS true_color,
+         {u} AS u, {rc} AS rc
+  FROM px)
+SELECT r * 65536 + c AS id, r, c, true_color,
+       CASE WHEN u < {error_rate!r} THEN rc ELSE true_color END AS obs_color
+FROM base"""
+
+
 # ---------------------------------------------------------------------------
 # Implicit-rating injection (mirrors algos/als.py::add_implicit_ratings
 # — implicit.hpp:40-88): rank-indexed dimension tables + edge_hash pair

@@ -279,3 +279,73 @@ def load_synthetic_als(
     predict = pred_e.select(
         p_user.alias("user"), (F.col("movie") + F.lit(nusers)).alias("item"))
     return train, validate, predict
+
+
+def load_synthetic_image(
+    spark: SparkSession, rows: int = 32, cols: int = 32, ncolors: int = 5,
+    error_rate: float = 0.5, seed: int = 17,
+) -> tuple[DataFrame, DataFrame]:
+    """Synthetic noisy-image structured-prediction dataset
+    (``toolkits/graphical_models/synthetic_image_data.cpp:79-131``, the
+    ``make_data`` generator the denoising demos consume).
+
+    Replayed semantics: pixel ids pack (row, col) as ``(r << 16) | c``
+    (``sub2ind``, ``:69-72``); the true image is a radial "sunset" ring
+    ``floor(min(1, dist/max_radius) * (ncolors-1))`` masked to 0 below
+    the integer horizon ``r >= rows/2`` (``:98-105``); the observed
+    color flips to a uniform color with probability ``error_rate``
+    (``:106-108``); the per-pixel prior over colors is the reference's
+    own (unnormalized) table ``obs == pred ? error_rate :
+    error_rate/(ncolors-1)`` written verbatim (``:118-122``); edges are
+    the 4-neighbor grid arcs (r+1, c) and (r, c+1) (``:125-129``).
+
+    Deviation (documented): the reference draws from its process-seeded
+    Mersenne RNG; here both draws are :mod:`..operators.portable` LCG
+    hashes of the pixel id, so the dataset is deterministic at any
+    parallelism and replays in ANSI SQL (sql_synthetic_image twin).
+    The OpenCV png renders (``:133-136``) are out of scope per the
+    media-codec policy.
+
+    Returns ``(vertices, edges)``: ``(id, r, c, true_color, obs_color,
+    prior: array<double>[ncolors])`` / ``(src, dst)``.
+    """
+    from ..operators.portable import M as LCG_M, edge_hash, lcg_hash
+
+    if rows < 1 or cols < 1 or ncolors < 2:
+        raise ValueError("load_synthetic_image: need rows,cols >= 1 "
+                         "and ncolors >= 2")
+    center_r, center_c = rows / 2.0, cols / 2.0
+    max_radius = min(rows, cols) / 2.0
+    px = spark.range(rows * cols).select(
+        (F.col("id") / cols).cast("long").alias("r"),
+        (F.col("id") % cols).alias("c"))
+    vid = (F.col("r") * 65536 + F.col("c")).alias("id")
+    dist = F.sqrt(
+        (F.col("r") - F.lit(center_r)) * (F.col("r") - F.lit(center_r))
+        + (F.col("c") - F.lit(center_c)) * (F.col("c") - F.lit(center_c)))
+    ring = F.floor(
+        F.least(F.lit(1.0), dist / F.lit(max_radius)) * F.lit(ncolors - 1)
+    ).cast("int")
+    true_color = F.when(F.col("r") < F.lit(rows // 2), ring) \
+        .otherwise(F.lit(0)).alias("true_color")
+    u_flip = (lcg_hash(edge_hash(F.lit(seed + 1), F.col("id")))
+              + F.lit(0.5)) / F.lit(float(LCG_M))
+    rand_color = (edge_hash(F.lit(seed + 2), F.col("id"))
+                  % F.lit(ncolors)).cast("int")
+    obs_color = F.when(u_flip < F.lit(error_rate), rand_color) \
+        .otherwise(F.col("true_color")).alias("obs_color")
+    base = px.select(vid, "r", "c", true_color).select(
+        "*", obs_color)
+    off = error_rate / (ncolors - 1)
+    prior = F.array(*[
+        F.when(F.col("obs_color") == p, F.lit(error_rate))
+        .otherwise(F.lit(off)) for p in range(ncolors)
+    ]).alias("prior")
+    vertices = base.select("id", "r", "c", "true_color", "obs_color", prior)
+    down = base.filter(F.col("r") + 1 < rows).select(
+        F.col("id").alias("src"),
+        ((F.col("r") + 1) * 65536 + F.col("c")).alias("dst"))
+    right = base.filter(F.col("c") + 1 < cols).select(
+        F.col("id").alias("src"),
+        (F.col("r") * 65536 + F.col("c") + 1).alias("dst"))
+    return vertices, down.unionAll(right)

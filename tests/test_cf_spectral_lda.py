@@ -863,3 +863,69 @@ def test_budget_map_select_orphan_member_raises(spark):
     un = spark.createDataFrame([(10, 1.5)], "id long, theta double")
     with pytest.raises(ValueError, match="no unary row"):
         budget_map_select(fac, un).collect()
+
+
+def test_synthetic_image_generator_semantics(spark):
+    """synthetic_image_data.cpp:79-131 replay: packed ids, horizon
+    mask, ring geometry, 4-neighbor grid arcs, determinism."""
+    import math
+
+    from graphlab_spark.sources.parsers import load_synthetic_image
+
+    rows, cols, nc, er, seed = 8, 6, 4, 0.4, 23
+    v, e = load_synthetic_image(spark, rows, cols, nc, er, seed)
+    got = {r["id"]: r.asDict() for r in v.collect()}
+    assert len(got) == rows * cols
+    # numpy-free scalar replication of the generator
+    cr, cc, mr = rows / 2.0, cols / 2.0, min(rows, cols) / 2.0
+    for r_ in range(rows):
+        for c_ in range(cols):
+            vid = (r_ << 16) | c_
+            d = math.sqrt((r_ - cr) ** 2 + (c_ - cc) ** 2)
+            ring = math.floor(min(1.0, d / mr) * (nc - 1))
+            want = ring if r_ < rows // 2 else 0
+            assert got[vid]["true_color"] == want, (r_, c_)
+            assert 0 <= got[vid]["obs_color"] < nc
+            pri = got[vid]["prior"]
+            assert len(pri) == nc
+            assert pri[got[vid]["obs_color"]] == er
+            off = [p for i, p in enumerate(pri)
+                   if i != got[vid]["obs_color"]]
+            assert all(abs(p - er / (nc - 1)) < 1e-15 for p in off)
+    edges = {(r["src"], r["dst"]) for r in e.collect()}
+    assert len(edges) == rows * (cols - 1) + (rows - 1) * cols
+    assert ((0 << 16) | 0, (1 << 16) | 0) in edges
+    assert ((0 << 16) | 0, (0 << 16) | 1) in edges
+    # deterministic across re-builds
+    v2, _ = load_synthetic_image(spark, rows, cols, nc, er, seed)
+    assert sorted(map(tuple, v.collect())) == sorted(map(tuple, v2.collect()))
+
+
+def test_mplp_table_denoises_synthetic_image(spark):
+    """The mplp_denoise.cpp pipeline end-to-end on the reference's own
+    synthetic input: log-prior unaries + Potts smoothing tables must
+    recover the true image strictly better than the noisy observation
+    does."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.algos.mplp import mplp_table_labels
+    from graphlab_spark.sources.parsers import load_synthetic_image
+
+    K, er = 3, 0.35
+    v, e = load_synthetic_image(spark, rows=12, cols=12, ncolors=K,
+                                error_rate=er, seed=5)
+    v = v.persist()
+    unary = v.select(
+        "id", F.expr("transform(prior, p -> ln(p))").alias("theta"))
+    lam = 1.5  # Potts smoothing strength (mplp_denoise.cpp SMOOTHING)
+    potts = [0.0 if x == y else -lam for x in range(K) for y in range(K)]
+    factors = e.select(
+        "src", "dst",
+        F.array(*[F.lit(p) for p in potts]).alias("table"))
+    labels = mplp_table_labels(unary, factors, K, iterations=15)
+    joined = v.join(labels, "id").select(
+        (F.col("label") == F.col("true_color")).cast("int").alias("map_ok"),
+        (F.col("obs_color") == F.col("true_color")).cast("int").alias("obs_ok"),
+    ).agg(F.sum("map_ok").alias("m"), F.sum("obs_ok").alias("o")).first()
+    assert joined["m"] > joined["o"], (joined["m"], joined["o"])
+    v.unpersist()

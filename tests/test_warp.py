@@ -218,3 +218,34 @@ def test_warp_cf_twins_reject_null_ids(spark):
         [(None, -7, 1.0)], "user long, item long, rating double")
     with pytest.raises(ValueError, match="non-null"):
         warp_als1(negnull, iterations=1)
+
+
+def test_warp_coloring_matches_builtin(fixture_graph):
+    # warp_coloring.cpp twin: same Jones-Plassmann replay, both
+    # per-round reductions through map_reduce_neighborhood — output
+    # must be bit-identical to the builtin.
+    from graphlab_spark.algos.coloring import (
+        count_conflicts, greedy_coloring, warp_coloring)
+    a = sorted(map(tuple, greedy_coloring(fixture_graph).collect()))
+    b = sorted(map(tuple, warp_coloring(fixture_graph).collect()))
+    assert a == b
+    assert count_conflicts(
+        fixture_graph, warp_coloring(fixture_graph)) == 0
+
+
+def test_warp_coloring_matches_builtin_random(spark):
+    from graphlab_spark.algos.coloring import (
+        count_conflicts, greedy_coloring, warp_coloring)
+    from graphlab_spark.graph import EdgeGraph
+    # deterministic pseudo-random graph incl. duplicate/reverse edges
+    # (the ALL_EDGES view's idempotent combiners must absorb them)
+    edges = [((7 * i * i + 3 * i) % 37, (11 * i + 5) % 37)
+             for i in range(160)]
+    edges = [(s, d) for s, d in edges if s != d]
+    g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                  num_edge_partitions=4)
+    cw = warp_coloring(g)
+    assert sorted(map(tuple, greedy_coloring(g).collect())) == \
+        sorted(map(tuple, cw.collect()))
+    assert count_conflicts(g, cw) == 0
+    g.unpersist()
