@@ -713,6 +713,23 @@ def q_synthetic_image(spark, sf_dir):
     return vertices.select("id", "r", "c", "true_color", "obs_color")
 
 
+def q_synthetic_clusters(spark, sf_dir):
+    """The clustering toolkit's synthetic data generator
+    (``clustering/generate_synthetic.cpp:29-59`` —
+    ``sources/parsers.py::load_synthetic_clusters``): Uniform(-10,10)
+    centers, hash-uniform cluster picks, Box-Muller unit gaussians;
+    per-cluster count + rounded coordinate sums replay the whole
+    generator in the DuckDB twin.  Fixed-size (sf-independent) by
+    design, like the reference tool's CLI."""
+    from graphlab_spark.sources.parsers import load_synthetic_clusters
+    points, _ = load_synthetic_clusters(
+        spark, num_clusters=4, dim=2, ndata=2000, seed=7)
+    return points.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.element_at("vec", 1)), 6).alias("s0"),
+        F.round(F.sum(F.element_at("vec", 2)), 6).alias("s1"))
+
+
 def q_implicit_ratings(spark, sf_dir):
     """Ratings table after implicit-edge injection (``implicit.hpp:
     40-88``, ``algos/als.py::add_implicit_ratings``): the full
@@ -1163,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- its stats query has no in-window dependents)
         "cf_synthetic_als_stats": q_synthetic_als_stats,
         "gm_synthetic_image": q_synthetic_image,
+        "cluster_synthetic_stats": q_synthetic_clusters,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1506,6 +1524,8 @@ SELECT id, cluster FROM r WHERE rn = 1
             nusers=50, nmovies=200, d=3),
         "gm_synthetic_image": O.sql_synthetic_image(
             rows=32, cols=32, ncolors=5, error_rate=0.5, seed=17),
+        "cluster_synthetic_stats": O.sql_synthetic_clusters_stats(
+            num_clusters=4, dim=2, ndata=2000, seed=7),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),

@@ -2045,6 +2045,39 @@ SELECT r * 65536 + c AS id, r, c, true_color,
 FROM base"""
 
 
+def sql_synthetic_clusters_stats(
+    num_clusters: int = 4, dim: int = 2, ndata: int = 2000,
+    seed: int = 7,
+) -> str:
+    """Twin of sources/parsers.py::load_synthetic_clusters
+    (generate_synthetic.cpp:29-59): Uniform(-10,10) centers,
+    hash-uniform cluster picks, Box-Muller unit gaussians — per-cluster
+    count + rounded coordinate sums replay the whole generator."""
+
+    def center(j: int) -> str:
+        key = f"(cluster * {dim} + {j})"
+        u = _sql_synth_unit(sql_edge_hash(str(seed + 1), key))
+        return f"(-10.0 + 20.0 * {u})"
+
+    def normal(j: int) -> str:
+        key = f"(id * {dim} + {j})"
+        u1 = _sql_synth_unit(sql_edge_hash(str(seed + 3), key))
+        u2 = _sql_synth_unit(sql_edge_hash(str(seed + 10), key))
+        return f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}))"
+
+    sums = ", ".join(
+        f"round(sum({normal(j)} + {center(j)}), 6) AS s{j}"
+        for j in range(dim))
+    return f"""
+WITH base AS (
+  SELECT i.range AS id,
+         CAST({sql_edge_hash(str(seed + 2), 'i.range')} % {num_clusters}
+              AS INT) AS cluster
+  FROM range({ndata}) i)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n, {sums}
+FROM base GROUP BY cluster"""
+
+
 # ---------------------------------------------------------------------------
 # Implicit-rating injection (mirrors algos/als.py::add_implicit_ratings
 # — implicit.hpp:40-88): rank-indexed dimension tables + edge_hash pair

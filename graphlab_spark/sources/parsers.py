@@ -349,3 +349,63 @@ def load_synthetic_image(
         F.col("id").alias("src"),
         (F.col("r") * 65536 + F.col("c") + 1).alias("dst"))
     return vertices, down.unionAll(right)
+
+
+def load_synthetic_clusters(
+    spark: SparkSession, num_clusters: int = 2, dim: int = 2,
+    ndata: int = 10_000, seed: int = 2009,
+) -> tuple[DataFrame, DataFrame]:
+    """Synthetic Gaussian-mixture clustering dataset
+    (``toolkits/clustering/generate_synthetic.cpp:29-59``, the
+    generator the kmeans toolkit's docs feed it).
+
+    Replayed semantics: ``num_clusters`` centers with every coordinate
+    ``Uniform(-10, 10)`` (``:43-46``); each of ``ndata`` points picks a
+    uniform cluster (``:53``) and emits ``gaussian() + center[c][j]``
+    per coordinate (``:55``) — unit-variance noise.
+
+    Deviation (documented, distribution-parity): the reference draws
+    from its process-seeded Mersenne RNG; here every draw is a
+    :mod:`..operators.portable` LCG hash of (seed, index) with
+    Box-Muller for the gaussians — deterministic at any parallelism
+    and replayable in ANSI SQL (``oracles.sql_synthetic_clusters_stats``
+    twin).  All draws are column expressions — no factor-table join,
+    no per-row Python.
+
+    Returns ``(points, centers)``:
+    ``(id, cluster, vec: array<double>[dim])`` /
+    ``(cluster, center: array<double>[dim])``.
+    """
+    import math
+
+    from ..operators.portable import M as LCG_M, edge_hash, lcg_hash
+
+    if num_clusters < 1 or dim < 1 or ndata < 0:
+        raise ValueError("load_synthetic_clusters: need num_clusters,"
+                         " dim >= 1 and ndata >= 0")
+
+    def unit(col):  # strictly inside (0, 1): safe for ln()
+        return (lcg_hash(col) + F.lit(0.5)) / F.lit(float(LCG_M))
+
+    def center(c, j: int):
+        key = edge_hash(F.lit(seed + 1), c * F.lit(dim) + F.lit(j))
+        return F.lit(-10.0) + F.lit(20.0) * unit(key)
+
+    def normal(ident, j: int):
+        key = ident * F.lit(dim) + F.lit(j)
+        u1 = unit(edge_hash(F.lit(seed + 3), key))
+        u2 = unit(edge_hash(F.lit(seed + 10), key))
+        return (F.sqrt(F.lit(-2.0) * F.log(u1))
+                * F.cos(F.lit(2.0 * math.pi) * u2))
+
+    cl = (edge_hash(F.lit(seed + 2), F.col("id"))
+          % F.lit(num_clusters)).cast("int")
+    points = spark.range(ndata).select("id", cl.alias("cluster")).select(
+        "id", "cluster",
+        F.array(*[normal(F.col("id"), j) + center(F.col("cluster"), j)
+                  for j in range(dim)]).alias("vec"))
+    centers = spark.range(num_clusters).select(
+        F.col("id").cast("int").alias("cluster"),
+        F.array(*[center(F.col("id"), j) for j in range(dim)])
+        .alias("center"))
+    return points, centers

@@ -265,3 +265,66 @@ def test_als_hybrid_routes_hubs_through_expression_arm(spark,
         assert set(a) == set(b)
         md = max(abs(x - y) for i in a for x, y in zip(a[i], b[i]))
         assert md < 1e-9
+
+
+def test_synthetic_clusters_generator_semantics(spark):
+    """generate_synthetic.cpp:29-59 replay: center range, uniform
+    cluster picks, unit-variance noise around the picked center,
+    determinism across rebuilds."""
+    from graphlab_spark.sources.parsers import load_synthetic_clusters
+
+    nc, dim, n = 3, 2, 3000
+    pts, ctr = load_synthetic_clusters(spark, nc, dim, n, seed=11)
+    centers = {r["cluster"]: list(r["center"]) for r in ctr.collect()}
+    assert len(centers) == nc
+    assert all(-10.0 <= x <= 10.0 for c in centers.values() for x in c)
+    rows = pts.collect()
+    assert len(rows) == n
+    by_cluster = {}
+    for r in rows:
+        assert 0 <= r["cluster"] < nc
+        assert len(r["vec"]) == dim
+        by_cluster.setdefault(r["cluster"], []).append(list(r["vec"]))
+    # every cluster drawn roughly uniformly
+    for c in range(nc):
+        assert len(by_cluster[c]) > n / nc * 0.7
+    # sample mean per cluster ~ its center (stderr ~ 1/sqrt(n/nc) ~ .03)
+    for c, vecs in by_cluster.items():
+        for j in range(dim):
+            mean_j = sum(v[j] for v in vecs) / len(vecs)
+            assert abs(mean_j - centers[c][j]) < 0.15, (c, j)
+    pts2, _ = load_synthetic_clusters(spark, nc, dim, n, seed=11)
+    assert sorted(map(tuple, pts.collect())) == \
+        sorted(map(tuple, pts2.collect()))
+
+
+def test_synthetic_clusters_kmeans_recovery(spark):
+    """kmeans on the generator's own output recovers the planted
+    partition when the drawn centers are well separated (seed chosen
+    so pairwise center distance >> noise stdev)."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.algos.kmeans import kmeans
+    from graphlab_spark.sources.parsers import load_synthetic_clusters
+
+    nc = 3
+    pts, ctr = load_synthetic_clusters(spark, nc, dim=2, ndata=600, seed=4)
+    centers = [list(r["center"]) for r in ctr.collect()]
+    # guard the seed choice: min pairwise center distance > 6 stdev
+    mind = min(
+        sum((a - b) ** 2 for a, b in zip(c1, c2)) ** 0.5
+        for i, c1 in enumerate(centers) for c2 in centers[i + 1:])
+    assert mind > 6.0, f"seed gives min center distance {mind}"
+    assign, _ = kmeans(pts, k=nc, iterations=15,
+                       id_col="id", vec_col="vec")
+    joined = pts.select("id", "cluster").join(
+        assign.withColumnRenamed("cluster", "km"), "id")
+    # planted label <-> kmeans label must be a bijection on >=99% rows
+    from pyspark.sql.window import Window
+    maj = (joined.groupBy("cluster", "km").count()
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("cluster").orderBy(F.desc("count"))))
+           .filter("rk = 1"))
+    agree = maj.agg(F.sum("count")).first()[0]
+    assert agree >= 0.99 * 600
+    assert maj.select("km").distinct().count() == nc
