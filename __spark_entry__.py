@@ -730,6 +730,32 @@ def q_synthetic_clusters(spark, sf_dir):
         F.round(F.sum(F.element_at("vec", 2)), 6).alias("s1"))
 
 
+def q_gibbs_denoise(spark, sf_dir):
+    """Chromatic parallel Gibbs sampling (``gibbs_sampling/
+    chromatic_sampler.cpp:35-59`` — ``algos/gibbs.py``) denoising the
+    K=3 synthetic image: log-prior unaries, Potts smoothing tables
+    (dyadic lam=0.75 keeps every neighbor sum order-exact so the chain
+    is bit-stable), the bipartite (r+c)%2 grid coloring, 3 sweeps.  The
+    DuckDB twin replays the full chain — init draw, color schedule,
+    conditional arithmetic, mix31 inverse-CDF draws — step by step in
+    a recursive CTE."""
+    from graphlab_spark.algos.gibbs import chromatic_gibbs
+    from graphlab_spark.sources.parsers import load_synthetic_image
+    k, lam = 3, 0.75
+    v, e = load_synthetic_image(spark, rows=12, cols=12, ncolors=k,
+                                error_rate=0.45, seed=11)
+    unary = v.select("id", F.expr("transform(prior, p -> ln(p))")
+                     .alias("theta"))
+    potts = [0.0 if x == y else -lam for x in range(k) for y in range(k)]
+    factors = e.select(
+        "src", "dst", F.array(*[F.lit(p) for p in potts]).alias("table"))
+    colors = v.select(
+        "id", ((F.col("r") + F.col("c")) % 2).cast("int").alias("color"))
+    res = chromatic_gibbs(unary, factors, k, sweeps=3, seed=29,
+                          colors=colors)
+    return res.state.select("id", "asg")
+
+
 def q_implicit_ratings(spark, sf_dir):
     """Ratings table after implicit-edge injection (``implicit.hpp:
     40-88``, ``algos/als.py::add_implicit_ratings``): the full
@@ -1181,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_synthetic_als_stats": q_synthetic_als_stats,
         "gm_synthetic_image": q_synthetic_image,
         "cluster_synthetic_stats": q_synthetic_clusters,
+        "gm_gibbs_denoise": q_gibbs_denoise,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1526,6 +1553,9 @@ SELECT id, cluster FROM r WHERE rn = 1
             rows=32, cols=32, ncolors=5, error_rate=0.5, seed=17),
         "cluster_synthetic_stats": O.sql_synthetic_clusters_stats(
             num_clusters=4, dim=2, ndata=2000, seed=7),
+        "gm_gibbs_denoise": O.sql_gibbs_denoise(
+            rows=12, cols=12, error_rate=0.45, lam=0.75, sweeps=3,
+            seed=11, gseed=29),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),

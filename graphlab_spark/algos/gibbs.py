@@ -1,0 +1,267 @@
+"""Chromatic parallel Gibbs sampling (graphical-models toolkit).
+
+Reference: ``/root/reference/toolkits/graphical_models/deprecated/
+gibbs_sampling/chromatic_sampler.cpp`` — the chromatic scheduler of
+the parallel-Gibbs work GraphLab shipped as a toolkit: color the MRF,
+then sweep the color classes; all vertices of one color are
+conditionally independent given the rest, so the whole class samples
+in parallel with no locks (``core.set_scheduler_type("chromatic")``,
+``chromatic_sampler.cpp:78-80``).
+
+The per-vertex update (``gibbs_update::operator()``,
+``chromatic_sampler.cpp:35-59``) builds the conditional over the
+vertex's variable by multiplying in every incident factor sliced at
+the neighbors' current assignments, normalizes, samples a new
+assignment, and accumulates the *conditional itself* into the running
+belief (``vdata.belief += belief; vdata.nsamples++`` — the
+Rao-Blackwellized marginal estimator ``save_beliefs`` normalizes and
+prints, ``mrf.cpp:40-55``) plus a change counter
+(``vdata.nchanges += (new_asg != vdata.asg)``).
+
+Spark mapping — one BSP superstep per color class:
+
+- the MRF is the same explicit surface as :func:`..algos.mplp.
+  mplp_table_duals`: ``unary = (id, theta: array<double>[k])`` log
+  node potentials, ``factors = (src, dst, table: array<double>[k*k])``
+  log pairwise potentials, row-major ``table[x*k + y]``;
+- the coloring defaults to :func:`..algos.coloring.greedy_coloring`
+  over the factor graph (the reference colors with its own greedy
+  toolkit before sampling) and accepts any user-supplied proper
+  coloring, which is validated up front;
+- a color step joins the (static, color-tagged, ``nbr``-partitioned)
+  adjacency view to the |V|-row assignment state, aggregates the K
+  per-state contributions map-side, exp-normalizes, and draws with a
+  portable-LCG inverse-CDF — all column expressions, no UDFs;
+- draws come from :mod:`..operators.portable` hashes of
+  ``(seed, global step, vertex id)``, so a run is deterministic at any
+  parallelism and — for factor tables whose conditional sums are
+  order-exact, e.g. Potts with a binary-representable smoothing — the
+  entire chain replays in ANSI SQL (``oracles.sql_gibbs_denoise``
+  twin).  The reference draws from its process-seeded Mersenne RNG
+  instead; distribution parity, documented deviation (the same trade
+  every portable generator in this repo makes).
+
+Determinism caveat (documented): for general float tables the
+per-state neighbor sums are floating-point accumulations whose
+partition order Spark does not fix, so two runs can differ in the
+last ulp and — with vanishing probability — flip a sample.  The
+*statistics* are unaffected (any tie-break of an exact-ties event has
+measure zero); fixture tests use order-exact tables so assignments
+are bit-stable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.portable import M as LCG_M, edge_hash, mix31
+from ..plans.checkpoint import truncate_lineage
+
+
+@dataclass
+class GibbsResult:
+    """state: (id, color, asg, nsamples, nchanges, bel array<double>[k])
+    — ``bel`` is the *unnormalized* Rao-Blackwellized belief (sum of
+    per-step conditionals); divide by ``nsamples`` for marginals."""
+
+    state: DataFrame
+    sweeps: int
+    ncolors: int
+
+
+def _validate_coloring(factors: DataFrame, colors: DataFrame) -> None:
+    bad = (
+        factors.join(colors.select(F.col("id").alias("src"),
+                                   F.col("color").alias("_cs")), "src")
+        .join(colors.select(F.col("id").alias("dst"),
+                            F.col("color").alias("_cd")), "dst")
+        .filter(F.col("_cs") == F.col("_cd")).take(1)
+    )
+    if bad:
+        raise ValueError(
+            f"chromatic_gibbs: supplied coloring is not proper — factor "
+            f"({bad[0]['src']}, {bad[0]['dst']}) has both endpoints "
+            f"colored {bad[0]['_cs']}; adjacent vertices would sample "
+            "simultaneously and the chain would not be a Gibbs sampler")
+
+
+def chromatic_gibbs(
+    unary: DataFrame,
+    factors: DataFrame,
+    k: int,
+    sweeps: int = 10,
+    seed: int = 103,
+    colors: DataFrame | None = None,
+) -> GibbsResult:
+    """Run ``sweeps`` full chromatic Gibbs sweeps; each sweep visits
+    the color classes in ascending color order and resamples every
+    vertex of the class from its exact conditional
+    (``chromatic_sampler.cpp:35-59``).
+
+    Initial assignments are hash-uniform over the ``k`` states (the
+    reference's ``asg.uniform_sample()``, ``mrf.cpp:96-98``).
+    """
+    if k < 2:
+        raise ValueError("chromatic_gibbs: need k >= 2 states")
+    if sweeps < 0:
+        raise ValueError("chromatic_gibbs: need sweeps >= 0")
+    ks = range(k)
+
+    # --- endpoint sanity (same failure mode as mplp_table_duals:
+    #     a factor endpoint with no unary row would silently vanish)
+    ends = (
+        factors.select(F.col("src").alias("id"))
+        .unionAll(factors.select(F.col("dst").alias("id"))).distinct()
+    )
+    orphan = ends.join(unary.select("id"), "id", "left_anti").take(1)
+    if orphan:
+        raise ValueError(
+            f"chromatic_gibbs: factor endpoint id {orphan[0]['id']} has "
+            "no unary row — every src/dst in `factors` must appear in "
+            "`unary`")
+
+    # --- coloring: user-supplied (validated) or greedy over the MRF
+    if colors is None:
+        from ..graph import EdgeGraph
+        from .coloring import greedy_coloring
+        g = EdgeGraph(factors.select("src", "dst"), persist=True)
+        colors = greedy_coloring(g)
+        g.unpersist()
+    else:
+        uncol = ends.join(colors.select("id"), "id", "left_anti").take(1)
+        if uncol:
+            raise ValueError(
+                f"chromatic_gibbs: factor endpoint id {uncol[0]['id']} "
+                "has no row in the supplied coloring — the conflict "
+                "check would silently skip its factors")
+        _validate_coloring(factors, colors)
+    color_list = [
+        int(r["color"])
+        for r in colors.select("color").distinct().orderBy("color").collect()
+    ] or [0]  # factor-free model: every vertex samples each sweep
+    ncolors = len(color_list)
+
+    # --- static adjacency view, color-tagged on the receiving side and
+    #     pre-partitioned by the *neighbor* key so the per-step join
+    #     against the assignment state shuffles only the |V|-row state
+    adj_raw = (
+        factors.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
+                       "table", F.lit(True).alias("fwd"))
+        .unionByName(
+            factors.select(F.col("dst").alias("id"),
+                           F.col("src").alias("nbr"),
+                           "table", F.lit(False).alias("fwd")))
+        .join(colors, "id")
+        .repartition("nbr")
+        .persist()
+    )
+    adj = truncate_lineage(adj_raw)
+    adj_raw.unpersist()
+
+    # --- state: (id, color, t0..t{k-1}, asg, bel0.., nsamples, nchanges)
+    #     theta unpacked to scalar columns (generated-column engine, as
+    #     the MPLP table engine does)
+    init_asg = (edge_hash(F.lit(seed), F.col("id")) % F.lit(k)).cast("int")
+    state_raw = (
+        unary.join(colors, "id", "left")
+        .select(
+            "id", F.coalesce("color", F.lit(color_list[0])).alias("color"),
+            *[F.element_at("theta", x + 1).alias(f"t{x}") for x in ks],
+            init_asg.alias("asg"),
+            *[F.lit(0.0).alias(f"bel{x}") for x in ks],
+            F.lit(0).cast("long").alias("nsamples"),
+            F.lit(0).cast("long").alias("nchanges"))
+        .persist()
+    )
+    state = truncate_lineage(state_raw)
+    state_raw.unpersist()
+
+    for sweep in range(sweeps):
+        for ci, color in enumerate(color_list):
+            t = sweep * ncolors + ci
+            nbr_state = state.select(F.col("id").alias("nbr"),
+                                     F.col("asg").alias("nasg"))
+            # contribution of a neighbor at nasg toward my state x:
+            # fwd edge (me=src): table[x*k + nasg]; bwd: table[nasg*k + x]
+            sums = (
+                adj.filter(F.col("color") == F.lit(color))
+                .join(nbr_state, "nbr")
+                .groupBy("id")
+                .agg(*[
+                    F.sum(
+                        F.when(
+                            F.col("fwd"),
+                            F.element_at(
+                                "table",
+                                (F.lit(x * k) + F.col("nasg") + 1)
+                                .cast("int")))
+                        .otherwise(F.element_at(
+                            "table",
+                            (F.col("nasg") * k + x + 1).cast("int")))
+                    ).alias(f"n{x}")
+                    for x in ks])
+            )
+            j = state.join(sums, "id", "left")
+            b = [F.col(f"t{x}") + F.coalesce(f"n{x}", F.lit(0.0))
+                 for x in ks]
+            mx = F.greatest(*b) if k > 1 else b[0]
+            e = [F.exp(b[x] - mx) for x in ks]
+            z = e[0]
+            for x in range(1, k):
+                z = z + e[x]
+            # mix31, not a bare LCG: the plain-LCG u-stream has ~0.25
+            # lag-1 serial correlation across steps for a fixed vertex,
+            # which *biases the stationary distribution* (measured:
+            # marginals plateaued 0.18 off the enumerated exact values;
+            # with the avalanche mix they converge).  Same fix as the
+            # FM diameter masks.
+            u = (mix31(edge_hash(F.lit(seed + 7 + t), F.col("id")))
+                 + F.lit(0.5)) / F.lit(float(LCG_M))
+            thr = u * z
+            # inverse CDF: smallest x with cumsum(e_0..e_x) > thr
+            cum, acc = [], None
+            for x in ks:
+                acc = e[x] if acc is None else acc + e[x]
+                cum.append(acc)
+            new_asg = F.lit(k - 1)
+            for x in reversed(range(k - 1)):
+                new_asg = F.when(cum[x] > thr, F.lit(x)).otherwise(new_asg)
+            new_asg = new_asg.cast("int")
+            active = F.col("color") == F.lit(color)
+            nxt_raw = j.select(
+                "id", "color",
+                *[F.col(f"t{x}") for x in ks],
+                F.when(active, new_asg).otherwise(F.col("asg")).alias("asg"),
+                *[F.when(active, F.col(f"bel{x}") + e[x] / z)
+                  .otherwise(F.col(f"bel{x}")).alias(f"bel{x}")
+                  for x in ks],
+                (F.col("nsamples") + active.cast("long")).alias("nsamples"),
+                (F.col("nchanges")
+                 + (active & (new_asg != F.col("asg"))).cast("long"))
+                .alias("nchanges"),
+            ).persist()
+            nxt = truncate_lineage(nxt_raw)
+            nxt_raw.unpersist()
+            state.unpersist()
+            state = nxt
+    adj.unpersist()
+    out = state.select(
+        "id", "color", "asg",
+        F.array(*[F.col(f"bel{x}") for x in ks]).alias("bel"),
+        "nsamples", "nchanges")
+    return GibbsResult(state=out, sweeps=sweeps, ncolors=ncolors)
+
+
+def gibbs_marginals(result: GibbsResult) -> DataFrame:
+    """(id, marginal: array<double>[k]) — the Rao-Blackwellized
+    marginal estimate: accumulated conditionals / nsamples (exactly
+    what the reference's ``save_beliefs`` writes, ``mrf.cpp:40-55``).
+    Vertices never sampled (sweeps=0) return null."""
+    return result.state.select(
+        "id",
+        F.when(
+            F.col("nsamples") > 0,
+            F.expr("transform(bel, p -> p / nsamples)")).alias("marginal"))

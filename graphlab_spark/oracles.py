@@ -2078,6 +2078,89 @@ SELECT cluster, CAST(count(*) AS BIGINT) AS n, {sums}
 FROM base GROUP BY cluster"""
 
 
+def sql_gibbs_denoise(rows: int = 12, cols: int = 12, error_rate: float = 0.45,
+                      lam: float = 0.75, sweeps: int = 3, seed: int = 11,
+                      gseed: int = 29) -> str:
+    """Twin of algos/gibbs.py::chromatic_gibbs on the K=3 synthetic
+    image with Potts smoothing and the bipartite (r+c)%2 grid coloring
+    (chromatic_sampler.cpp replay): the recursive CTE advances one
+    color step per iteration — parity vertices not on this step's
+    color carry their assignment, active ones resample with the same
+    mix31-LCG inverse-CDF draw.  Dyadic lam keeps every neighbor sum an
+    exact binary multiple, so the Spark-side float aggregation is
+    order-independent and the chain replays bit-for-bit (modulo the
+    exp/ln libm parity every synthetic oracle here already leans on).
+    """
+    k = 3
+    nsteps = sweeps * 2
+    cr, cc_ = rows / 2.0, cols / 2.0
+    mr = min(rows, cols) / 2.0
+    u_flip = _sql_synth_unit(sql_edge_hash(str(seed + 1), "(r*65536+c)"))
+    rc = (f"CAST({sql_edge_hash(str(seed + 2), '(r*65536+c)')} % {k} "
+          f"AS INT)")
+    ring = (f"CAST(floor(least(1.0, sqrt((r-{cr!r})*(r-{cr!r}) + "
+            f"(c-{cc_!r})*(c-{cc_!r})) / {mr!r}) * {k - 1}) AS INT)")
+    off = error_rate / (k - 1)
+    thetas = ", ".join(
+        f"CASE WHEN obs_color = {x} THEN ln({error_rate!r}) "
+        f"ELSE ln({off!r}) END AS t{x}" for x in range(k))
+    init = f"CAST({sql_edge_hash(str(gseed), 'id')} % {k} AS INT)"
+    h = sql_edge_hash(f"({gseed} + 7 + g.step)", "g.id")
+    bs = ", ".join(
+        f"g.t{x} - {lam!r} * (g.deg - coalesce(nb.c{x}, 0)) AS b{x}"
+        for x in range(k))
+    cnts = ", ".join(
+        f"sum(CASE WHEN n.asg = {x} THEN 1 ELSE 0 END) AS c{x}"
+        for x in range(k))
+    es = " + ".join(f"exp(q.b{x} - q.mb)" for x in range(k))
+    pick = (f"CASE WHEN q.par != q.step % 2 THEN q.asg "
+            f"WHEN exp(q.b0 - q.mb) > q.u * ({es}) THEN 0 "
+            f"WHEN exp(q.b0 - q.mb) + exp(q.b1 - q.mb) > q.u * ({es}) "
+            f"THEN 1 ELSE 2 END")
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT CAST(floor(i.range / {cols}) AS BIGINT) AS r,
+         CAST(i.range % {cols} AS BIGINT) AS c
+  FROM range({rows * cols}) i),
+img AS (
+  SELECT r * 65536 + c AS id, r, c, (r + c) % 2 AS par,
+         CASE WHEN {u_flip} < {error_rate!r} THEN {rc}
+              ELSE CASE WHEN r < {rows // 2} THEN {ring} ELSE 0 END
+         END AS obs_color
+  FROM px),
+garcs AS (
+  SELECT id AS src, (r + 1) * 65536 + c AS dst FROM img
+  WHERE r + 1 < {rows}
+  UNION ALL
+  SELECT id AS src, r * 65536 + c + 1 AS dst FROM img
+  WHERE c + 1 < {cols}),
+gsym AS (SELECT src, dst FROM garcs
+         UNION ALL SELECT dst AS src, src AS dst FROM garcs),
+vstat AS (
+  SELECT i.id, i.par, d.deg, {thetas}
+  FROM img i JOIN (SELECT src AS id, count(*) AS deg FROM gsym
+                   GROUP BY src) d ON i.id = d.id),
+gibbs(step, id, par, deg, t0, t1, t2, asg) AS (
+  SELECT 0, id, par, deg, t0, t1, t2, {init} FROM vstat
+  UNION ALL
+  SELECT q.step + 1, q.id, q.par, q.deg, q.t0, q.t1, q.t2, {pick}
+  FROM (
+    SELECT p.*, greatest(p.b0, p.b1, p.b2) AS mb,
+           ({sql_mix31('p.h')} + 0.5) / 2147483648.0 AS u
+    FROM (
+      SELECT g.step, g.id, g.par, g.deg, g.t0, g.t1, g.t2, g.asg,
+             {h} AS h, {bs}
+      FROM gibbs g
+      LEFT JOIN (SELECT s.src AS id, {cnts}
+                 FROM gsym s JOIN gibbs n ON n.id = s.dst
+                 GROUP BY s.src) nb ON g.id = nb.id
+      WHERE g.step < {nsteps}
+    ) p
+  ) q
+)
+SELECT id, asg FROM gibbs WHERE step = {nsteps}"""
+
+
 # ---------------------------------------------------------------------------
 # Implicit-rating injection (mirrors algos/als.py::add_implicit_ratings
 # — implicit.hpp:40-88): rank-indexed dimension tables + edge_hash pair
