@@ -632,6 +632,32 @@ def q_mplp_table_labels(spark, sf_dir):
     return mplp_table_labels(unary, factors, 2, iterations=10)
 
 
+def q_mplp_sparse_labels(spark, sf_dir):
+    """Sparse-factor-table MPLP (``factors/sparse_table.hpp`` —
+    ``algos/mplp.py::mplp_sparse_table_labels``): the same per-edge
+    portable-LCG tables as graph_mplp_table_labels, but carried as
+    sparse ``map<int,double>`` entry lists and densified through the
+    reference's APPROX_LOG_ZERO read path.  Fully-specified entries ⇒
+    bit-identical to the dense query, so it replays on the same
+    recursive-CTE oracle."""
+    from graphlab_spark.algos.mplp import _log_phi, mplp_sparse_table_labels
+    from graphlab_spark.operators.portable import lcg_hash
+    g = _graph(spark, sf_dir)
+    unary = _log_phi(g.vertices).select(
+        "id", F.array("t0", "t1").alias("theta"))
+
+    def t(x, y):
+        h = lcg_hash(F.col("src") * 9 + F.col("dst") * 31 + (x * 2 + y))
+        return -(F.lit(0.2) + F.lit(0.6) * (h / F.lit(2.0 ** 31)))
+
+    entries = F.create_map(*[
+        c for x in (0, 1) for y in (0, 1)
+        for c in (F.lit(x * 2 + y).cast("int"), t(x, y))])
+    factors = g.canonical_undirected_edges.select(
+        "src", "dst", entries.alias("entries"))
+    return mplp_sparse_table_labels(unary, factors, 2, iterations=10)
+
+
 def q_minhash_pairs_scale(spark, sf_dir):
     """The minhash-LSH SHIPPING plan as a graded artifact
     (rows-only): portable=False hashes shingles with xxhash64 — no
@@ -1208,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gm_synthetic_image": q_synthetic_image,
         "cluster_synthetic_stats": q_synthetic_clusters,
         "gm_gibbs_denoise": q_gibbs_denoise,
+        "graph_mplp_sparse_labels": q_mplp_sparse_labels,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1568,6 +1595,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_lbp_beliefs": O.sql_lbp_beliefs(iterations=5),
         "graph_mplp_labels": O.sql_mplp_labels(iterations=10),
         "graph_mplp_table_labels": O.sql_mplp_table_labels(iterations=10),
+        "graph_mplp_sparse_labels": O.sql_mplp_table_labels(iterations=10),
         "graph_dd_labels": O.sql_dd_labels(iterations=10),
         "graph_ad3_labels": O.sql_ad3_labels(iterations=10),
         "graph_dd_projected_labels": O.sql_dd_projected_labels(iterations=10),

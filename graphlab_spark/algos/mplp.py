@@ -341,3 +341,53 @@ def mplp_dual_objective(graph: EdgeGraph, iterations: int = 10) -> float:
     )
     d.unpersist()
     return float(node_part + edge_part)
+
+
+# The reference's sparse tables treat any assignment absent from the
+# explicit entry list as effectively impossible:
+# ``table_base.hpp:57-60`` APPROX_LOG_ZERO() = -1e6, returned by
+# ``sparse_table.hpp:283-289`` logP() on a missing sparse index.
+APPROX_LOG_ZERO = -1e6
+
+
+def sparse_table_to_dense(
+    factors: DataFrame, k: int, entries_col: str = "entries",
+    default: float = APPROX_LOG_ZERO,
+) -> DataFrame:
+    """Densify sparse factor tables (``factors/sparse_table.hpp``):
+    ``factors = (src, dst, entries: map<int, double>)`` holds explicit
+    log-potentials keyed by the row-major linear index ``x*k + y``
+    (``sparse_table.hpp:270-276`` set_logP(linear_index)); every
+    missing assignment reads as ``default`` — the reference's
+    ``APPROX_LOG_ZERO`` (``:283-289``).
+
+    Returns ``(src, dst, table: array<double>[k*k])`` — the dense
+    surface :func:`mplp_table_duals` and
+    :func:`..algos.gibbs.chromatic_gibbs` consume, so one densify
+    feeds MAP inference and sampling alike.  The expansion is a single
+    ``transform(sequence(...))`` projection — k*k generated entries
+    per factor row, no shuffle, no UDF.
+    """
+    if k < 1:
+        raise ValueError("sparse_table_to_dense: need k >= 1")
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(k * k - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col(entries_col), i.cast("int")),
+            F.lit(float(default))))
+    cols = [c for c in factors.columns if c != entries_col]
+    return factors.select(*cols, dense.alias("table"))
+
+
+def mplp_sparse_table_labels(
+    unary: DataFrame, factors: DataFrame, k: int, iterations: int = 10,
+    entries_col: str = "entries", default: float = APPROX_LOG_ZERO,
+) -> DataFrame:
+    """MAP labels over sparse factor tables: densify
+    (:func:`sparse_table_to_dense`) then run the dense-table MPLP
+    engine — the exact composition the reference's factor surface
+    performs when MPLP messages index a ``sparse_table``
+    (``mplp_structured_prediction.cpp`` over ``factors/``)."""
+    return mplp_table_labels(
+        unary, sparse_table_to_dense(factors, k, entries_col, default),
+        k, iterations)

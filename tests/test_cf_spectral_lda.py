@@ -929,3 +929,64 @@ def test_mplp_table_denoises_synthetic_image(spark):
     ).agg(F.sum("map_ok").alias("m"), F.sum("obs_ok").alias("o")).first()
     assert joined["m"] > joined["o"], (joined["m"], joined["o"])
     v.unpersist()
+
+
+def test_sparse_table_fully_specified_matches_dense(spark):
+    """sparse_table.hpp densify: a fully-specified sparse table is the
+    dense table — MPLP MAP must match bit-for-bit."""
+    from graphlab_spark.algos.mplp import (
+        mplp_sparse_table_labels, mplp_table_labels, sparse_table_to_dense)
+
+    k = 2
+    un = spark.createDataFrame(
+        [(0, [0.4, -0.1]), (1, [0.0, 0.3]), (2, [-0.2, 0.1])],
+        "id long, theta array<double>")
+    tbl = [0.0, -0.7, -0.7, 0.1]
+    dense = spark.createDataFrame(
+        [(0, 1, tbl), (1, 2, tbl)], "src long, dst long, table array<double>")
+    sparse = spark.createDataFrame(
+        [(0, 1, dict(enumerate(tbl))), (1, 2, dict(enumerate(tbl)))],
+        "src long, dst long, entries map<int,double>")
+    d = sparse_table_to_dense(sparse, k)
+    assert sorted(map(tuple, d.collect())) == sorted(map(tuple,
+                                                         dense.collect()))
+    a = sorted(map(tuple, mplp_table_labels(un, dense, k, 8).collect()))
+    b = sorted(map(tuple, mplp_sparse_table_labels(un, sparse, k, 8)
+                   .collect()))
+    assert a == b
+
+
+def test_sparse_table_missing_entries_forbid_assignments(spark):
+    """Missing sparse entries read as APPROX_LOG_ZERO = -1e6
+    (table_base.hpp:57-60) — a factor listing only the unequal
+    assignments is a hard XOR constraint the MAP must respect even
+    when the unaries prefer agreeing states."""
+    from graphlab_spark.algos.mplp import mplp_sparse_table_labels
+
+    k = 2
+    # both vertices strongly prefer state 0...
+    un = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (1, [1.5, 0.0])], "id long, theta array<double>")
+    # ...but only (0,1) and (1,0) are admissible
+    xor = spark.createDataFrame(
+        [(0, 1, {1: 0.0, 2: 0.0})], "src long, dst long, entries map<int,double>")
+    got = {r["id"]: r["label"]
+           for r in mplp_sparse_table_labels(un, xor, k, 12).collect()}
+    # brute force with -1e6 for missing entries: best is (0 -> 0, 1 -> 1)
+    assert got == {0: 0, 1: 1}, got
+
+
+def test_sparse_table_feeds_gibbs(spark):
+    """One densify feeds sampling too: chromatic Gibbs over a sparse
+    XOR factor never visits a forbidden configuration."""
+    from graphlab_spark.algos.gibbs import chromatic_gibbs
+    from graphlab_spark.algos.mplp import sparse_table_to_dense
+
+    un = spark.createDataFrame(
+        [(0, [0.5, 0.0]), (1, [0.5, 0.0])], "id long, theta array<double>")
+    xor = spark.createDataFrame(
+        [(0, 1, {1: 0.0, 2: 0.0})], "src long, dst long, entries map<int,double>")
+    factors = sparse_table_to_dense(xor, 2)
+    res = chromatic_gibbs(un, factors, 2, sweeps=6, seed=13)
+    asg = {r["id"]: r["asg"] for r in res.state.collect()}
+    assert asg[0] != asg[1], asg
