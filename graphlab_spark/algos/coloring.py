@@ -30,11 +30,13 @@ from pyspark.sql import functions as F
 
 from ..graph import EdgeGraph
 from ..plans.checkpoint import truncate_lineage
+from ..plans.superstep import no_aqe_loop
 
 
 from ..operators.portable import lcg_hash as _portable_hash
 
 
+@no_aqe_loop
 def greedy_coloring(graph: EdgeGraph, max_rounds: int = 200) -> DataFrame:
     """(id, color) proper coloring; colors are small non-negative ints."""
     sym = graph.symmetric_edges.select("src", "dst").distinct().persist()
@@ -143,6 +145,7 @@ def count_conflicts(graph: EdgeGraph, colors: DataFrame) -> int:
     )
 
 
+@no_aqe_loop
 def warp_coloring(graph: EdgeGraph, max_rounds: int = 200) -> DataFrame:
     """Greedy coloring written against the warp fine-grained API
     (``toolkits/graph_analytics/warp_coloring.cpp``): the gl3engine

@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 
 from ..operators.portable import M as LCG_M, edge_hash, mix31
 from ..plans.checkpoint import truncate_lineage
+from ..plans.superstep import no_aqe_loop
 
 
 @dataclass
@@ -88,6 +89,7 @@ def _validate_coloring(factors: DataFrame, colors: DataFrame) -> None:
             "simultaneously and the chain would not be a Gibbs sampler")
 
 
+@no_aqe_loop
 def chromatic_gibbs(
     unary: DataFrame,
     factors: DataFrame,

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 from ..graph import EdgeGraph
 from ..plans.checkpoint import truncate_lineage
+from ..plans.superstep import no_aqe_loop
 
 
+@no_aqe_loop
 def kcore_subgraph(graph: EdgeGraph, k: int, max_rounds: int = 1000) -> DataFrame:
     """Canonical undirected edges of the K-core (src<dst, deduped)."""
     edges = graph.canonical_undirected_edges

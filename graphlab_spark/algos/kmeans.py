@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.superstep import no_aqe_loop
+
 
 def _dist_sq(vec_col: str, center: list[float]) -> F.Column:
     arr = "array(" + ", ".join(repr(float(v)) for v in center) + ")"
@@ -32,6 +34,7 @@ def _dist_sq(vec_col: str, center: list[float]) -> F.Column:
     )
 
 
+@no_aqe_loop
 def kmeans(
     points: DataFrame,
     k: int = 4,

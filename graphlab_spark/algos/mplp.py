@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..graph import EdgeGraph
 from ..plans.checkpoint import truncate_lineage
+from ..plans.superstep import no_aqe_loop
 from .lbp import PSI, node_potentials
 
 # log-domain Potts pairwise potential
@@ -68,6 +69,7 @@ def _log_phi(vertices: DataFrame) -> DataFrame:
         "id", F.log("phi0").alias("t0"), F.log("phi1").alias("t1"))
 
 
+@no_aqe_loop
 def mplp_duals(graph: EdgeGraph, iterations: int = 10) -> DataFrame:
     """Dual table after ``iterations`` damped synchronous MPLP sweeps:
     (src, dst, alpha, du0, du1, dv0, dv1) with src < dst (one row per
@@ -177,6 +179,7 @@ def _node_sums_k(d: DataFrame, k: int) -> DataFrame:
         *[F.sum(f"s{x}").alias(f"s{x}") for x in range(k)])
 
 
+@no_aqe_loop
 def mplp_table_duals(
     unary: DataFrame, factors: DataFrame, k: int, iterations: int = 10
 ) -> DataFrame:

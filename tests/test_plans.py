@@ -107,3 +107,66 @@ def test_mplp_and_dd_node_reductions_are_partial_final(spark):
     )
     assert _plan(votes).count("HashAggregate") >= 2
     g.unpersist()
+
+
+def test_bsp_loop_disables_and_restores_aqe(spark):
+    """run_bsp and the no_aqe_loop decorator turn adaptive execution
+    off only for the loop's duration: the caller's setting is restored
+    on normal exit and on error, and results are unchanged either way."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.algos.pagerank import pagerank
+    from graphlab_spark.graph import EdgeGraph
+    from graphlab_spark.plans.superstep import no_aqe_loop, run_bsp
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    g = EdgeGraph(spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"),
+        num_edge_partitions=2)
+    seen = {}
+
+    def step(state, i):
+        seen[i] = spark.conf.get("spark.sql.adaptive.enabled")
+        return state, {}, i >= 1
+
+    init = spark.range(3).select("id", F.lit(1.0).alias("rank"))
+    run_bsp(init, step, max_supersteps=3)
+    assert set(seen.values()) == {"false"}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # results identical with AQE left on inside the loop
+    a = sorted(map(tuple, pagerank(g, tol=1e-6, resume=False)
+                   .state.collect()))
+    import graphlab_spark.plans.superstep as ss
+    orig = ss.run_bsp
+
+    def run_bsp_aqe(*args, **kw):
+        kw["disable_aqe"] = False
+        return orig(*args, **kw)
+
+    ss.run_bsp = run_bsp_aqe
+    try:
+        import importlib
+        pr = importlib.import_module("graphlab_spark.algos.pagerank")
+        pr_orig = pr.run_bsp
+        pr.run_bsp = run_bsp_aqe
+        try:
+            b = sorted(map(tuple, pagerank(g, tol=1e-6, resume=False)
+                           .state.collect()))
+        finally:
+            pr.run_bsp = pr_orig
+    finally:
+        ss.run_bsp = orig
+    assert a == b
+
+    # decorator: restores on exception too
+    @no_aqe_loop
+    def boom(df):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        raise RuntimeError("x")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        boom(init)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    g.unpersist()
