@@ -12,7 +12,7 @@ from .jacobi import jacobi, residual_norm
 from .kcore import kcore_subgraph, kcore_table
 from .kmeans import kmeans
 from .label_propagation import label_propagation
-from .gibbs import chromatic_gibbs, gibbs_marginals
+from .gibbs import chromatic_gibbs, gibbs_marginals, gibbs_run_statistics
 from .lbp import lbp_beliefs
 from .lda import lda_cvb0, word_topics
 from .mplp import mplp_dual_objective, mplp_duals, mplp_labels
@@ -41,7 +41,7 @@ __all__ = [
     "power_iteration_svd", "lanczos_svd", "nmf", "nmf_objective",
     "lda_cvb0", "word_topics",
     "normalized_adjacency", "spectral_embedding", "spectral_clusters",
-    "chromatic_gibbs", "gibbs_marginals",
+    "chromatic_gibbs", "gibbs_marginals", "gibbs_run_statistics",
     "lbp_beliefs", "mplp_duals", "mplp_labels", "mplp_dual_objective",
     "dd_state", "dd_labels", "dd_dual_objective",
     "sir_cascade", "bond_percolation", "tsc",

@@ -267,3 +267,46 @@ def gibbs_marginals(result: GibbsResult) -> DataFrame:
         F.when(
             F.col("nsamples") > 0,
             F.expr("transform(bel, p -> p / nsamples)")).alias("marginal"))
+
+
+def gibbs_run_statistics(
+    result: GibbsResult, unary: DataFrame, factors: DataFrame, k: int,
+) -> dict:
+    """The reference's per-run statistics block
+    (``run_statistics.hpp:12-43`` — printed after every chromatic
+    experiment): total samples, total changes, min/max per-vertex
+    samples, and the *unnormalized log-likelihood* of the final
+    assignment (``mrf.cpp:164-185``) — there the sum of ``logP`` over
+    all factors of the factorized model (node potentials included as
+    unary factors); here the explicit split
+    ``sum_v theta_v[asg_v] + sum_f table_f[asg_src*k + asg_dst]``.
+    One pass over the state plus two broadcast-friendly joins."""
+    st = result.state.select("id", "asg", "nsamples", "nchanges").persist()
+    tot = st.agg(
+        F.sum("nsamples").alias("ns"), F.sum("nchanges").alias("nc"),
+        F.min("nsamples").alias("mn"), F.max("nsamples").alias("mx"),
+    ).first()
+    node = (
+        unary.join(st, "id")
+        .select(F.element_at("theta", F.col("asg") + 1).alias("lp"))
+        .agg(F.sum("lp")).first()[0]
+    )
+    edge = (
+        factors
+        .join(st.select(F.col("id").alias("src"),
+                        F.col("asg").alias("_xs")), "src")
+        .join(st.select(F.col("id").alias("dst"),
+                        F.col("asg").alias("_xd")), "dst")
+        .select(F.element_at(
+            "table", (F.col("_xs") * k + F.col("_xd") + 1).cast("int"))
+            .alias("lp"))
+        .agg(F.sum("lp")).first()[0]
+    )
+    st.unpersist()
+    return {
+        "nsamples": int(tot["ns"] or 0),
+        "nchanges": int(tot["nc"] or 0),
+        "loglik": float((node or 0.0) + (edge or 0.0)),
+        "min_samples": int(tot["mn"] or 0),
+        "max_samples": int(tot["mx"] or 0),
+    }

@@ -35,7 +35,7 @@ from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
          "kcore", "sssp", "diameter", "convert", "extension", "ingress",
-         "stitch")
+         "stitch", "gibbs")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -82,6 +82,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nshards", type=int, default=16)
     p.add_argument("--degree-threshold", type=int, default=100,
                    help="ingress hybrid: low/high-degree cut")
+    # gibbs verb (chromatic_sampler.cpp analog over the link graph:
+    # K=2 portable log-phi unaries + Potts smoothing)
+    p.add_argument("--sweeps", type=int, default=3,
+                   help="gibbs: full chromatic sweeps")
+    p.add_argument("--smoothing", type=float, default=0.75,
+                   help="gibbs: Potts smoothing strength (dyadic values "
+                        "keep the chain bit-deterministic)")
+    p.add_argument("--seed", type=int, default=103)
     return p
 
 
@@ -176,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
     n_edges = g.num_edges
     t0 = time.time()
     supersteps, converged = 0, True
+    extra_metrics: dict = {}
     state = None
 
     if args.algo == "pagerank":
@@ -215,6 +224,27 @@ def main(argv: list[str] | None = None) -> int:
         from .algos.diameter import approx_diameter
         d = approx_diameter(g)
         state = spark.createDataFrame([(int(d["diameter"]),)], "diameter int")
+    elif args.algo == "gibbs":
+        # chromatic parallel Gibbs over the loaded graph, instantiated
+        # like the lbp/mplp link-graph model: K=2 portable log-phi
+        # unaries, Potts pairwise at --smoothing.  Prints the
+        # reference's run_statistics block (nsamples/nchanges/loglik).
+        from pyspark.sql import functions as F
+        from .algos.gibbs import chromatic_gibbs, gibbs_run_statistics
+        from .algos.mplp import _log_phi
+        unary = _log_phi(g.vertices).select(
+            "id", F.array("t0", "t1").alias("theta"))
+        lam = args.smoothing
+        factors = g.canonical_undirected_edges.select(
+            "src", "dst",
+            F.array(F.lit(0.0), F.lit(-lam), F.lit(-lam), F.lit(0.0))
+            .alias("table"))
+        res = chromatic_gibbs(unary, factors, 2, sweeps=args.sweeps,
+                              seed=args.seed)
+        stats = gibbs_run_statistics(res, unary, factors, 2)
+        state = res.state.select("id", "asg")
+        supersteps, converged = args.sweeps * res.ncolors, True
+        extra_metrics = stats
     elif args.algo == "extension":
         if not (args.init and args.gather and args.apply_expr):
             raise SystemExit(
@@ -240,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec": round(wall, 3),
         "edges_per_sec_per_superstep": round(
             n_edges * max(supersteps, 1) / wall, 1),
+        **extra_metrics,
     }))
     return 0
 

@@ -201,3 +201,23 @@ def test_cli_stitch_match_graph(spark, tmp_path, capsys):
     assert metrics["panoramas"] == 1 and metrics["grouped_images"] == 2
     edge = spark.read.parquet(str(out)).collect()[0]
     assert (edge["img_a"], edge["img_b"]) == (-1, 0)
+
+
+def test_cli_gibbs(spark, tmp_path, capsys):
+    """gibbs verb: chromatic sampler over a tsv edge graph, printing
+    the reference's run_statistics block (nsamples/nchanges/loglik)."""
+    from graphlab_spark.cli import main
+    tsv = tmp_path / "edges.tsv"
+    tsv.write_text("0\t1\n1\t2\n2\t3\n3\t4\n4\t0\n")
+    out = tmp_path / "asg"
+    rc = main(["gibbs", "--input", str(tsv), "--format", "tsv",
+               "--output", str(out), "--sweeps", "2", "--seed", "7"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["algo"] == "gibbs"
+    assert m["nsamples"] == 2 * 5  # every vertex sampled each sweep
+    assert m["min_samples"] == m["max_samples"] == 2
+    assert isinstance(m["loglik"], float) and m["loglik"] < 0.0
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r["id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r["asg"] in (0, 1) for r in rows)

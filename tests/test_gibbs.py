@@ -236,3 +236,29 @@ def test_gibbs_denoises_synthetic_image(spark):
     ).agg(F.sum("m").alias("m"), F.sum("o").alias("o")).first()
     assert agg["m"] > agg["o"], (agg["m"], agg["o"])
     v.unpersist()
+
+
+def test_gibbs_run_statistics_scalar_parity(spark):
+    """run_statistics.hpp replay: totals + min/max + the unnormalized
+    loglik of the final assignment, checked against scalar math."""
+    from graphlab_spark.algos.gibbs import gibbs_run_statistics
+
+    k, lam, sweeps, seed = 2, 1.5, 2, 9
+    thetas = {0: [0.4, -0.2], 1: [0.1, 0.3], 2: [-0.1, 0.0]}
+    edges = [(0, 1), (1, 2)]
+    colors = {0: 0, 1: 1, 2: 0}
+    unary = _unary(spark, thetas)
+    factors = _potts_factors(spark, edges, k, lam)
+    cdf = spark.createDataFrame(list(colors.items()), "id long, color int")
+    res = chromatic_gibbs(unary, factors, k, sweeps=sweeps, seed=seed,
+                          colors=cdf)
+    stats = gibbs_run_statistics(res, unary, factors, k)
+    tbl = [0.0 if x == y else -lam for x in range(k) for y in range(k)]
+    asg, _, ns, nc = _py_gibbs(
+        thetas, [(s, d, tbl) for s, d in edges], k, sweeps, seed, colors)
+    want_ll = sum(thetas[i][asg[i]] for i in thetas) + sum(
+        tbl[asg[s] * k + asg[d]] for s, d in edges)
+    assert stats["nsamples"] == sum(ns.values())
+    assert stats["nchanges"] == sum(nc.values())
+    assert stats["min_samples"] == stats["max_samples"] == sweeps
+    assert stats["loglik"] == pytest.approx(want_ll, abs=1e-12)
