@@ -112,14 +112,35 @@ def chromatic_gibbs(
         raise ValueError("chromatic_gibbs: need sweeps >= 0")
     ks = range(k)
 
+    # --- shape sanity: a theta shorter than k NULLs the whole
+    #     conditional (every cum>thr compare goes NULL -> asg pinned at
+    #     k-1, beliefs NULL); a table shorter than k*k silently DROPS
+    #     neighbor terms (out-of-range element_at -> NULL, skipped by
+    #     sum, coalesced to 0).  Both would corrupt samples without an
+    #     error, so validate up front — one scan each.
+    badu = unary.filter(F.size("theta") != k).take(1)
+    if badu:
+        raise ValueError(
+            f"chromatic_gibbs: unary id {badu[0]['id']} has "
+            f"{len(badu[0]['theta'])} theta entries, expected k={k}")
+    badf = factors.filter(F.size("table") != k * k).take(1)
+    if badf:
+        raise ValueError(
+            f"chromatic_gibbs: factor ({badf[0]['src']}, "
+            f"{badf[0]['dst']}) has {len(badf[0]['table'])} table "
+            f"entries, expected k*k={k * k}")
+
     # --- endpoint sanity (same failure mode as mplp_table_duals:
-    #     a factor endpoint with no unary row would silently vanish)
+    #     a factor endpoint with no unary row would silently vanish);
+    #     ends is persisted — it drives up to two take(1) validations
     ends = (
         factors.select(F.col("src").alias("id"))
         .unionAll(factors.select(F.col("dst").alias("id"))).distinct()
+        .persist()
     )
     orphan = ends.join(unary.select("id"), "id", "left_anti").take(1)
     if orphan:
+        ends.unpersist()
         raise ValueError(
             f"chromatic_gibbs: factor endpoint id {orphan[0]['id']} has "
             "no unary row — every src/dst in `factors` must appear in "
@@ -135,11 +156,13 @@ def chromatic_gibbs(
     else:
         uncol = ends.join(colors.select("id"), "id", "left_anti").take(1)
         if uncol:
+            ends.unpersist()
             raise ValueError(
                 f"chromatic_gibbs: factor endpoint id {uncol[0]['id']} "
                 "has no row in the supplied coloring — the conflict "
                 "check would silently skip its factors")
         _validate_coloring(factors, colors)
+    ends.unpersist()
     color_list = [
         int(r["color"])
         for r in colors.select("color").distinct().orderBy("color").collect()

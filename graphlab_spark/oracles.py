@@ -2019,6 +2019,29 @@ SELECT item, CAST(count(*) AS BIGINT) AS deg,
 FROM train GROUP BY item"""
 
 
+def _sql_image_obs(rows: int, cols: int, ncolors: int, error_rate: float,
+                   seed: int) -> tuple[str, str]:
+    """Shared generator expressions for the synthetic-image twins
+    (``sql_synthetic_image`` and ``sql_gibbs_denoise`` replay the SAME
+    pixel table — one source of truth so a generator fix cannot
+    desynchronize them): returns (px_cte, obs_color_expr) where the
+    obs expression is valid over px's (r, c) columns."""
+    cr, cc = rows / 2.0, cols / 2.0
+    mr = min(rows, cols) / 2.0
+    u = _sql_synth_unit(sql_edge_hash(str(seed + 1), "(r*65536+c)"))
+    rc = (f"CAST({sql_edge_hash(str(seed + 2), '(r*65536+c)')} "
+          f"% {ncolors} AS INT)")
+    ring = (f"CAST(floor(least(1.0, sqrt((r-{cr!r})*(r-{cr!r}) + "
+            f"(c-{cc!r})*(c-{cc!r})) / {mr!r}) * {ncolors - 1}) AS INT)")
+    true = f"CASE WHEN r < {rows // 2} THEN {ring} ELSE 0 END"
+    px = (f"px AS (\n  SELECT CAST(floor(i.range / {cols}) AS BIGINT) AS r,\n"
+          f"         CAST(i.range % {cols} AS BIGINT) AS c\n"
+          f"  FROM range({rows * cols}) i)")
+    obs = (f"CASE WHEN {u} < {error_rate!r} THEN {rc} "
+           f"ELSE {true} END")
+    return px, obs
+
+
 def sql_synthetic_image(rows: int = 32, cols: int = 32, ncolors: int = 5,
                         error_rate: float = 0.5, seed: int = 17) -> str:
     """Twin of sources/parsers.py::load_synthetic_image
@@ -2026,23 +2049,15 @@ def sql_synthetic_image(rows: int = 32, cols: int = 32, ncolors: int = 5,
     integer horizon, LCG-deterministic uniform color flips."""
     cr, cc = rows / 2.0, cols / 2.0
     mr = min(rows, cols) / 2.0
-    u = _sql_synth_unit(sql_edge_hash(str(seed + 1), "(r*65536+c)"))
-    rc = f"CAST({sql_edge_hash(str(seed + 2), '(r*65536+c)')} % {ncolors} AS INT)"
     ring = (f"CAST(floor(least(1.0, sqrt((r-{cr!r})*(r-{cr!r}) + "
             f"(c-{cc!r})*(c-{cc!r})) / {mr!r}) * {ncolors - 1}) AS INT)")
+    px, obs = _sql_image_obs(rows, cols, ncolors, error_rate, seed)
     return f"""
-WITH px AS (
-  SELECT CAST(floor(i.range / {cols}) AS BIGINT) AS r,
-         CAST(i.range % {cols} AS BIGINT) AS c
-  FROM range({rows * cols}) i),
-base AS (
-  SELECT r, c,
-         CASE WHEN r < {rows // 2} THEN {ring} ELSE 0 END AS true_color,
-         {u} AS u, {rc} AS rc
-  FROM px)
-SELECT r * 65536 + c AS id, r, c, true_color,
-       CASE WHEN u < {error_rate!r} THEN rc ELSE true_color END AS obs_color
-FROM base"""
+WITH {px}
+SELECT r * 65536 + c AS id, r, c,
+       CASE WHEN r < {rows // 2} THEN {ring} ELSE 0 END AS true_color,
+       {obs} AS obs_color
+FROM px"""
 
 
 def sql_synthetic_clusters_stats(
@@ -2059,14 +2074,11 @@ def sql_synthetic_clusters_stats(
         u = _sql_synth_unit(sql_edge_hash(str(seed + 1), key))
         return f"(-10.0 + 20.0 * {u})"
 
-    def normal(j: int) -> str:
-        key = f"(id * {dim} + {j})"
-        u1 = _sql_synth_unit(sql_edge_hash(str(seed + 3), key))
-        u2 = _sql_synth_unit(sql_edge_hash(str(seed + 10), key))
-        return f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}))"
-
+    # _sql_synth_normal(tag=3, ...) is the same seed+3/seed+10 draw
+    # pair as the generator; stdev=1.0 multiplies by an IEEE-exact 1.0
     sums = ", ".join(
-        f"round(sum({normal(j)} + {center(j)}), 6) AS s{j}"
+        f"round(sum({_sql_synth_normal(3, 'id', j, dim, 1.0, seed)} "
+        f"+ {center(j)}), 6) AS s{j}"
         for j in range(dim))
     return f"""
 WITH base AS (
@@ -2093,13 +2105,7 @@ def sql_gibbs_denoise(rows: int = 12, cols: int = 12, error_rate: float = 0.45,
     """
     k = 3
     nsteps = sweeps * 2
-    cr, cc_ = rows / 2.0, cols / 2.0
-    mr = min(rows, cols) / 2.0
-    u_flip = _sql_synth_unit(sql_edge_hash(str(seed + 1), "(r*65536+c)"))
-    rc = (f"CAST({sql_edge_hash(str(seed + 2), '(r*65536+c)')} % {k} "
-          f"AS INT)")
-    ring = (f"CAST(floor(least(1.0, sqrt((r-{cr!r})*(r-{cr!r}) + "
-            f"(c-{cc_!r})*(c-{cc_!r})) / {mr!r}) * {k - 1}) AS INT)")
+    px_cte, obs = _sql_image_obs(rows, cols, k, error_rate, seed)
     off = error_rate / (k - 1)
     thetas = ", ".join(
         f"CASE WHEN obs_color = {x} THEN ln({error_rate!r}) "
@@ -2118,15 +2124,10 @@ def sql_gibbs_denoise(rows: int = 12, cols: int = 12, error_rate: float = 0.45,
             f"WHEN exp(q.b0 - q.mb) + exp(q.b1 - q.mb) > q.u * ({es}) "
             f"THEN 1 ELSE 2 END")
     return f"""
-WITH RECURSIVE px AS (
-  SELECT CAST(floor(i.range / {cols}) AS BIGINT) AS r,
-         CAST(i.range % {cols} AS BIGINT) AS c
-  FROM range({rows * cols}) i),
+WITH RECURSIVE {px_cte},
 img AS (
   SELECT r * 65536 + c AS id, r, c, (r + c) % 2 AS par,
-         CASE WHEN {u_flip} < {error_rate!r} THEN {rc}
-              ELSE CASE WHEN r < {rows // 2} THEN {ring} ELSE 0 END
-         END AS obs_color
+         {obs} AS obs_color
   FROM px),
 garcs AS (
   SELECT id AS src, (r + 1) * 65536 + c AS dst FROM img

@@ -20,6 +20,7 @@ split of the reference (``ivertex_program.hpp`` vs ``synchronous_engine``).
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -55,23 +56,48 @@ class _no_aqe:
     shuffle_partitions) and skew is handled explicitly (hub salting),
     so AQE has nothing left to decide; its per-stage re-optimization
     and shuffle-stat collection are pure driver overhead that dominates
-    when per-superstep work is small.  Measured: converged PageRank on
-    the sf0.1 events graph (28 supersteps) dropped 27.4s -> 19.6s with
-    AQE off; the big one-shot scans/joins outside the loop keep AQE.
+    when per-superstep work is small.  Measured (interleaved warm A/B,
+    BASELINE.md §5): converged sf0.1 PageRank mean 20.6s -> 17.2s,
+    ~16%; the big one-shot scans/joins outside the loop keep AQE.
+
+    The conf flip is session-global, so scopes are reference-counted
+    per session under a lock: nested or overlapping loops (e.g. two
+    algorithms driven from separate driver threads on one session)
+    keep AQE off until the LAST scope exits, which restores the value
+    the FIRST scope captured — no clobbered restores, no permanently
+    lost setting.
     """
 
+    _lock = threading.Lock()
+    _depth: dict[int, tuple[int, str]] = {}
+
     def __init__(self, df: DataFrame, enabled: bool) -> None:
-        self.conf = df.sparkSession.conf
+        self.session = df.sparkSession
+        self.conf = self.session.conf
         self.enabled = enabled
 
     def __enter__(self) -> None:
-        if self.enabled:
-            self.prev = self.conf.get("spark.sql.adaptive.enabled", "true")
-            self.conf.set("spark.sql.adaptive.enabled", "false")
+        if not self.enabled:
+            return
+        key = id(self.session)
+        with self._lock:
+            depth, prev = self._depth.get(key, (0, "true"))
+            if depth == 0:
+                prev = self.conf.get("spark.sql.adaptive.enabled", "true")
+                self.conf.set("spark.sql.adaptive.enabled", "false")
+            self._depth[key] = (depth + 1, prev)
 
     def __exit__(self, *exc) -> None:
-        if self.enabled:
-            self.conf.set("spark.sql.adaptive.enabled", self.prev)
+        if not self.enabled:
+            return
+        key = id(self.session)
+        with self._lock:
+            depth, prev = self._depth[key]
+            if depth == 1:
+                self.conf.set("spark.sql.adaptive.enabled", prev)
+                del self._depth[key]
+            else:
+                self._depth[key] = (depth - 1, prev)
 
 
 def no_aqe_loop(fn):

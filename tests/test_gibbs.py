@@ -103,8 +103,7 @@ def test_gibbs_matches_scalar_replication(spark):
     k, lam, sweeps, seed = 3, 1.5, 3, 41
     thetas = {i: [0.1 * i, -0.2, 0.05 * (i % 3)] for i in range(7)}
     edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)]
-    colors = {i: i % 2 for i in range(7)}  # path-ish graph: parity works
-    # 1-5, 5-6 break parity? 1->odd, 5->odd: CONFLICT -> fix manually
+    # hand-built proper coloring (plain parity breaks on the 1-5 edge)
     colors = {0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 1}
     unary = _unary(spark, thetas)
     factors = _potts_factors(spark, edges, k, lam)
@@ -200,6 +199,16 @@ def test_gibbs_validation_errors(spark):
         chromatic_gibbs(unary, orphan, 2, sweeps=1)
     with pytest.raises(ValueError, match="k >= 2"):
         chromatic_gibbs(unary, factors, 1)
+    # shape mismatches would corrupt samples silently (NULL element_at
+    # terms vanish inside sum/coalesce) — must raise instead
+    with pytest.raises(ValueError, match="theta entries"):
+        chromatic_gibbs(unary, _potts_factors(spark, [(0, 1)], 3, 1.0),
+                        3, sweeps=1)
+    with pytest.raises(ValueError, match="table .*entries"):
+        chromatic_gibbs(
+            spark.createDataFrame([(0, [0.0] * 3), (1, [0.0] * 3)],
+                                  "id long, theta array<double>"),
+            factors, 3, sweeps=1)
 
 
 def test_gibbs_denoises_synthetic_image(spark):

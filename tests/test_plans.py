@@ -170,3 +170,22 @@ def test_bsp_loop_disables_and_restores_aqe(spark):
         boom(init)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     g.unpersist()
+
+
+def test_no_aqe_scope_is_reentrant(spark):
+    """Overlapping/nested _no_aqe scopes reference-count per session:
+    AQE stays off until the LAST scope exits, which restores the value
+    the FIRST captured."""
+    from graphlab_spark.plans.superstep import _no_aqe
+
+    df = spark.range(1)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    outer, inner = _no_aqe(df, True), _no_aqe(df, True)
+    outer.__enter__()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    inner.__enter__()
+    # out-of-order exit (thread A finishing before thread B)
+    outer.__exit__()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    inner.__exit__()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
