@@ -742,13 +742,15 @@ def q_synthetic_image(spark, sf_dir):
 def q_synthetic_clusters(spark, sf_dir):
     """The clustering toolkit's synthetic data generator
     (``clustering/generate_synthetic.cpp:29-59`` —
-    ``sources/parsers.py::load_synthetic_clusters``): Uniform(-10,10)
+    ``sources/parsers.py::load_synthetic_clusters_portable``,
+    the SQL-replayable twin of the xxhash64 blob generator): Uniform(-10,10)
     centers, hash-uniform cluster picks, Box-Muller unit gaussians;
     per-cluster count + rounded coordinate sums replay the whole
     generator in the DuckDB twin.  Fixed-size (sf-independent) by
     design, like the reference tool's CLI."""
-    from graphlab_spark.sources.parsers import load_synthetic_clusters
-    points, _ = load_synthetic_clusters(
+    from graphlab_spark.sources.parsers import (
+        load_synthetic_clusters_portable)
+    points, _ = load_synthetic_clusters_portable(
         spark, num_clusters=4, dim=2, ndata=2000, seed=7)
     return points.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n"),

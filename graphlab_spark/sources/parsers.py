@@ -351,13 +351,16 @@ def load_synthetic_image(
     return vertices, down.unionAll(right)
 
 
-def load_synthetic_clusters(
+def load_synthetic_clusters_portable(
     spark: SparkSession, num_clusters: int = 2, dim: int = 2,
     ndata: int = 10_000, seed: int = 2009,
 ) -> tuple[DataFrame, DataFrame]:
-    """Synthetic Gaussian-mixture clustering dataset
-    (``toolkits/clustering/generate_synthetic.cpp:29-59``, the
-    generator the kmeans toolkit's docs feed it).
+    """SQL-replayable twin of :func:`load_synthetic_clusters`
+    (``toolkits/clustering/generate_synthetic.cpp:29-59``): identical
+    model — Uniform(-10,10) centers, uniform cluster picks, unit
+    gaussians — but every draw is a portable LCG hash instead of
+    xxhash64, so the whole table replays in ANSI SQL for the value
+    oracle, and the drawn centers are returned as a second frame.
 
     Replayed semantics: ``num_clusters`` centers with every coordinate
     ``Uniform(-10, 10)`` (``:43-46``); each of ``ndata`` points picks a

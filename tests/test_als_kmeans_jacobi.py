@@ -267,14 +267,15 @@ def test_als_hybrid_routes_hubs_through_expression_arm(spark,
         assert md < 1e-9
 
 
-def test_synthetic_clusters_generator_semantics(spark):
+def test_synthetic_clusters_portable_semantics(spark):
     """generate_synthetic.cpp:29-59 replay: center range, uniform
     cluster picks, unit-variance noise around the picked center,
     determinism across rebuilds."""
-    from graphlab_spark.sources.parsers import load_synthetic_clusters
+    from graphlab_spark.sources.parsers import (
+        load_synthetic_clusters_portable)
 
     nc, dim, n = 3, 2, 3000
-    pts, ctr = load_synthetic_clusters(spark, nc, dim, n, seed=11)
+    pts, ctr = load_synthetic_clusters_portable(spark, nc, dim, n, seed=11)
     centers = {r["cluster"]: list(r["center"]) for r in ctr.collect()}
     assert len(centers) == nc
     assert all(-10.0 <= x <= 10.0 for c in centers.values() for x in c)
@@ -293,22 +294,23 @@ def test_synthetic_clusters_generator_semantics(spark):
         for j in range(dim):
             mean_j = sum(v[j] for v in vecs) / len(vecs)
             assert abs(mean_j - centers[c][j]) < 0.15, (c, j)
-    pts2, _ = load_synthetic_clusters(spark, nc, dim, n, seed=11)
+    pts2, _ = load_synthetic_clusters_portable(spark, nc, dim, n, seed=11)
     assert sorted(map(tuple, pts.collect())) == \
         sorted(map(tuple, pts2.collect()))
 
 
-def test_synthetic_clusters_kmeans_recovery(spark):
+def test_synthetic_clusters_portable_kmeans_recovery(spark):
     """kmeans on the generator's own output recovers the planted
     partition when the drawn centers are well separated (seed chosen
     so pairwise center distance >> noise stdev)."""
     from pyspark.sql import functions as F
 
     from graphlab_spark.algos.kmeans import kmeans
-    from graphlab_spark.sources.parsers import load_synthetic_clusters
+    from graphlab_spark.sources.parsers import (
+        load_synthetic_clusters_portable)
 
     nc = 3
-    pts, ctr = load_synthetic_clusters(spark, nc, dim=2, ndata=600, seed=4)
+    pts, ctr = load_synthetic_clusters_portable(spark, nc, dim=2, ndata=600, seed=4)
     centers = [list(r["center"]) for r in ctr.collect()]
     # guard the seed choice: min pairwise center distance > 6 stdev
     mind = min(
