@@ -1,0 +1,235 @@
+"""Alchemy factor-graph file IO (gibbs_sampling toolkit).
+
+Reference: ``/root/reference/toolkits/graphical_models/deprecated/
+gibbs_sampling/factorized_model.cpp:77-209`` (``load_alchemy``) /
+``:232-281`` (``save_alchemy``) — the file format the parallel-Gibbs
+toolkit consumes, produced by ``make_denoise_alchemy.cpp``:
+
+    variables:
+    <name>[\\t<arity>]          (arity defaults to 2, ``:103-109``)
+    ...
+    factors:
+    <v1> [/ <v2> ...] // w0 w1 ... [/// weight]
+
+- variable ids are assigned in file order (``unique_var_id++``,
+  ``:113-118``);
+- table values are LOG potentials (``:198-201``) listed with the FIRST
+  listed variable varying fastest
+  (``discrete_assignment::operator++``,
+  ``factors/discrete_assignment.hpp:210-222``): file index
+  ``j = x_1 + x_2*k_1``;
+- the optional ``///``-suffixed weight is ignored by the reference
+  loader (it only truncates the value list, ``:180-186``) and here.
+
+Spark mapping: the file is read with ``textFile().zipWithIndex()``
+(split order preserves line order), the two sections split on the
+``factors:`` boundary, and all parsing is column expressions; the only
+driver-side work is the two boundary lookups.  This engine's MRF
+surface (:mod:`..algos.gibbs`, :mod:`..algos.mplp`) is unary +
+pairwise, so factors of arity >= 3 raise (the reference's general-
+arity tables have no counterpart here — documented limitation, same
+scope as the MPLP surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_alchemy(
+    spark: SparkSession, path: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Parse an alchemy file into the engine's MRF surface.
+
+    Returns ``(variables, unary, pairwise)``:
+
+    - ``variables = (id long, name string, arity int)`` — ids in file
+      order, exactly the reference's ``unique_var_id`` numbering;
+    - ``unary = (id, theta: array<double>)`` — 1-variable factors'
+      log tables; multiple unary factors on one variable multiply,
+      i.e. their log tables add elementwise (the belief product);
+    - ``pairwise = (src, dst, table: array<double>[k_src*k_dst])`` —
+      row-major ``table[x_src*k_dst + x_dst]`` (the layout
+      :func:`..algos.gibbs.chromatic_gibbs` and
+      :func:`..algos.mplp.mplp_table_labels` consume), reordered from
+      the file's first-var-fastest sequence.
+    """
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(rdd, "line string, idx long") \
+        .select(F.trim("line").alias("line"), "idx").persist()
+    head = lines.filter(F.col("idx") == 0).take(1)
+    if not head or head[0]["line"] != "variables:":
+        lines.unpersist()
+        raise ValueError(
+            f"load_alchemy: {path} does not start with 'variables:' "
+            f"(got {head[0]['line']!r} )" if head else
+            f"load_alchemy: {path} is empty")
+    fb_row = (lines.filter(F.col("line") == "factors:")
+              .agg(F.min("idx").alias("i")).first())
+    if fb_row["i"] is None:
+        lines.unpersist()
+        raise ValueError(f"load_alchemy: {path} has no 'factors:' section")
+    fb = int(fb_row["i"])
+
+    parts = F.split("line", "\t")
+    variables = (
+        lines.filter((F.col("idx") > 0) & (F.col("idx") < fb)
+                     & (F.length("line") > 0))
+        .select(
+            (F.col("idx") - 1).alias("id"),
+            F.trim(F.element_at(parts, 1)).alias("name"),
+            F.coalesce(
+                F.when(F.size(parts) > 1,
+                       F.trim(F.element_at(parts, -1)).try_cast("int")),
+                F.lit(2)).alias("arity"))
+        .persist()
+    )
+
+    raw = (
+        lines.filter((F.col("idx") > fb) & (F.length("line") > 0))
+        .select(
+            "idx",
+            F.transform(
+                F.split(F.substring_index("line", "//", 1), "/"),
+                lambda s: F.trim(s)).alias("args"),
+            F.transform(
+                F.split(F.trim(F.substring_index(
+                    # values live between the first '//' and an
+                    # optional '///' weight suffix
+                    F.substring_index("line", "///", 1), "//", -1)),
+                    r"\s+"),
+                lambda s: s.cast("double")).alias("vals"))
+    )
+    lines.unpersist()
+    big = raw.filter(F.size("args") > 2).take(1)
+    if big:
+        variables.unpersist()
+        raise ValueError(
+            f"load_alchemy: factor line {big[0]['idx']} has "
+            f"{len(big[0]['args'])} variables — this engine's MRF "
+            "surface is unary + pairwise only")
+
+    # resolve names -> (id, arity); one join per argument slot keeps
+    # everything a broadcast-friendly equi-join on the (small) name dim
+    v1 = variables.select(F.col("name").alias("_n1"),
+                          F.col("id").alias("_i1"),
+                          F.col("arity").alias("_k1"))
+    v2 = variables.select(F.col("name").alias("_n2"),
+                          F.col("id").alias("_i2"),
+                          F.col("arity").alias("_k2"))
+    resolved = (
+        raw.select("idx", "vals", F.size("args").alias("nargs"),
+                   F.element_at("args", 1).alias("_n1"),
+                   F.when(F.size("args") > 1, F.element_at("args", 2))
+                   .alias("_n2"))
+        .join(F.broadcast(v1), "_n1")
+        .join(F.broadcast(v2), "_n2", "left")
+    )
+    missing = resolved.filter(
+        (F.col("nargs") == 2) & F.col("_i2").isNull()).take(1)
+    if missing:
+        variables.unpersist()
+        raise ValueError(
+            f"load_alchemy: factor line {missing[0]['idx']} references "
+            f"unknown variable {missing[0]['_n2']!r}")
+    badlen = resolved.filter(
+        F.size("vals") != F.col("_k1") * F.coalesce("_k2", F.lit(1))
+    ).take(1)
+    if badlen:
+        variables.unpersist()
+        raise ValueError(
+            f"load_alchemy: factor line {badlen[0]['idx']} has "
+            f"{len(badlen[0]['vals'])} values, expected "
+            "arity-product many")
+
+    unary = (
+        resolved.filter(F.col("nargs") == 1)
+        .select(F.col("_i1").alias("id"), "vals")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("vals"))).alias("ts"))
+        .select(
+            "id",
+            F.aggregate(
+                F.expr("slice(ts, 2, size(ts) - 1)"),
+                F.element_at(F.col("ts"), 1)["vals"],
+                lambda acc, t: F.zip_with(
+                    acc, t["vals"], lambda a, b: a + b)).alias("theta"))
+    )
+    # file order j = x1 + x2*k1  ->  row-major i = x1*k2 + x2:
+    # vals[(i div k2) + (i % k2) * k1]
+    pairwise = (
+        resolved.filter(F.col("nargs") == 2)
+        .select(
+            F.col("_i1").alias("src"), F.col("_i2").alias("dst"),
+            F.transform(
+                F.sequence(F.lit(0), F.col("_k1") * F.col("_k2") - 1),
+                lambda i: F.element_at(
+                    "vals",
+                    ((i / F.col("_k2")).cast("int")
+                     + (i % F.col("_k2")) * F.col("_k1") + 1)
+                    .cast("int"))).alias("table"))
+    )
+    variables.unpersist()
+    return variables, unary, pairwise
+
+
+def save_alchemy(
+    variables: DataFrame, unary: DataFrame, pairwise: DataFrame,
+    path: str,
+) -> None:
+    """Write the MRF surface back to an alchemy file
+    (``factorized_model.cpp:232-281`` save_alchemy): variables in id
+    order with explicit arity, one factor line per unary/pairwise row,
+    pairwise values re-serialized first-var-fastest.  A model file is
+    metadata-scale, so this is a driver-side text write (the same
+    documented trade as the reference's own single-stream writer).
+    """
+    names = {r["id"]: (r["name"], r["arity"])
+             for r in variables.orderBy("id").collect()}
+    with open(path, "w") as f:
+        f.write("variables:\n")
+        for vid in sorted(names):
+            name, arity = names[vid]
+            f.write(f"{name}\t{arity}\n")
+        f.write("factors:\n")
+        for r in unary.orderBy("id").collect():
+            name, _ = names[r["id"]]
+            vals = " ".join(repr(v) for v in r["theta"])
+            f.write(f"{name} // {vals}\n")
+        for r in pairwise.orderBy("src", "dst").collect():
+            n1, k1 = names[r["src"]]
+            n2, k2 = names[r["dst"]]
+            # row-major table[x1*k2 + x2] -> file order j = x1 + x2*k1
+            vals = " ".join(
+                repr(r["table"][(j % k1) * k2 + (j // k1)])
+                for j in range(k1 * k2))
+            f.write(f"{n1} / {n2} // {vals}\n")
+
+
+def make_denoise_alchemy(
+    spark: SparkSession, path: str, rows: int = 32, cols: int = 32,
+    ncolors: int = 5, error_rate: float = 0.5, lam: float = 1.5,
+    seed: int = 17,
+) -> None:
+    """The ``make_denoise_alchemy.cpp`` tool: build the synthetic noisy
+    image (:func:`.parsers.load_synthetic_image`), attach log-prior
+    unaries and Potts smoothing pairwise tables, and save the whole
+    model as an alchemy file — the exact input the reference's
+    chromatic sampler demos consume."""
+    from .parsers import load_synthetic_image
+
+    v, e = load_synthetic_image(spark, rows, cols, ncolors, error_rate,
+                                seed)
+    v = v.persist()
+    variables = v.select(
+        "id", F.concat(F.lit("px_"), F.col("r"), F.lit("_"), F.col("c"))
+        .alias("name"), F.lit(ncolors).alias("arity"))
+    unary = v.select(
+        "id", F.expr("transform(prior, p -> ln(p))").alias("theta"))
+    potts = [0.0 if x == y else -lam
+             for x in range(ncolors) for y in range(ncolors)]
+    pairwise = e.select(
+        "src", "dst", F.array(*[F.lit(p) for p in potts]).alias("table"))
+    save_alchemy(variables, unary, pairwise, path)
+    v.unpersist()
