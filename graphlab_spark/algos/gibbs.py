@@ -172,7 +172,13 @@ def chromatic_gibbs(
     # --- static adjacency view, color-tagged on the receiving side and
     #     pre-partitioned by the *neighbor* key so the per-step join
     #     against the assignment state shuffles only the |V|-row state
-    adj_raw = (
+    # persisted but NOT lineage-truncated: localCheckpoint rewrites the
+    # plan as a Scan ExistingRDD with UNKNOWN output partitioning, so
+    # the sort-merge join would re-shuffle this |2E| view every color
+    # step (caught by test_gibbs_step_join_shuffles_state_side_only);
+    # the cached InMemoryRelation keeps hashpartitioning(nbr) and the
+    # view is static, so its shallow lineage never grows anyway.
+    adj = (
         factors.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
                        "table", F.lit(True).alias("fwd"))
         .unionByName(
@@ -183,8 +189,6 @@ def chromatic_gibbs(
         .repartition("nbr")
         .persist()
     )
-    adj = truncate_lineage(adj_raw)
-    adj_raw.unpersist()
 
     # --- state: (id, color, t0..t{k-1}, asg, bel0.., nsamples, nchanges)
     #     theta unpacked to scalar columns (generated-column engine, as

@@ -275,3 +275,52 @@ def test_cosine_candidates_match_exact_on_small_corpus(spark, big_emb):
     # multiprobe generator should recover nearly all of them
     assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
     emb.unpersist()
+
+
+def test_gibbs_step_join_shuffles_state_side_only(spark):
+    """The chromatic-Gibbs color step joins the (persisted,
+    nbr-partitioned) |2E| adjacency view to the |V| assignment state:
+    the adjacency side must enter the join from its cache with NO
+    re-shuffle — only the state side shuffles (or broadcasts), plus
+    the aggregation exchange.  A third Exchange would mean the big
+    side re-shuffles every step, the classic iterative-join scale
+    bug."""
+    from pyspark.sql import functions as F
+
+    factors = spark.range(2000).select(
+        (F.col("id") % 300).alias("src"),
+        ((F.col("id") * 7 + 1) % 300).alias("dst"),
+        F.array(F.lit(0.0), F.lit(-1.0), F.lit(-1.0), F.lit(0.0))
+        .alias("table"))
+    colors = spark.range(300).select(
+        "id", (F.col("id") % 2).cast("int").alias("color"))
+    adj = (
+        factors.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
+                       "table", F.lit(True).alias("fwd"))
+        .unionByName(factors.select(
+            F.col("dst").alias("id"), F.col("src").alias("nbr"),
+            "table", F.lit(False).alias("fwd")))
+        .join(colors, "id").repartition("nbr").persist())
+    adj.count()  # materialize the cache the engine relies on
+    state = spark.range(300).select(
+        F.col("id").alias("nbr"), (F.col("id") % 2).cast("int").alias("nasg"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge shape a big state would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (adj.filter(F.col("color") == 0).join(state, "nbr")
+             .groupBy("id")
+             .agg(F.sum(F.element_at("table", F.col("nasg") + 1))
+                  .alias("n0")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly two ENSURE_REQUIREMENTS exchanges: the state-side shuffle
+    # on nbr and the final agg shuffle on id.  (REPARTITION_BY_COL
+    # exchanges in the string are the cached adj build plan, served
+    # from memory at step time.)  A third would mean the adjacency side
+    # re-shuffles — exactly what happened when adj was lineage-
+    # truncated: localCheckpoint's Scan ExistingRDD loses the output
+    # partitioning and the SMJ re-partitioned the |2E| side each step.
+    assert plan.count("ENSURE_REQUIREMENTS") == 2, plan
+    adj.unpersist()
