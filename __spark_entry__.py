@@ -1205,6 +1205,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_warp_als1_user_factors": q_warp_als1_user_factors,
         "cf_warp_nmf1_user_factors": q_warp_nmf1_user_factors,
         "graph_mplp_table_labels": q_mplp_table_labels,
+        # --- session-2 round-3 additions, value-oracled: placed inside
+        # --- the driver's 50-row window ahead of the rows-only scale
+        # --- twins (whose driver check is weaker than their pytest)
+        "gm_synthetic_image": q_synthetic_image,
+        "cluster_synthetic_stats": q_synthetic_clusters,
+        "gm_gibbs_denoise": q_gibbs_denoise,
+        "graph_mplp_sparse_labels": q_mplp_sparse_labels,
         # --- scale-path twins of the portable-default operators (rows-only:
         # --- xxhash64/approxQuantile plans DuckDB can't replay; semantic
         # --- equivalence to the portable twin is pytest-asserted):
@@ -1233,10 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- exactness is pytest-golden — exact-rank recovery — and
         # --- its stats query has no in-window dependents)
         "cf_synthetic_als_stats": q_synthetic_als_stats,
-        "gm_synthetic_image": q_synthetic_image,
-        "cluster_synthetic_stats": q_synthetic_clusters,
-        "gm_gibbs_denoise": q_gibbs_denoise,
-        "graph_mplp_sparse_labels": q_mplp_sparse_labels,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
