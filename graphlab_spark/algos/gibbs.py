@@ -58,8 +58,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.portable import M as LCG_M, edge_hash, mix31
-from ..plans.checkpoint import truncate_lineage
-from ..plans.superstep import no_aqe_loop
+from ..plans.checkpoint import CheckpointManager, truncate_lineage
+from ..plans.superstep import no_aqe_loop, run_bsp
 
 
 @dataclass
@@ -97,6 +97,8 @@ def chromatic_gibbs(
     sweeps: int = 10,
     seed: int = 103,
     colors: DataFrame | None = None,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = True,
 ) -> GibbsResult:
     """Run ``sweeps`` full chromatic Gibbs sweeps; each sweep visits
     the color classes in ascending color order and resamples every
@@ -105,6 +107,13 @@ def chromatic_gibbs(
 
     Initial assignments are hash-uniform over the ``k`` states (the
     reference's ``asg.uniform_sample()``, ``mrf.cpp:96-98``).
+
+    The loop runs through :func:`..plans.superstep.run_bsp` — one BSP
+    superstep per color step — so the chain checkpoints and RESUMES
+    mid-run like every other iterative algorithm here: draws are a
+    pure function of (seed, global step, vertex id) and the
+    accumulators ride in the state row, so a resumed run is
+    bit-identical to an uninterrupted one (tested).
     """
     if k < 2:
         raise ValueError("chromatic_gibbs: need k >= 2 states")
@@ -208,74 +217,76 @@ def chromatic_gibbs(
     state = truncate_lineage(state_raw)
     state_raw.unpersist()
 
-    for sweep in range(sweeps):
-        for ci, color in enumerate(color_list):
-            t = sweep * ncolors + ci
-            nbr_state = state.select(F.col("id").alias("nbr"),
-                                     F.col("asg").alias("nasg"))
-            # contribution of a neighbor at nasg toward my state x:
-            # fwd edge (me=src): table[x*k + nasg]; bwd: table[nasg*k + x]
-            sums = (
-                adj.filter(F.col("color") == F.lit(color))
-                .join(nbr_state, "nbr")
-                .groupBy("id")
-                .agg(*[
-                    F.sum(
-                        F.when(
-                            F.col("fwd"),
-                            F.element_at(
-                                "table",
-                                (F.lit(x * k) + F.col("nasg") + 1)
-                                .cast("int")))
-                        .otherwise(F.element_at(
+    def step(st, i):
+        color = color_list[i % ncolors]
+        t = i
+        nbr_state = st.select(F.col("id").alias("nbr"),
+                              F.col("asg").alias("nasg"))
+        # contribution of a neighbor at nasg toward my state x:
+        # fwd edge (me=src): table[x*k + nasg]; bwd: table[nasg*k + x]
+        sums = (
+            adj.filter(F.col("color") == F.lit(color))
+            .join(nbr_state, "nbr")
+            .groupBy("id")
+            .agg(*[
+                F.sum(
+                    F.when(
+                        F.col("fwd"),
+                        F.element_at(
                             "table",
-                            (F.col("nasg") * k + x + 1).cast("int")))
-                    ).alias(f"n{x}")
-                    for x in ks])
-            )
-            j = state.join(sums, "id", "left")
-            b = [F.col(f"t{x}") + F.coalesce(f"n{x}", F.lit(0.0))
-                 for x in ks]
-            mx = F.greatest(*b) if k > 1 else b[0]
-            e = [F.exp(b[x] - mx) for x in ks]
-            z = e[0]
-            for x in range(1, k):
-                z = z + e[x]
-            # mix31, not a bare LCG: the plain-LCG u-stream has ~0.25
-            # lag-1 serial correlation across steps for a fixed vertex,
-            # which *biases the stationary distribution* (measured:
-            # marginals plateaued 0.18 off the enumerated exact values;
-            # with the avalanche mix they converge).  Same fix as the
-            # FM diameter masks.
-            u = (mix31(edge_hash(F.lit(seed + 7 + t), F.col("id")))
-                 + F.lit(0.5)) / F.lit(float(LCG_M))
-            thr = u * z
-            # inverse CDF: smallest x with cumsum(e_0..e_x) > thr
-            cum, acc = [], None
-            for x in ks:
-                acc = e[x] if acc is None else acc + e[x]
-                cum.append(acc)
-            new_asg = F.lit(k - 1)
-            for x in reversed(range(k - 1)):
-                new_asg = F.when(cum[x] > thr, F.lit(x)).otherwise(new_asg)
-            new_asg = new_asg.cast("int")
-            active = F.col("color") == F.lit(color)
-            nxt_raw = j.select(
-                "id", "color",
-                *[F.col(f"t{x}") for x in ks],
-                F.when(active, new_asg).otherwise(F.col("asg")).alias("asg"),
-                *[F.when(active, F.col(f"bel{x}") + e[x] / z)
-                  .otherwise(F.col(f"bel{x}")).alias(f"bel{x}")
-                  for x in ks],
-                (F.col("nsamples") + active.cast("long")).alias("nsamples"),
-                (F.col("nchanges")
-                 + (active & (new_asg != F.col("asg"))).cast("long"))
-                .alias("nchanges"),
-            ).persist()
-            nxt = truncate_lineage(nxt_raw)
-            nxt_raw.unpersist()
-            state.unpersist()
-            state = nxt
+                            (F.lit(x * k) + F.col("nasg") + 1)
+                            .cast("int")))
+                    .otherwise(F.element_at(
+                        "table",
+                        (F.col("nasg") * k + x + 1).cast("int")))
+                ).alias(f"n{x}")
+                for x in ks])
+        )
+        j = st.join(sums, "id", "left")
+        b = [F.col(f"t{x}") + F.coalesce(f"n{x}", F.lit(0.0))
+             for x in ks]
+        mx = F.greatest(*b) if k > 1 else b[0]
+        e = [F.exp(b[x] - mx) for x in ks]
+        z = e[0]
+        for x in range(1, k):
+            z = z + e[x]
+        # mix31, not a bare LCG: the plain-LCG u-stream has ~0.25
+        # lag-1 serial correlation across steps for a fixed vertex,
+        # which *biases the stationary distribution* (measured:
+        # marginals plateaued 0.18 off the enumerated exact values;
+        # with the avalanche mix they converge).  Same fix as the
+        # FM diameter masks.
+        u = (mix31(edge_hash(F.lit(seed + 7 + t), F.col("id")))
+             + F.lit(0.5)) / F.lit(float(LCG_M))
+        thr = u * z
+        # inverse CDF: smallest x with cumsum(e_0..e_x) > thr
+        cum, acc = [], None
+        for x in ks:
+            acc = e[x] if acc is None else acc + e[x]
+            cum.append(acc)
+        new_asg = F.lit(k - 1)
+        for x in reversed(range(k - 1)):
+            new_asg = F.when(cum[x] > thr, F.lit(x)).otherwise(new_asg)
+        new_asg = new_asg.cast("int")
+        active = F.col("color") == F.lit(color)
+        nxt = j.select(
+            "id", "color",
+            *[F.col(f"t{x}") for x in ks],
+            F.when(active, new_asg).otherwise(F.col("asg")).alias("asg"),
+            *[F.when(active, F.col(f"bel{x}") + e[x] / z)
+              .otherwise(F.col(f"bel{x}")).alias(f"bel{x}")
+              for x in ks],
+            (F.col("nsamples") + active.cast("long")).alias("nsamples"),
+            (F.col("nchanges")
+             + (active & (new_asg != F.col("asg"))).cast("long"))
+            .alias("nchanges"),
+        )
+        return nxt, {"color": color}, False
+
+    result = run_bsp(
+        state, step, max_supersteps=sweeps * ncolors,
+        checkpoint=checkpoint, resume=resume)
+    state = result.state
     adj.unpersist()
     out = state.select(
         "id", "color", "asg",

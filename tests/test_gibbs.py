@@ -271,3 +271,34 @@ def test_gibbs_run_statistics_scalar_parity(spark):
     assert stats["nchanges"] == sum(nc.values())
     assert stats["min_samples"] == stats["max_samples"] == sweeps
     assert stats["loglik"] == pytest.approx(want_ll, abs=1e-12)
+
+
+def test_gibbs_checkpoint_resume_bit_identical(spark, tmp_path):
+    """Kill-and-resume: a chain checkpointed every color step and
+    resumed from disk finishes bit-identical to an uninterrupted run
+    (draws are pure functions of (seed, step, id); accumulators ride
+    in the state row)."""
+    from graphlab_spark.plans.checkpoint import CheckpointManager
+
+    k, lam = 3, 1.5
+    thetas = {i: [0.1 * i, -0.2, 0.05 * (i % 3)] for i in range(7)}
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6)]
+    colors = {0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 1}
+    unary = _unary(spark, thetas)
+    factors = _potts_factors(spark, edges, k, lam)
+    cdf = spark.createDataFrame(list(colors.items()), "id long, color int")
+    full = chromatic_gibbs(unary, factors, k, sweeps=3, seed=41,
+                           colors=cdf)
+    want = sorted(map(tuple, full.state.collect()))
+    ck = str(tmp_path / "gibbs_ck")
+    # partial run: only 1 sweep (2 color steps), checkpoint every step
+    partial = chromatic_gibbs(
+        unary, factors, k, sweeps=1, seed=41, colors=cdf,
+        checkpoint=CheckpointManager(ck, every=1), resume=False)
+    partial.state.count()
+    # resumed run continues from the saved step to the full 3 sweeps
+    resumed = chromatic_gibbs(
+        unary, factors, k, sweeps=3, seed=41, colors=cdf,
+        checkpoint=CheckpointManager(ck, every=1), resume=True)
+    got = sorted(map(tuple, resumed.state.collect()))
+    assert got == want
