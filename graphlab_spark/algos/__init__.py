@@ -15,7 +15,9 @@ from .label_propagation import label_propagation
 from .gibbs import chromatic_gibbs, gibbs_marginals, gibbs_run_statistics
 from .lbp import lbp_beliefs
 from .lda import lda_cvb0, word_topics
-from .mplp import mplp_dual_objective, mplp_duals, mplp_labels
+from .mplp import (mplp_dual_objective, mplp_duals, mplp_labels,
+                   mplp_sparse_table_labels, mplp_table_labels,
+                   sparse_table_to_dense)
 from .nmf import nmf, nmf_objective
 from .hits import hits
 from .pagerank import pagerank, personalized_pagerank, total_rank
@@ -43,6 +45,8 @@ __all__ = [
     "normalized_adjacency", "spectral_embedding", "spectral_clusters",
     "chromatic_gibbs", "gibbs_marginals", "gibbs_run_statistics",
     "lbp_beliefs", "mplp_duals", "mplp_labels", "mplp_dual_objective",
+    "mplp_table_labels", "mplp_sparse_table_labels",
+    "sparse_table_to_dense",
     "dd_state", "dd_labels", "dd_dual_objective",
     "sir_cascade", "bond_percolation", "tsc",
     "catpath", "catpath_articles", "events_typed_edges",
