@@ -1169,10 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
         "vision_match_graph": q_vision_match_graph,
         "vision_panorama_groups": q_vision_panorama_groups,
-        "cf_sparse_als_support": q_sparse_als_support,
         "cf_adpredictor_weights": q_adpredictor_weights,
         "cf_svd_power_v": q_svd_power,
-        "cf_svd_lanczos": q_svd_lanczos,
         "cf_svd_lanczos2_sigma": q_svd_lanczos2_sigma,
         "lda_word_topics": q_lda_word_topics,
         "graph_lbp_beliefs": q_lbp_beliefs,
@@ -1182,7 +1180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dd_projected_labels": q_dd_projected_labels,
         "graph_bethe_admm_labels": q_bethe_admm_labels,
         "graph_budget_map": q_budget_map,
-        "graph_tsc": q_tsc,
         "cf_nmf_user_factors": q_nmf_user_factors,
         "curation_hash_sample": q_hash_sample,
         "curation_stratified_sample": q_stratified_sample,
@@ -1212,6 +1209,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_synthetic_stats": q_synthetic_clusters,
         "gm_gibbs_denoise": q_gibbs_denoise,
         "graph_mplp_sparse_labels": q_mplp_sparse_labels,
+        # --- pulled into the window in place of the three rows-only
+        # --- entries below (a rows-only driver row records only a row
+        # --- count; these two are value-oracled, so their driver row is
+        # --- a full hash-match — strictly more evidence per slot):
+        "transcript_turn_latency": q_turn_latency,
+        "cf_synthetic_als_stats": q_synthetic_als_stats,
+        # --- rows-only entries (driver-side dense linear algebra — k=20
+        # --- LDLT supports, m=4 Lanczos tridiagonal, exp(H) — with
+        # --- numpy/closed-form pytest goldens; a driver row would add
+        # --- only a row count, so they yield their window slots to
+        # --- value-oracled queries):
+        "cf_sparse_als_support": q_sparse_als_support,
+        "cf_svd_lanczos": q_svd_lanczos,
+        "graph_tsc": q_tsc,
         # --- scale-path twins of the portable-default operators (rows-only:
         # --- xxhash64/approxQuantile plans DuckDB can't replay; semantic
         # --- equivalence to the portable twin is pytest-asserted):
@@ -1233,13 +1244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_sgd_rmse": q_sgd_rmse,
         "cf_biassgd_rmse": q_biassgd_rmse,
         "cf_svdpp_rmse": q_svdpp_rmse,
-        # --- (displaced by graph_bethe_admm_labels: same per-conv
-        # --- window shape as in-window transcript_conv_stats)
-        "transcript_turn_latency": q_turn_latency,
-        # --- (displaced by graph_budget_map: the ALS generator's
-        # --- exactness is pytest-golden — exact-rank recovery — and
-        # --- its stats query has no in-window dependents)
-        "cf_synthetic_als_stats": q_synthetic_als_stats,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
