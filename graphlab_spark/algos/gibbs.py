@@ -89,6 +89,61 @@ def _validate_coloring(factors: DataFrame, colors: DataFrame) -> None:
             "simultaneously and the chain would not be a Gibbs sampler")
 
 
+def gibbs_adjacency(factors: DataFrame, colors: DataFrame) -> DataFrame:
+    """The static color-tagged adjacency view the color step joins
+    against the assignment state (persisted, pre-partitioned by the
+    *neighbor* key so the per-step join shuffles only the |V|-row
+    state).
+
+    Persisted but NOT lineage-truncated: localCheckpoint rewrites the
+    plan as a Scan ExistingRDD with UNKNOWN output partitioning, so the
+    sort-merge join would re-shuffle this |2E| view every color step
+    (caught by test_gibbs_step_join_shuffles_state_side_only, which
+    builds its adjacency through THIS function); the cached
+    InMemoryRelation keeps hashpartitioning(nbr) and the view is
+    static, so its shallow lineage never grows anyway."""
+    return (
+        factors.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
+                       "table", F.lit(True).alias("fwd"))
+        .unionByName(
+            factors.select(F.col("dst").alias("id"),
+                           F.col("src").alias("nbr"),
+                           "table", F.lit(False).alias("fwd")))
+        .join(colors, "id")
+        .repartition("nbr")
+        .persist()
+    )
+
+
+def gibbs_color_sums(adj: DataFrame, nbr_state: DataFrame,
+                     color: int, k: int) -> DataFrame:
+    """Per-vertex K-state neighbor contribution sums for one color
+    class — the join+aggregate at the heart of the color step
+    (``gibbs_update::operator()`` gathering incident factor slices).
+    ``nbr_state = (nbr, nasg)`` is the current assignment keyed by the
+    neighbor id.  Contribution of a neighbor at ``nasg`` toward my
+    state x: fwd edge (me=src) reads ``table[x*k + nasg]``; bwd reads
+    ``table[nasg*k + x]``."""
+    return (
+        adj.filter(F.col("color") == F.lit(color))
+        .join(nbr_state, "nbr")
+        .groupBy("id")
+        .agg(*[
+            F.sum(
+                F.when(
+                    F.col("fwd"),
+                    F.element_at(
+                        "table",
+                        (F.lit(x * k) + F.col("nasg") + 1)
+                        .cast("int")))
+                .otherwise(F.element_at(
+                    "table",
+                    (F.col("nasg") * k + x + 1).cast("int")))
+            ).alias(f"n{x}")
+            for x in range(k)])
+    )
+
+
 @no_aqe_loop
 def chromatic_gibbs(
     unary: DataFrame,
@@ -178,32 +233,15 @@ def chromatic_gibbs(
     ] or [0]  # factor-free model: every vertex samples each sweep
     ncolors = len(color_list)
 
-    # --- static adjacency view, color-tagged on the receiving side and
-    #     pre-partitioned by the *neighbor* key so the per-step join
-    #     against the assignment state shuffles only the |V|-row state
-    # persisted but NOT lineage-truncated: localCheckpoint rewrites the
-    # plan as a Scan ExistingRDD with UNKNOWN output partitioning, so
-    # the sort-merge join would re-shuffle this |2E| view every color
-    # step (caught by test_gibbs_step_join_shuffles_state_side_only);
-    # the cached InMemoryRelation keeps hashpartitioning(nbr) and the
-    # view is static, so its shallow lineage never grows anyway.
-    adj = (
-        factors.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
-                       "table", F.lit(True).alias("fwd"))
-        .unionByName(
-            factors.select(F.col("dst").alias("id"),
-                           F.col("src").alias("nbr"),
-                           "table", F.lit(False).alias("fwd")))
-        .join(colors, "id")
-        .repartition("nbr")
-        .persist()
-    )
+    # --- static adjacency view (see gibbs_adjacency for the
+    #     partitioning/lineage rationale)
+    adj = gibbs_adjacency(factors, colors)
 
     # --- state: (id, color, t0..t{k-1}, asg, bel0.., nsamples, nchanges)
     #     theta unpacked to scalar columns (generated-column engine, as
     #     the MPLP table engine does)
     init_asg = (edge_hash(F.lit(seed), F.col("id")) % F.lit(k)).cast("int")
-    state_raw = (
+    state = (
         unary.join(colors, "id", "left")
         .select(
             "id", F.coalesce("color", F.lit(color_list[0])).alias("color"),
@@ -212,36 +250,23 @@ def chromatic_gibbs(
             *[F.lit(0.0).alias(f"bel{x}") for x in ks],
             F.lit(0).cast("long").alias("nsamples"),
             F.lit(0).cast("long").alias("nchanges"))
-        .persist()
     )
-    state = truncate_lineage(state_raw)
-    state_raw.unpersist()
+    # materialize the init plan eagerly only when it will actually seed
+    # the chain: on a checkpoint resume run_bsp swaps in the parquet
+    # state immediately, and an eager localCheckpoint here would burn a
+    # full init job + pin a |V|-row copy that is never read
+    will_resume = (
+        resume and checkpoint is not None and checkpoint.directory
+        and checkpoint.latest(unary.sparkSession) is not None)
+    if not will_resume:
+        state = truncate_lineage(state)
 
     def step(st, i):
         color = color_list[i % ncolors]
         t = i
         nbr_state = st.select(F.col("id").alias("nbr"),
                               F.col("asg").alias("nasg"))
-        # contribution of a neighbor at nasg toward my state x:
-        # fwd edge (me=src): table[x*k + nasg]; bwd: table[nasg*k + x]
-        sums = (
-            adj.filter(F.col("color") == F.lit(color))
-            .join(nbr_state, "nbr")
-            .groupBy("id")
-            .agg(*[
-                F.sum(
-                    F.when(
-                        F.col("fwd"),
-                        F.element_at(
-                            "table",
-                            (F.lit(x * k) + F.col("nasg") + 1)
-                            .cast("int")))
-                    .otherwise(F.element_at(
-                        "table",
-                        (F.col("nasg") * k + x + 1).cast("int")))
-                ).alias(f"n{x}")
-                for x in ks])
-        )
+        sums = gibbs_color_sums(adj, nbr_state, color, k)
         j = st.join(sums, "id", "left")
         b = [F.col(f"t{x}") + F.coalesce(f"n{x}", F.lit(0.0))
              for x in ks]

@@ -167,10 +167,22 @@ def run_bsp(
         if latest is not None:
             start_step, state = latest
             start_step += 1
+    if start_step > max_supersteps:
+        # silently returning the longer chain's state labeled with the
+        # caller's (smaller) superstep count would corrupt downstream
+        # bookkeeping (e.g. Gibbs nsamples vs requested sweeps)
+        raise ValueError(
+            f"run_bsp: checkpoint resumes at superstep {start_step} but "
+            f"only {max_supersteps} supersteps were requested — the "
+            "checkpointed chain is already past the requested horizon; "
+            "pass resume=False (fresh run), a fresh checkpoint "
+            f"directory, or request >= {start_step} supersteps")
     state = state.persist()
     history: list[dict] = []
     converged = False
-    i = start_step
+    # if the loop never runs (resume found the run exactly complete),
+    # supersteps below must report start_step, not start_step + 1
+    i = start_step - 1
     with _no_aqe(initial_state, disable_aqe):
         for i in range(start_step, max_supersteps):
             t0 = time.time()

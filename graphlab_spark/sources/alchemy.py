@@ -58,120 +58,163 @@ def load_alchemy(
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
     lines = spark.createDataFrame(rdd, "line string, idx long") \
         .select(F.trim("line").alias("line"), "idx").persist()
-    head = lines.filter(F.col("idx") == 0).take(1)
-    if not head or head[0]["line"] != "variables:":
+    variables = None
+    try:
+        head = lines.filter(F.col("idx") == 0).take(1)
+        if not head or head[0]["line"] != "variables:":
+            raise ValueError(
+                f"load_alchemy: {path} does not start with 'variables:' "
+                f"(got {head[0]['line']!r} )" if head else
+                f"load_alchemy: {path} is empty")
+        fb_row = (lines.filter(F.col("line") == "factors:")
+                  .agg(F.min("idx").alias("i")).first())
+        if fb_row["i"] is None:
+            raise ValueError(
+                f"load_alchemy: {path} has no 'factors:' section")
+        fb = int(fb_row["i"])
+
+        parts = F.split("line", "\t")
+        # ids are assigned by ROW ORDER OVER NON-BLANK LINES, not the
+        # raw line index — a blank line inside the variables section
+        # must not shift/gap ids (the reference's unique_var_id++ only
+        # advances on parsed lines).  A model file is metadata-scale,
+        # so the single-partition row_number window is fine here (the
+        # same documented trade as save_alchemy's driver-side write).
+        from pyspark.sql import Window
+        arity_tok = F.when(F.size(parts) > 1,
+                           F.trim(F.element_at(parts, 2)))
+        variables = (
+            lines.filter((F.col("idx") > 0) & (F.col("idx") < fb)
+                         & (F.length("line") > 0))
+            .select(
+                "idx",
+                F.trim(F.element_at(parts, 1)).alias("name"),
+                arity_tok.alias("_atok"),
+                F.coalesce(arity_tok.try_cast("int"), F.lit(2))
+                .alias("arity"))
+            .withColumn(
+                "id",
+                (F.row_number().over(Window.orderBy("idx")) - F.lit(1))
+                .cast("long"))
+            .persist()
+        )
+        # a malformed arity token must raise, not silently default to 2
+        bad_arity = variables.filter(
+            F.col("_atok").isNotNull()
+            & (F.col("_atok").try_cast("int").isNull()
+               | (F.col("arity") < 1))).take(1)
+        if bad_arity:
+            raise ValueError(
+                f"load_alchemy: variable line {bad_arity[0]['idx']} has "
+                f"unparseable arity token {bad_arity[0]['_atok']!r}")
+        dup = (variables.groupBy("name").count()
+               .filter(F.col("count") > 1).take(1))
+        if dup:
+            raise ValueError(
+                f"load_alchemy: variable name {dup[0]['name']!r} is "
+                "declared more than once — the reference's name->id map "
+                "cannot represent duplicates and the factor joins would "
+                "silently fan out")
+
+        raw = (
+            lines.filter((F.col("idx") > fb) & (F.length("line") > 0))
+            .select(
+                "idx",
+                F.transform(
+                    F.split(F.substring_index("line", "//", 1), "/"),
+                    lambda s: F.trim(s)).alias("args"),
+                F.transform(
+                    F.split(F.trim(F.substring_index(
+                        # values live between the first '//' and an
+                        # optional '///' weight suffix
+                        F.substring_index("line", "///", 1), "//", -1)),
+                        r"\s+"),
+                    lambda s: s.cast("double")).alias("vals"))
+        )
+        big = raw.filter(F.size("args") > 2).take(1)
+        if big:
+            raise ValueError(
+                f"load_alchemy: factor line {big[0]['idx']} has "
+                f"{len(big[0]['args'])} variables — this engine's MRF "
+                "surface is unary + pairwise only")
+
+        # resolve names -> (id, arity); one join per argument slot keeps
+        # everything a broadcast-friendly equi-join on the (small) name
+        # dim.  BOTH legs join left so an unknown name in EITHER slot is
+        # caught below instead of silently dropping the factor row.
+        v1 = variables.select(F.col("name").alias("_n1"),
+                              F.col("id").alias("_i1"),
+                              F.col("arity").alias("_k1"))
+        v2 = variables.select(F.col("name").alias("_n2"),
+                              F.col("id").alias("_i2"),
+                              F.col("arity").alias("_k2"))
+        resolved = (
+            raw.select("idx", "vals", F.size("args").alias("nargs"),
+                       F.element_at("args", 1).alias("_n1"),
+                       F.when(F.size("args") > 1, F.element_at("args", 2))
+                       .alias("_n2"))
+            .join(F.broadcast(v1), "_n1", "left")
+            .join(F.broadcast(v2), "_n2", "left")
+        )
+        missing = resolved.filter(
+            F.col("_i1").isNull()
+            | ((F.col("nargs") == 2) & F.col("_i2").isNull())).take(1)
+        if missing:
+            bad = (missing[0]["_n1"] if missing[0]["_i1"] is None
+                   else missing[0]["_n2"])
+            raise ValueError(
+                f"load_alchemy: factor line {missing[0]['idx']} "
+                f"references unknown variable {bad!r}")
+        badlen = resolved.filter(
+            F.size("vals") != F.col("_k1") * F.coalesce("_k2", F.lit(1))
+        ).take(1)
+        if badlen:
+            raise ValueError(
+                f"load_alchemy: factor line {badlen[0]['idx']} has "
+                f"{len(badlen[0]['vals'])} values, expected "
+                "arity-product many")
+
+        # cut lineage so consuming the returned frames never re-reads /
+        # re-parses the text file (model files are metadata-scale; one
+        # eager materialization replaces per-action re-scans)
+        resolved = resolved.localCheckpoint()
+
+        unary = (
+            resolved.filter(F.col("nargs") == 1)
+            .select(F.col("_i1").alias("id"), "vals")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("vals")))
+                 .alias("ts"))
+            .select(
+                "id",
+                F.aggregate(
+                    F.expr("slice(ts, 2, size(ts) - 1)"),
+                    F.element_at(F.col("ts"), 1)["vals"],
+                    lambda acc, t: F.zip_with(
+                        acc, t["vals"], lambda a, b: a + b))
+                .alias("theta"))
+        )
+        # file order j = x1 + x2*k1  ->  row-major i = x1*k2 + x2:
+        # vals[(i div k2) + (i % k2) * k1]
+        pairwise = (
+            resolved.filter(F.col("nargs") == 2)
+            .select(
+                F.col("_i1").alias("src"), F.col("_i2").alias("dst"),
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_k1") * F.col("_k2") - 1),
+                    lambda i: F.element_at(
+                        "vals",
+                        ((i / F.col("_k2")).cast("int")
+                         + (i % F.col("_k2")) * F.col("_k1") + 1)
+                        .cast("int"))).alias("table"))
+        )
+        out_vars = (variables.select("id", "name", "arity")
+                    .localCheckpoint())
+        return out_vars, unary, pairwise
+    finally:
+        if variables is not None:
+            variables.unpersist()
         lines.unpersist()
-        raise ValueError(
-            f"load_alchemy: {path} does not start with 'variables:' "
-            f"(got {head[0]['line']!r} )" if head else
-            f"load_alchemy: {path} is empty")
-    fb_row = (lines.filter(F.col("line") == "factors:")
-              .agg(F.min("idx").alias("i")).first())
-    if fb_row["i"] is None:
-        lines.unpersist()
-        raise ValueError(f"load_alchemy: {path} has no 'factors:' section")
-    fb = int(fb_row["i"])
-
-    parts = F.split("line", "\t")
-    variables = (
-        lines.filter((F.col("idx") > 0) & (F.col("idx") < fb)
-                     & (F.length("line") > 0))
-        .select(
-            (F.col("idx") - 1).alias("id"),
-            F.trim(F.element_at(parts, 1)).alias("name"),
-            F.coalesce(
-                F.when(F.size(parts) > 1,
-                       F.trim(F.element_at(parts, -1)).try_cast("int")),
-                F.lit(2)).alias("arity"))
-        .persist()
-    )
-
-    raw = (
-        lines.filter((F.col("idx") > fb) & (F.length("line") > 0))
-        .select(
-            "idx",
-            F.transform(
-                F.split(F.substring_index("line", "//", 1), "/"),
-                lambda s: F.trim(s)).alias("args"),
-            F.transform(
-                F.split(F.trim(F.substring_index(
-                    # values live between the first '//' and an
-                    # optional '///' weight suffix
-                    F.substring_index("line", "///", 1), "//", -1)),
-                    r"\s+"),
-                lambda s: s.cast("double")).alias("vals"))
-    )
-    lines.unpersist()
-    big = raw.filter(F.size("args") > 2).take(1)
-    if big:
-        variables.unpersist()
-        raise ValueError(
-            f"load_alchemy: factor line {big[0]['idx']} has "
-            f"{len(big[0]['args'])} variables — this engine's MRF "
-            "surface is unary + pairwise only")
-
-    # resolve names -> (id, arity); one join per argument slot keeps
-    # everything a broadcast-friendly equi-join on the (small) name dim
-    v1 = variables.select(F.col("name").alias("_n1"),
-                          F.col("id").alias("_i1"),
-                          F.col("arity").alias("_k1"))
-    v2 = variables.select(F.col("name").alias("_n2"),
-                          F.col("id").alias("_i2"),
-                          F.col("arity").alias("_k2"))
-    resolved = (
-        raw.select("idx", "vals", F.size("args").alias("nargs"),
-                   F.element_at("args", 1).alias("_n1"),
-                   F.when(F.size("args") > 1, F.element_at("args", 2))
-                   .alias("_n2"))
-        .join(F.broadcast(v1), "_n1")
-        .join(F.broadcast(v2), "_n2", "left")
-    )
-    missing = resolved.filter(
-        (F.col("nargs") == 2) & F.col("_i2").isNull()).take(1)
-    if missing:
-        variables.unpersist()
-        raise ValueError(
-            f"load_alchemy: factor line {missing[0]['idx']} references "
-            f"unknown variable {missing[0]['_n2']!r}")
-    badlen = resolved.filter(
-        F.size("vals") != F.col("_k1") * F.coalesce("_k2", F.lit(1))
-    ).take(1)
-    if badlen:
-        variables.unpersist()
-        raise ValueError(
-            f"load_alchemy: factor line {badlen[0]['idx']} has "
-            f"{len(badlen[0]['vals'])} values, expected "
-            "arity-product many")
-
-    unary = (
-        resolved.filter(F.col("nargs") == 1)
-        .select(F.col("_i1").alias("id"), "vals")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("vals"))).alias("ts"))
-        .select(
-            "id",
-            F.aggregate(
-                F.expr("slice(ts, 2, size(ts) - 1)"),
-                F.element_at(F.col("ts"), 1)["vals"],
-                lambda acc, t: F.zip_with(
-                    acc, t["vals"], lambda a, b: a + b)).alias("theta"))
-    )
-    # file order j = x1 + x2*k1  ->  row-major i = x1*k2 + x2:
-    # vals[(i div k2) + (i % k2) * k1]
-    pairwise = (
-        resolved.filter(F.col("nargs") == 2)
-        .select(
-            F.col("_i1").alias("src"), F.col("_i2").alias("dst"),
-            F.transform(
-                F.sequence(F.lit(0), F.col("_k1") * F.col("_k2") - 1),
-                lambda i: F.element_at(
-                    "vals",
-                    ((i / F.col("_k2")).cast("int")
-                     + (i % F.col("_k2")) * F.col("_k1") + 1)
-                    .cast("int"))).alias("table"))
-    )
-    variables.unpersist()
-    return variables, unary, pairwise
 
 
 def save_alchemy(

@@ -60,6 +60,45 @@ def test_load_alchemy_errors(spark, tmp_path):
     bad5.write_text("variables:\na\nb\nfactors:\na / b // 0 0 0\n")
     with pytest.raises(ValueError, match="values"):
         load_alchemy(spark, str(bad5))
+    # unknown variable in the FIRST slot must raise too (a silent
+    # inner-join drop here once corrupted the model with no error)
+    bad6 = tmp_path / "unknown1.alchemy"
+    bad6.write_text("variables:\na\nfactors:\nzz / a // 0 0 0 0\n")
+    with pytest.raises(ValueError, match="unknown variable 'zz'"):
+        load_alchemy(spark, str(bad6))
+    bad7 = tmp_path / "unknown_unary.alchemy"
+    bad7.write_text("variables:\na\nfactors:\nzz // 0 0\n")
+    with pytest.raises(ValueError, match="unknown variable 'zz'"):
+        load_alchemy(spark, str(bad7))
+    # duplicate variable declarations would fan the name joins out
+    bad8 = tmp_path / "dupvar.alchemy"
+    bad8.write_text("variables:\na\na\nfactors:\na // 0 1\n")
+    with pytest.raises(ValueError, match="declared more than once"):
+        load_alchemy(spark, str(bad8))
+    # malformed arity token must raise, not silently default to 2
+    bad9 = tmp_path / "badarity.alchemy"
+    bad9.write_text("variables:\nb\t3x\nfactors:\nb // 0 1 2\n")
+    with pytest.raises(ValueError, match="unparseable arity"):
+        load_alchemy(spark, str(bad9))
+
+
+def test_load_alchemy_blank_lines_keep_ids_contiguous(spark, tmp_path):
+    """A blank line inside the variables section must not shift or gap
+    the file-order ids (the reference's unique_var_id++ advances only
+    on parsed lines)."""
+    f = tmp_path / "blank.alchemy"
+    f.write_text(
+        "variables:\n"
+        "a\n"
+        "\n"
+        "b\n"
+        "factors:\n"
+        "a / b // 0 -1 -1 0\n")
+    variables, _, pairwise = load_alchemy(spark, str(f))
+    vs = {r["name"]: r["id"] for r in variables.collect()}
+    assert vs == {"a": 0, "b": 1}
+    pw = pairwise.collect()
+    assert (pw[0]["src"], pw[0]["dst"]) == (0, 1)
 
 
 def test_alchemy_roundtrip_and_gibbs_end_to_end(spark, tmp_path):

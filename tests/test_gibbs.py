@@ -302,3 +302,15 @@ def test_gibbs_checkpoint_resume_bit_identical(spark, tmp_path):
         checkpoint=CheckpointManager(ck, every=1), resume=True)
     got = sorted(map(tuple, resumed.state.collect()))
     assert got == want
+    # resuming exactly-complete is fine (returns the final state) ...
+    again = chromatic_gibbs(
+        unary, factors, k, sweeps=3, seed=41, colors=cdf,
+        checkpoint=CheckpointManager(ck, every=1), resume=True)
+    assert sorted(map(tuple, again.state.collect())) == want
+    # ... but resuming PAST the requested horizon must raise, not
+    # silently return the longer chain labeled with fewer sweeps
+    import pytest
+    with pytest.raises(ValueError, match="past the requested horizon"):
+        chromatic_gibbs(
+            unary, factors, k, sweeps=1, seed=41, colors=cdf,
+            checkpoint=CheckpointManager(ck, every=1), resume=True)

@@ -287,6 +287,8 @@ def test_gibbs_step_join_shuffles_state_side_only(spark):
     bug."""
     from pyspark.sql import functions as F
 
+    from graphlab_spark.algos.gibbs import gibbs_adjacency, gibbs_color_sums
+
     factors = spark.range(2000).select(
         (F.col("id") % 300).alias("src"),
         ((F.col("id") * 7 + 1) % 300).alias("dst"),
@@ -294,13 +296,11 @@ def test_gibbs_step_join_shuffles_state_side_only(spark):
         .alias("table"))
     colors = spark.range(300).select(
         "id", (F.col("id") % 2).cast("int").alias("color"))
-    adj = (
-        factors.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
-                       "table", F.lit(True).alias("fwd"))
-        .unionByName(factors.select(
-            F.col("dst").alias("id"), F.col("src").alias("nbr"),
-            "table", F.lit(False).alias("fwd")))
-        .join(colors, "id").repartition("nbr").persist())
+    # the ENGINE's OWN adjacency + color-step join builders — so
+    # re-introducing truncate_lineage into gibbs_adjacency (which
+    # erases the cached hashpartitioning(nbr)) fails THIS test, not
+    # just a hand-built replica of the join
+    adj = gibbs_adjacency(factors, colors)
     adj.count()  # materialize the cache the engine relies on
     state = spark.range(300).select(
         F.col("id").alias("nbr"), (F.col("id") % 2).cast("int").alias("nasg"))
@@ -308,10 +308,7 @@ def test_gibbs_step_join_shuffles_state_side_only(spark):
     try:
         # force the sort-merge shape a big state would take
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = (adj.filter(F.col("color") == 0).join(state, "nbr")
-             .groupBy("id")
-             .agg(F.sum(F.element_at("table", F.col("nasg") + 1))
-                  .alias("n0")))
+        j = gibbs_color_sums(adj, state, color=0, k=2)
         plan = j._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
