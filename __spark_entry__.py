@@ -784,6 +784,25 @@ def q_gibbs_denoise(spark, sf_dir):
     return res.state.select("id", "asg")
 
 
+def q_factor_bp_beliefs(spark, sf_dir):
+    """N-ary factor-graph max-sum BP (``factors/bp_vertex_program.hpp``
+    + ``factor_graph.hpp`` — ``algos/factor_bp.py``) over the portable
+    synthetic model (mixed cardinalities 2/3, factor arities 1/2/3):
+    5 synchronous message rounds with damping 0.5 and regularization
+    0.25, decoded to per-(variable, state) beliefs + MAP labels.  The
+    DuckDB twin replays the chain round by round in a recursive CTE —
+    variable/factor beliefs, the stride-walk MAP projection, the
+    regularize/shift-normalize/damp message tail."""
+    from graphlab_spark.algos.factor_bp import factor_bp_beliefs
+    from graphlab_spark.sources.parsers import load_synthetic_factor_graph
+    variables, factors = load_synthetic_factor_graph(spark, groups=40)
+    bel = factor_bp_beliefs(variables, factors, iterations=5,
+                            damping=0.5, regularization=0.25)
+    return (bel.select("id", F.posexplode("belief").alias("i", "b"),
+                       "label")
+            .select("id", "i", F.round("b", 6).alias("b"), "label"))
+
+
 def q_implicit_ratings(spark, sf_dir):
     """Ratings table after implicit-edge injection (``implicit.hpp:
     40-88``, ``algos/als.py::add_implicit_ratings``): the full
@@ -1192,7 +1211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_conv_stats": q_transcript_conv_stats,
         "transcript_tool_transitions": q_tool_transitions,
         "transcript_sessions": q_transcript_sessions,
-        "transcript_near_dups": q_transcript_near_dups,
         "graph_contract_lpa": q_contract_lpa,
         "graph_ingress_report": q_ingress_report,
         "sim_knn_graph": q_knn_graph,
@@ -1209,6 +1227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_synthetic_stats": q_synthetic_clusters,
         "gm_gibbs_denoise": q_gibbs_denoise,
         "graph_mplp_sparse_labels": q_mplp_sparse_labels,
+        # --- session-3 addition (value-oracled, never driver-checked):
+        # --- the N-ary factor-graph BP engine; takes the window slot of
+        # --- transcript_near_dups, whose machinery has the strongest
+        # --- driver-green siblings (dedup_minhash_clusters green in
+        # --- r02; transcript_corpus/edges stay in-window):
+        "gm_factor_bp_beliefs": q_factor_bp_beliefs,
         # --- pulled into the window in place of the three rows-only
         # --- entries below (a rows-only driver row records only a row
         # --- count; these two are value-oracled, so their driver row is
@@ -1241,6 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- each rmse is a derived scalar over a factor state whose
         # --- full-state query stays in-window):
         "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        # --- displaced by gm_factor_bp_beliefs (see the window note
+        # --- above); stays value-oracled in the dev sweep:
+        "transcript_near_dups": q_transcript_near_dups,
         "cf_sgd_rmse": q_sgd_rmse,
         "cf_biassgd_rmse": q_biassgd_rmse,
         "cf_svdpp_rmse": q_svdpp_rmse,
@@ -1592,6 +1619,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "gm_gibbs_denoise": O.sql_gibbs_denoise(
             rows=12, cols=12, error_rate=0.45, lam=0.75, sweeps=3,
             seed=11, gseed=29),
+        "gm_factor_bp_beliefs": O.sql_factor_bp_beliefs(
+            groups=40, iterations=5, damping=0.5, regularization=0.25),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),

@@ -12,6 +12,7 @@ from .jacobi import jacobi, residual_norm
 from .kcore import kcore_subgraph, kcore_table
 from .kmeans import kmeans
 from .label_propagation import label_propagation
+from .factor_bp import factor_bp_beliefs, factor_graph_bp
 from .gibbs import chromatic_gibbs, gibbs_marginals, gibbs_run_statistics
 from .lbp import lbp_beliefs
 from .lda import lda_cvb0, word_topics
@@ -44,6 +45,7 @@ __all__ = [
     "lda_cvb0", "word_topics",
     "normalized_adjacency", "spectral_embedding", "spectral_clusters",
     "chromatic_gibbs", "gibbs_marginals", "gibbs_run_statistics",
+    "factor_bp_beliefs", "factor_graph_bp",
     "lbp_beliefs", "mplp_duals", "mplp_labels", "mplp_dual_objective",
     "mplp_table_labels", "mplp_sparse_table_labels",
     "sparse_table_to_dense",

@@ -2340,3 +2340,133 @@ def sql_vision_panorama_groups() -> str:
             + _cc_rec("vcc", "vverts", "vsym")
             + "\nSELECT id, component AS pano FROM vcc "
               "WHERE iter = (SELECT max(iter) FROM vcc)")
+
+
+# ---------------------------------------------------------------------------
+# N-ary factor-graph max-sum BP (mirrors algos/factor_bp.py over the
+# sources/parsers.py::load_synthetic_factor_graph model — the factors/
+# library surface: bp_vertex_program.hpp + factor_graph.hpp).  The
+# recursive CTE advances one synchronous message round per iteration
+# over exploded (fid, vid, state) message rows; shift-normalizations
+# are windows over (fid, vid), the factor-belief stride walk rides a
+# precomputed assignment map.
+# ---------------------------------------------------------------------------
+
+
+def sql_factor_bp_beliefs(groups: int = 40, iterations: int = 5,
+                          damping: float = 0.5,
+                          regularization: float = 0.25,
+                          seed: int = 41) -> str:
+    import math as _math
+
+    g, alz = groups, "-1000000.0"
+    d, r = repr(float(damping)), repr(float(regularization))
+    e_lit = repr(_math.e)
+    u0 = _sql_synth_unit(sql_edge_hash(str(seed), "(v.vid * 8 + s.range)"))
+    u1 = _sql_synth_unit(sql_edge_hash(str(seed + 1),
+                                       "(fn.fid * 32 + e.range)"))
+    statics = f"""
+vars AS (
+  SELECT i.range AS vid, CAST(2 + i.range % 2 AS INT) AS card
+  FROM range({3 * g + 1}) i),
+pri AS (
+  SELECT v.vid, CAST(s.range AS INT) AS i, -(0.1 + 0.8 * {u0}) AS p
+  FROM vars v, range(3) s WHERE s.range < v.card),
+inc AS (
+  SELECT t.range AS fid, t.range * 3 + p.range AS vid,
+         CAST(p.range AS INT) AS pos
+  FROM range({g}) t, range(3) p
+  UNION ALL
+  SELECT {g} + t.range,
+         CASE WHEN p.range = 0 THEN t.range * 3 + 2
+              ELSE t.range * 3 + 3 END, CAST(p.range AS INT)
+  FROM range({g - 1}) t, range(2) p
+  UNION ALL
+  SELECT {2 * g} + t.range, t.range * 3, 0 FROM range({g}) t),
+inc3 AS (
+  SELECT i.fid, i.vid, i.pos, v.card,
+         CAST(coalesce((SELECT product(v2.card)
+                        FROM inc i2 JOIN vars v2 ON v2.vid = i2.vid
+                        WHERE i2.fid = i.fid AND i2.pos < i.pos), 1.0)
+              AS BIGINT) AS stride,
+         CAST((SELECT product(v2.card)
+               FROM inc i2 JOIN vars v2 ON v2.vid = i2.vid
+               WHERE i2.fid = i.fid) AS BIGINT) AS numel
+  FROM inc i JOIN vars v ON v.vid = i.vid),
+fnum AS (SELECT fid, max(numel) AS numel FROM inc3 GROUP BY fid),
+ftab AS (
+  SELECT fn.fid, e.range AS idx, -(0.2 + 0.6 * {u1}) AS val
+  FROM fnum fn, range(27) e WHERE e.range < fn.numel),
+amap AS (
+  SELECT i.fid, i.vid, i.pos, t.idx,
+         CAST((t.idx // i.stride) % i.card AS INT) AS st
+  FROM inc3 i JOIN ftab t ON t.fid = i.fid),
+states AS (
+  SELECT i.fid, i.vid, CAST(s.range AS INT) AS i
+  FROM inc3 i, range(3) s WHERE s.range < i.card)"""
+    # one synchronous round computed from the previous working table m
+    reg_layers = f"""
+      SELECT it, fid, vid, i, mv, mf,
+             ln({r} * exp(1.0) + (1 - {r})
+                * exp(rmv - max(rmv) OVER (PARTITION BY fid, vid))) AS rmv,
+             ln({r} * exp(1.0) + (1 - {r})
+                * exp(rmf - max(rmf) OVER (PARTITION BY fid, vid))) AS rmf
+      FROM""" if regularization > 0.0 else """
+      SELECT it, fid, vid, i, mv, mf, rmv, rmf
+      FROM"""
+    damp_mv = (f"CASE WHEN {d} * exp(mv) + (1 - {d}) * exp(smv) = 0 "
+               f"THEN {alz} ELSE ln({d} * exp(mv) + (1 - {d}) * exp(smv)) "
+               "END") if damping > 0.0 else "smv"
+    damp_mf = (f"CASE WHEN {d} * exp(mf) + (1 - {d}) * exp(smf) = 0 "
+               f"THEN {alz} ELSE ln({d} * exp(mf) + (1 - {d}) * exp(smf)) "
+               "END") if damping > 0.0 else "smf"
+    rec = f"""
+msgs(it, fid, vid, i, mv, mf) AS (
+  SELECT 0, fid, vid, i, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM states
+  UNION ALL
+  SELECT it, fid, vid, i, {damp_mv} AS mv, {damp_mf} AS mf
+  FROM (
+    SELECT it, fid, vid, i, mv, mf,
+           rmv - max(rmv) OVER (PARTITION BY fid, vid) AS smv,
+           rmf - max(rmf) OVER (PARTITION BY fid, vid) AS smf
+    FROM ({reg_layers} (
+      SELECT m.it + 1 AS it, m.fid, m.vid, m.i, m.mv, m.mf,
+             vb.b - m.mf AS rmv,
+             greatest({alz}, rf.mxfb - m.mv) AS rmf
+      FROM msgs m
+      JOIN (SELECT p.vid, p.i, p.p + q.s AS b
+            FROM pri p
+            JOIN (SELECT vid, i, sum(mf) AS s FROM msgs
+                  GROUP BY vid, i) q
+              ON q.vid = p.vid AND q.i = p.i) vb
+        ON vb.vid = m.vid AND vb.i = m.i
+      JOIN (SELECT a.fid, a.vid, a.st, max(f.fb) AS mxfb
+            FROM amap a
+            JOIN (SELECT t.fid, t.idx, t.val + sum(m3.mv) AS fb
+                  FROM ftab t
+                  JOIN amap a2 ON a2.fid = t.fid AND a2.idx = t.idx
+                  JOIN msgs m3 ON m3.fid = a2.fid AND m3.vid = a2.vid
+                                  AND m3.i = a2.st
+                  GROUP BY t.fid, t.idx, t.val) f
+              ON f.fid = a.fid AND f.idx = a.idx
+            GROUP BY a.fid, a.vid, a.st) rf
+        ON rf.fid = m.fid AND rf.vid = m.vid AND rf.st = m.i
+      WHERE m.it < {iterations}
+    ) z0) z1
+  ) z2
+)"""
+    return f"""
+WITH RECURSIVE {statics.strip()},
+{rec.strip()},
+fin AS (SELECT vid, i, sum(mf) AS s FROM msgs
+        WHERE it = {iterations} GROUP BY vid, i),
+bel AS (SELECT p.vid, p.i,
+               CASE WHEN f.s IS NULL THEN 0.0 ELSE p.p + f.s END AS b
+        FROM pri p LEFT JOIN fin f ON f.vid = p.vid AND f.i = p.i),
+mx AS (SELECT vid, max(b) AS mb FROM bel GROUP BY vid),
+lab AS (SELECT b.vid, min(b.i) AS label
+        FROM bel b JOIN mx ON mx.vid = b.vid AND b.b = mx.mb
+        GROUP BY b.vid)
+SELECT b.vid AS id, b.i AS i, round(b.b, 6) AS b, l.label
+FROM bel b JOIN lab l ON l.vid = b.vid"""

@@ -412,3 +412,72 @@ def load_synthetic_clusters_portable(
         F.array(*[center(F.col("id"), j) for j in range(dim)])
         .alias("center"))
     return points, centers
+
+
+def load_synthetic_factor_graph(
+    spark: SparkSession, groups: int = 40, seed: int = 41,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic portable factor graph exercising the N-ary
+    ``factors/`` surface (:mod:`..algos.factor_bp`): mixed variable
+    cardinalities and factor arities 1/2/3, every potential a
+    :mod:`..operators.portable` LCG draw so the whole model — and a
+    max-sum BP chain over it — replays in ANSI SQL
+    (``oracles.sql_factor_bp_beliefs`` twin).
+
+    Shape: ``3*groups`` chained variables plus one isolated variable
+    (id ``3*groups``, exercising the zero-belief apply skip of
+    ``bp_vertex_program.hpp:166``):
+
+    - variable ``v`` has cardinality ``2 + v % 2`` and log prior
+      ``-(0.1 + 0.8 * u(seed, v*8+i))`` per state ``i``;
+    - factor ``g`` (arity 3) spans ``[3g, 3g+1, 3g+2]``;
+    - factor ``groups + g`` (arity 2) links group ``g`` to ``g+1``
+      via ``[3g+2, 3g+3]`` (g < groups-1);
+    - factor ``2*groups + g`` (arity 1) re-weights ``[3g]``;
+    - factor tables (first variable fastest, the
+      ``discrete_assignment.hpp:210-222`` layout): entry ``e`` of
+      factor ``f`` is ``-(0.2 + 0.6 * u(seed+1, f*32+e))``.
+
+    Returns ``(variables, factors)`` in the
+    :func:`..algos.factor_bp.factor_graph_bp` schema:
+    ``(id, card, prior)`` / ``(fid, vids, cards, table)``.
+    """
+    from ..operators.portable import M as LCG_M, edge_hash, lcg_hash
+
+    if groups < 2:
+        raise ValueError("load_synthetic_factor_graph: need groups >= 2")
+
+    def unit(tag: int, key):  # noqa: ANN001 - Column
+        return (lcg_hash(edge_hash(F.lit(seed + tag), key)) + F.lit(0.5)) \
+            / F.lit(float(LCG_M))
+
+    card_of = lambda v: (F.lit(2) + v % 2).cast("int")  # noqa: E731
+    n_vars = 3 * groups
+    variables = (
+        spark.range(n_vars + 1)
+        .select(F.col("id"), card_of(F.col("id")).alias("card"))
+        .select(
+            "id", "card",
+            F.transform(
+                F.sequence(F.lit(0), F.col("card") - 1),
+                lambda i: -(F.lit(0.1) + F.lit(0.8)
+                            * unit(0, F.col("id") * 8 + i))).alias("prior"))
+    )
+
+    def factor(fid, vids):  # noqa: ANN001 - Columns
+        cards = F.transform(vids, card_of)
+        numel = F.aggregate(cards, F.lit(1).cast("long"), lambda a, c: a * c)
+        table = F.transform(
+            F.sequence(F.lit(0).cast("long"), numel - 1),
+            lambda e: -(F.lit(0.2) + F.lit(0.6) * unit(1, fid * 32 + e)))
+        return (fid.alias("fid"), vids.alias("vids"),
+                cards.alias("cards"), table.alias("table"))
+
+    g = F.col("id")
+    triads = spark.range(groups).select(
+        *factor(g, F.array(g * 3, g * 3 + 1, g * 3 + 2)))
+    links = spark.range(groups - 1).select(
+        *factor(g + groups, F.array(g * 3 + 2, g * 3 + 3)))
+    unaries = spark.range(groups).select(
+        *factor(g + 2 * groups, F.array(g * 3)))
+    return variables, triads.unionByName(links).unionByName(unaries)
