@@ -24,11 +24,12 @@ toolkit consumes, produced by ``make_denoise_alchemy.cpp``:
 Spark mapping: the file is read with ``textFile().zipWithIndex()``
 (split order preserves line order), the two sections split on the
 ``factors:`` boundary, and all parsing is column expressions; the only
-driver-side work is the two boundary lookups.  This engine's MRF
-surface (:mod:`..algos.gibbs`, :mod:`..algos.mplp`) is unary +
-pairwise, so factors of arity >= 3 raise (the reference's general-
-arity tables have no counterpart here — documented limitation, same
-scope as the MPLP surface).
+driver-side work is the two boundary lookups.  Two loaders share the
+parse: :func:`load_alchemy` targets the unary+pairwise MRF surface
+(:mod:`..algos.gibbs`, :mod:`..algos.mplp`) and raises on arity >= 3;
+:func:`load_alchemy_factor_graph` loads ANY arity into the N-ary
+factor-graph surface of :mod:`..algos.factor_bp` — together they cover
+the reference loader's full scope.
 """
 
 from __future__ import annotations
@@ -37,24 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def load_alchemy(
+def _parse_sections(
     spark: SparkSession, path: str,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Parse an alchemy file into the engine's MRF surface.
-
-    Returns ``(variables, unary, pairwise)``:
-
-    - ``variables = (id long, name string, arity int)`` — ids in file
-      order, exactly the reference's ``unique_var_id`` numbering;
-    - ``unary = (id, theta: array<double>)`` — 1-variable factors'
-      log tables; multiple unary factors on one variable multiply,
-      i.e. their log tables add elementwise (the belief product);
-    - ``pairwise = (src, dst, table: array<double>[k_src*k_dst])`` —
-      row-major ``table[x_src*k_dst + x_dst]`` (the layout
-      :func:`..algos.gibbs.chromatic_gibbs` and
-      :func:`..algos.mplp.mplp_table_labels` consume), reordered from
-      the file's first-var-fastest sequence.
-    """
+    """Shared alchemy parse: split the two sections, number variables,
+    tokenize factor lines.  Returns ``(lines, variables, raw)`` with
+    ``lines``/``variables`` PERSISTED (callers unpersist) and
+    ``raw = (idx, args: array<string>, vals: array<double>)`` one row
+    per non-blank factor line."""
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
     lines = spark.createDataFrame(rdd, "line string, idx long") \
         .select(F.trim("line").alias("line"), "idx").persist()
@@ -131,6 +122,38 @@ def load_alchemy(
                         r"\s+"),
                     lambda s: s.cast("double")).alias("vals"))
         )
+        return lines, variables, raw
+    except Exception:
+        if variables is not None:
+            variables.unpersist()
+        lines.unpersist()
+        raise
+
+
+def load_alchemy(
+    spark: SparkSession, path: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Parse an alchemy file into the engine's MRF surface.
+
+    Returns ``(variables, unary, pairwise)``:
+
+    - ``variables = (id long, name string, arity int)`` — ids in file
+      order, exactly the reference's ``unique_var_id`` numbering;
+    - ``unary = (id, theta: array<double>)`` — 1-variable factors'
+      log tables; multiple unary factors on one variable multiply,
+      i.e. their log tables add elementwise (the belief product);
+    - ``pairwise = (src, dst, table: array<double>[k_src*k_dst])`` —
+      row-major ``table[x_src*k_dst + x_dst]`` (the layout
+      :func:`..algos.gibbs.chromatic_gibbs` and
+      :func:`..algos.mplp.mplp_table_labels` consume), reordered from
+      the file's first-var-fastest sequence.
+
+    Factors of arity >= 3 raise here (this is the unary+pairwise MRF
+    surface); :func:`load_alchemy_factor_graph` loads the same file at
+    any arity for the N-ary BP engine.
+    """
+    lines, variables, raw = _parse_sections(spark, path)
+    try:
         big = raw.filter(F.size("args") > 2).take(1)
         if big:
             raise ValueError(
@@ -214,6 +237,90 @@ def load_alchemy(
     finally:
         if variables is not None:
             variables.unpersist()
+        lines.unpersist()
+
+
+def load_alchemy_factor_graph(
+    spark: SparkSession, path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse an alchemy file into the N-ary factor-graph surface of
+    :func:`..algos.factor_bp.factor_graph_bp` — the general-arity twin
+    of :func:`load_alchemy`, matching the reference loader's full scope
+    (``factorized_model.cpp:149-209`` parses any number of
+    ``/``-separated arguments).
+
+    - every factor line (arity >= 1) becomes one factor vertex; factor
+      ids CONTINUE the variable numbering in file order, exactly the
+      reference's shared ``_unique_var_id++`` space
+      (``factor_graph.hpp:109,293``);
+    - table values are taken VERBATIM in file order: both the file and
+      the BP engine lay entries out first-listed-variable-fastest
+      (``discrete_assignment.hpp:210-222``), so no reordering — unlike
+      the pairwise surface, which permutes to row-major;
+    - variables get zero priors (``factor_graph.hpp:258-260`` — in this
+      format node priors are explicit arity-1 factor lines).
+
+    Returns ``(variables, factors)``:
+    ``(id, card, prior: array<double>)`` /
+    ``(fid, vids: array<long>, cards: array<int>,
+    table: array<double>)``.
+    """
+    lines, variables, raw = _parse_sections(spark, path)
+    try:
+        from pyspark.sql import Window
+        n_vars = variables.count()
+        ex = raw.select("idx", F.posexplode("args").alias("pos", "name"))
+        res = ex.join(
+            F.broadcast(variables.select("name", "id", "arity")),
+            "name", "left")
+        missing = res.filter(F.col("id").isNull()).take(1)
+        if missing:
+            raise ValueError(
+                f"load_alchemy_factor_graph: factor line "
+                f"{missing[0]['idx']} references unknown variable "
+                f"{missing[0]['name']!r}")
+        slots = res.groupBy("idx").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "id", "arity")))
+            .alias("slots"))
+        factors = (
+            raw.join(slots, "idx")
+            .select(
+                "idx", "vals",
+                F.transform("slots", lambda s: s["id"]).alias("vids"),
+                F.transform("slots", lambda s: s["arity"].cast("int"))
+                .alias("cards"))
+        )
+        dupv = factors.filter(
+            F.size(F.array_distinct("vids")) != F.size("vids")).take(1)
+        if dupv:
+            raise ValueError(
+                f"load_alchemy_factor_graph: factor line "
+                f"{dupv[0]['idx']} repeats a variable — duplicate edges "
+                "are unsupported (factor_graph.hpp:427-429)")
+        numel = F.aggregate("cards", F.lit(1).cast("long"),
+                            lambda a, c: a * c)
+        badlen = factors.filter(F.size("vals") != numel).take(1)
+        if badlen:
+            raise ValueError(
+                f"load_alchemy_factor_graph: factor line "
+                f"{badlen[0]['idx']} has {len(badlen[0]['vals'])} "
+                "values, expected arity-product many")
+        out_factors = (
+            factors.withColumn(
+                "fid",
+                (F.lit(n_vars)
+                 + F.row_number().over(Window.orderBy("idx")) - F.lit(1))
+                .cast("long"))
+            .select("fid", "vids", "cards", F.col("vals").alias("table"))
+            .localCheckpoint()
+        )
+        out_vars = variables.select(
+            "id", F.col("arity").alias("card"),
+            F.array_repeat(F.lit(0.0), F.col("arity")).alias("prior")
+        ).localCheckpoint()
+        return out_vars, out_factors
+    finally:
+        variables.unpersist()
         lines.unpersist()
 
 

@@ -165,3 +165,89 @@ def test_save_alchemy_preserves_exact_doubles(spark, tmp_path):
     assert sorted(map(tuple, v2.collect())) == [(0, "x", 2), (1, "y", 2)]
     assert list(u2.collect()[0]["theta"]) == th
     assert list(f2.collect()[0]["table"]) == tbl
+
+
+def test_load_alchemy_factor_graph_hand_file(spark, tmp_path):
+    """General-arity loader: fids continue the variable numbering,
+    tables load VERBATIM (file and engine are both first-var-fastest),
+    priors are zeros, arity >= 3 accepted."""
+    from graphlab_spark.sources.alchemy import load_alchemy_factor_graph
+
+    f = tmp_path / "nary.alchemy"
+    f.write_text(
+        "variables:\n"
+        "a\n"                      # arity defaults to 2
+        "b\t3\n"
+        "c\n"
+        "factors:\n"
+        "b // 1.0 2.0 3.0\n"
+        "a / b // 10 11 20 21 30 31 /// 1.0\n"
+        # arity-3 factor over (a, b, c): 2*3*2 = 12 values
+        "a / b / c // 0 1 2 3 4 5 6 7 8 9 10 11\n")
+    variables, factors = load_alchemy_factor_graph(spark, str(f))
+    vs = {r["id"]: (r["card"], list(r["prior"])) for r in variables.collect()}
+    assert vs == {0: (2, [0.0, 0.0]), 1: (3, [0.0, 0.0, 0.0]),
+                  2: (2, [0.0, 0.0])}
+    fs = {r["fid"]: r for r in factors.collect()}
+    # 3 variables -> fids 3, 4, 5 in file order (_unique_var_id++)
+    assert sorted(fs) == [3, 4, 5]
+    assert (list(fs[3]["vids"]), list(fs[3]["cards"]),
+            list(fs[3]["table"])) == ([1], [3], [1.0, 2.0, 3.0])
+    # pairwise table verbatim in FILE order (a fastest), the '///'
+    # weight suffix dropped
+    assert (list(fs[4]["vids"]), list(fs[4]["cards"])) == ([0, 1], [2, 3])
+    assert list(fs[4]["table"]) == [10.0, 11.0, 20.0, 21.0, 30.0, 31.0]
+    assert (list(fs[5]["vids"]), list(fs[5]["cards"])) == \
+        ([0, 1, 2], [2, 3, 2])
+    assert list(fs[5]["table"]) == [float(x) for x in range(12)]
+
+
+def test_load_alchemy_factor_graph_errors(spark, tmp_path):
+    from graphlab_spark.sources.alchemy import load_alchemy_factor_graph
+
+    bad1 = tmp_path / "unknown.alchemy"
+    bad1.write_text("variables:\na\nfactors:\na / z // 1 2 3 4\n")
+    with pytest.raises(ValueError, match="unknown variable"):
+        load_alchemy_factor_graph(spark, str(bad1))
+    bad2 = tmp_path / "dup.alchemy"
+    bad2.write_text("variables:\na\nfactors:\na / a // 1 2 3 4\n")
+    with pytest.raises(ValueError, match="repeats a variable"):
+        load_alchemy_factor_graph(spark, str(bad2))
+    bad3 = tmp_path / "short.alchemy"
+    bad3.write_text("variables:\na\nb\nfactors:\na / b // 1 2 3\n")
+    with pytest.raises(ValueError, match="arity-product"):
+        load_alchemy_factor_graph(spark, str(bad3))
+
+
+def test_alchemy_factor_graph_bp_end_to_end(spark, tmp_path):
+    """File -> N-ary factor graph -> max-sum BP: the MAP of a small
+    tree model written through the alchemy format matches brute-force
+    enumeration (the factor-graph twin of the pairwise Gibbs
+    end-to-end)."""
+    from graphlab_spark.algos.factor_bp import factor_graph_bp
+    from graphlab_spark.sources.alchemy import load_alchemy_factor_graph
+
+    f = tmp_path / "tree.alchemy"
+    # x,y binary; z ternary.  One arity-3 factor + one unary, values
+    # chosen for a unique MAP at (x,y,z) = (1,0,2):
+    # file order j = x + y*2 + z*4
+    tbl = [0.1, 0.9, 0.3, 0.2,    # z=0
+           0.0, 0.4, 0.1, 0.3,    # z=1
+           0.2, 1.6, 0.5, 0.2]    # z=2
+    f.write_text(
+        "variables:\nx\ny\nz\t3\nfactors:\n"
+        "z // 0.3 0.2 0.1\n"
+        "x / y / z // " + " ".join(str(v) for v in tbl) + "\n")
+    variables, factors = load_alchemy_factor_graph(spark, str(f))
+    res = factor_graph_bp(variables, factors, iterations=20, bound=1e-12)
+    assert res.converged
+    got = {r["id"]: r["label"] for r in res.beliefs.collect()}
+    # brute force over 2*2*3 assignments
+    best, arg = -1e9, None
+    for x in range(2):
+        for y in range(2):
+            for z in range(3):
+                s = [0.3, 0.2, 0.1][z] + tbl[x + y * 2 + z * 4]
+                if s > best:
+                    best, arg = s, (x, y, z)
+    assert (got[0], got[1], got[2]) == arg
