@@ -108,6 +108,22 @@ def _damp(new: Column, old: Column, damping: float) -> Column:
     return F.zip_with(new, old, mix)
 
 
+def _mf_sums(msgs: DataFrame) -> DataFrame:
+    """(vid, sx: array<double>) — per-variable, per-state sum of the
+    incoming factor->variable messages (repmat over a 1-D domain is the
+    identity, so the combine is a plain elementwise sum).  Exploded to
+    (vid, state) rows so a hub variable never collects its incident
+    message list; the card-bounded collect_list only reassembles the
+    K summed states."""
+    return (
+        msgs.select("vid", F.posexplode("mf").alias("si", "x"))
+        .groupBy("vid", "si").agg(F.sum("x").alias("x"))
+        .groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("si", "x"))).alias("sx"))
+        .select("vid", F.transform("sx", lambda s: s["x"]).alias("sx"))
+    )
+
+
 def _state_at(idx: Column, stride: Column, card: Column) -> Column:
     """State of the variable with (stride, card) at linear table index
     ``idx``: ``(idx // stride) % card``.  The quotient is computed as
@@ -125,27 +141,44 @@ def _validate(variables: DataFrame, factors: DataFrame) -> None:
     a factor endpoint missing from `variables` — or carrying a card
     that disagrees with the variable's — silently mis-strides every
     table read."""
+    # every predicate below is null-safe: F.size(NULL) and NULL
+    # comparisons evaluate NULL, which a plain filter silently drops —
+    # the exact escape hatch this validator exists to close
     badv = variables.filter(
-        (F.col("card") < 1) | (F.size("prior") != F.col("card"))).take(1)
+        F.col("card").isNull() | F.col("prior").isNull()
+        | (F.col("card") < 1) | (F.size("prior") != F.col("card"))).take(1)
     if badv:
         raise ValueError(
             f"factor_graph_bp: variable id {badv[0]['id']} has card="
-            f"{badv[0]['card']} but {len(badv[0]['prior'])} prior "
-            "entries — need card >= 1 and size(prior) == card")
+            f"{badv[0]['card']} and prior {badv[0]['prior']} — need "
+            "card >= 1 and size(prior) == card, both non-null")
+    for frame, key, what in ((variables, "id", "variable id"),
+                             (factors, "fid", "factor fid")):
+        dup = (frame.groupBy(key).count()
+               .filter(F.col("count") > 1).take(1))
+        if dup:
+            raise ValueError(
+                f"factor_graph_bp: {what} {dup[0][key]} appears "
+                f"{dup[0]['count']} times — duplicate keys fan out the "
+                "per-superstep joins and double-count messages")
     numel = F.aggregate(
         "cards", F.lit(1).cast("long"), lambda a, c: a * c)
     badf = factors.filter(
-        (F.size("vids") < 1)
+        F.col("vids").isNull() | F.col("cards").isNull()
+        | F.col("table").isNull()
+        | (F.size("vids") < 1)
         | (F.size("vids") != F.size("cards"))
         | (F.size(F.array_distinct("vids")) != F.size("vids"))
         | (F.size("table") != numel)).take(1)
     if badf:
         r = badf[0]
+        nt = "NULL" if r["table"] is None else len(r["table"])
         raise ValueError(
             f"factor_graph_bp: factor fid {r['fid']} is malformed — "
             f"vids={r['vids']} cards={r['cards']} table has "
-            f"{len(r['table'])} entries; need >=1 DISTINCT variables, "
-            "len(vids) == len(cards), and len(table) == prod(cards)")
+            f"{nt} entries; need >=1 DISTINCT variables, non-null "
+            "columns, len(vids) == len(cards), and "
+            "len(table) == prod(cards)")
     ends = factors.select(
         "fid", F.posexplode("vids").alias("pos", "vid"),
         F.col("cards"))
@@ -245,19 +278,11 @@ def factor_graph_bp(
 
     def step(msgs: DataFrame, i: int):
         # variable beliefs: prior + per-state sum of incoming f->v
-        # messages (repmat over a 1-D domain is the identity)
-        vsum = (
-            msgs.select("vid", F.posexplode("mf").alias("si", "x"))
-            .groupBy("vid", "si").agg(F.sum("x").alias("x"))
-            .groupBy("vid")
-            .agg(F.array_sort(F.collect_list(F.struct("si", "x")))
-                 .alias("sx"))
-        )
+        # messages
         vbel = (
-            vsum.join(pri, "vid")
-            .select("vid", F.zip_with(
-                "prior", F.transform("sx", lambda s: s["x"]),
-                lambda p, s: p + s).alias("vbel"))
+            _mf_sums(msgs).join(pri, "vid")
+            .select("vid", F.zip_with("prior", "sx", lambda p, s: p + s)
+                    .alias("vbel"))
         )
         # factor beliefs: table + every v->f message broadcast over the
         # table domain (the repmat of bp_vertex_program::gather); the
@@ -357,16 +382,10 @@ def factor_graph_bp(
     # --- final beliefs: prior * message product for vertices with
     #     edges; the apply early-return keeps isolated variables at the
     #     zeroed init table (bp_vertex_program.hpp:166)
-    vsum = (
-        msgs.select("vid", F.posexplode("mf").alias("si", "x"))
-        .groupBy("vid", "si").agg(F.sum("x").alias("x"))
-        .groupBy("vid")
-        .agg(F.array_sort(F.collect_list(F.struct("si", "x"))).alias("sx"))
-    )
+    vsum = _mf_sums(msgs)
     belief = F.when(
         F.col("sx").isNotNull(),
-        F.zip_with("prior", F.transform("sx", lambda s: s["x"]),
-                   lambda p, s: p + s)
+        F.zip_with("prior", "sx", lambda p, s: p + s)
     ).otherwise(F.array_repeat(F.lit(0.0), F.col("card")))
     label = F.array_position(
         belief, F.array_max(belief)).cast("int") - 1

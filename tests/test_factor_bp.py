@@ -222,6 +222,26 @@ def test_validation_errors(spark):
     with pytest.raises(ValueError, match="matching cardinality"):
         factor_graph_bp(v, f, 1)
 
+    # null-safety: a NULL prior/table must raise, not slip through the
+    # size() predicates as NULL and silently NULL the beliefs
+    v, f = _frame_model(spark, good_v, good_f)
+    v = v.withColumn("prior", F.when(F.col("id") == 0, F.col("prior")
+                                     ).otherwise(F.lit(None)))
+    with pytest.raises(ValueError, match="non-null"):
+        factor_graph_bp(v, f, 1)
+    v, f = _frame_model(spark, good_v, good_f)
+    f = f.withColumn("table", F.lit(None).cast("array<double>"))
+    with pytest.raises(ValueError, match="malformed"):
+        factor_graph_bp(v, f, 1)
+
+    # duplicate keys fan out the per-superstep joins and double-count
+    # messages — must raise
+    v, f = _frame_model(spark, good_v, good_f)
+    with pytest.raises(ValueError, match="variable id 0 appears"):
+        factor_graph_bp(v.unionAll(v.filter(F.col("id") == 0)), f, 1)
+    with pytest.raises(ValueError, match="factor fid 9 appears"):
+        factor_graph_bp(v, f.unionAll(f), 1)
+
 
 def test_checkpoint_resume_bit_identical(spark, tmp_path):
     """Kill-and-resume: messages checkpointed every superstep and
