@@ -132,6 +132,34 @@ def _state_at(idx: Column, stride: Column, card: Column) -> Column:
     return (((idx - idx % stride) / stride).cast("long") % card)
 
 
+def _factor_beliefs(msgs: DataFrame, ftab: DataFrame) -> DataFrame:
+    """(fid, fbel: array<double>) — factor table plus every incoming
+    variable->factor message broadcast over the table domain (the
+    repmat of ``bp_vertex_program::gather``).  The collect_list is
+    bounded by the factor arity (<= MAX_DIM); ``ftab`` must be the
+    persisted ``repartition("fid")`` view so the join reads it from
+    cache with its hashpartitioning intact and only the message side
+    shuffles (guarded by
+    ``test_factor_bp_step_shuffles_state_side_only``)."""
+    fmsg = (
+        msgs.groupBy("fid")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("pos", "stride", "card", "mv"))).alias("ms"))
+    )
+    return (
+        fmsg.join(ftab, "fid")
+        .select("fid", F.transform(
+            "table",
+            lambda x, idx: x + F.aggregate(
+                "ms", F.lit(0.0),
+                lambda acc, m: acc + F.element_at(
+                    m["mv"],
+                    (_state_at(idx.cast("long"), m["stride"],
+                               m["card"]) + 1).cast("int")))
+        ).alias("fbel"))
+    )
+
+
 def _validate(variables: DataFrame, factors: DataFrame) -> None:
     """Fail loudly on the silent-corruption shapes: a prior shorter
     than card NULLs belief entries; a table whose length is not
@@ -284,26 +312,7 @@ def factor_graph_bp(
             .select("vid", F.zip_with("prior", "sx", lambda p, s: p + s)
                     .alias("vbel"))
         )
-        # factor beliefs: table + every v->f message broadcast over the
-        # table domain (the repmat of bp_vertex_program::gather); the
-        # collect_list is bounded by the factor arity (<= MAX_DIM)
-        fmsg = (
-            msgs.groupBy("fid")
-            .agg(F.array_sort(F.collect_list(
-                F.struct("pos", "stride", "card", "mv"))).alias("ms"))
-        )
-        fbel = (
-            fmsg.join(ftab, "fid")
-            .select("fid", F.transform(
-                "table",
-                lambda x, idx: x + F.aggregate(
-                    "ms", F.lit(0.0),
-                    lambda acc, m: acc + F.element_at(
-                        m["mv"],
-                        (_state_at(idx.cast("long"), m["stride"],
-                                   m["card"]) + 1).cast("int")))
-            ).alias("fbel"))
-        )
+        fbel = _factor_beliefs(msgs, ftab)
         j = msgs.join(vbel, "vid").join(fbel, "fid")
         keep = ["fid", "vid", "pos", "card", "stride", "numel"]
         # factor -> variable: cavity = fbel / (old v->f), MAP onto the

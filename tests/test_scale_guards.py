@@ -321,3 +321,41 @@ def test_gibbs_step_join_shuffles_state_side_only(spark):
     # partitioning and the SMJ re-partitioned the |2E| side each step.
     assert plan.count("ENSURE_REQUIREMENTS") == 2, plan
     adj.unpersist()
+
+
+def test_factor_bp_step_shuffles_state_side_only(spark):
+    """The factor-belief join of a factor-BP superstep reads the
+    (persisted, fid-partitioned) factor-table view from cache with NO
+    re-shuffle — only the message side shuffles (the groupBy(fid)
+    aggregation exchange).  A second ENSURE_REQUIREMENTS exchange would
+    mean the static table side re-shuffles every superstep, the classic
+    iterative-join scale bug the engine's repartition("fid").persist()
+    exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.algos.factor_bp import _factor_beliefs
+
+    factors = spark.range(500).select(
+        F.col("id").alias("fid"),
+        F.transform(F.sequence(F.lit(0), F.lit(3)),
+                    lambda i: F.lit(-0.5)).alias("table"))
+    ftab = factors.repartition("fid").persist()
+    ftab.count()  # materialize the cache the engine relies on
+    msgs = spark.range(1000).select(
+        (F.col("id") % 500).alias("fid"), F.col("id").alias("vid"),
+        (F.col("id") % 2).cast("int").alias("pos"),
+        F.lit(2).alias("card"),
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(2))
+        .cast("long").alias("stride"),
+        F.lit(4).cast("long").alias("numel"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("mv"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("mf"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (_factor_beliefs(msgs, ftab)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    ftab.unpersist()
