@@ -803,6 +803,22 @@ def q_factor_bp_beliefs(spark, sf_dir):
             .select("id", "i", F.round("b", 6).alias("b"), "label"))
 
 
+def q_factor_bp_sum_beliefs(spark, sf_dir):
+    """The sum-product twin of :func:`q_factor_bp_beliefs` — the
+    ``marginalize`` projection the reference carries in-code as the
+    alternative to MAP (``bp_vertex_program.hpp:236-239``,
+    ``dense_table.hpp:531-563``); beliefs are log marginals up to a
+    per-variable shift."""
+    from graphlab_spark.algos.factor_bp import factor_bp_beliefs
+    from graphlab_spark.sources.parsers import load_synthetic_factor_graph
+    variables, factors = load_synthetic_factor_graph(spark, groups=40)
+    bel = factor_bp_beliefs(variables, factors, iterations=5,
+                            damping=0.5, regularization=0.25, mode="sum")
+    return (bel.select("id", F.posexplode("belief").alias("i", "b"),
+                       "label")
+            .select("id", "i", F.round("b", 6).alias("b"), "label"))
+
+
 def q_implicit_ratings(spark, sf_dir):
     """Ratings table after implicit-edge injection (``implicit.hpp:
     40-88``, ``algos/als.py::add_implicit_ratings``): the full
@@ -1268,6 +1284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- displaced by gm_factor_bp_beliefs (see the window note
         # --- above); stays value-oracled in the dev sweep:
         "transcript_near_dups": q_transcript_near_dups,
+        # --- sum-product twin of the in-window gm_factor_bp_beliefs
+        # --- (same engine/model, marginalize projection); value-oracled
+        # --- in the dev sweep, outside the full window:
+        "gm_factor_bp_sum_beliefs": q_factor_bp_sum_beliefs,
         "cf_sgd_rmse": q_sgd_rmse,
         "cf_biassgd_rmse": q_biassgd_rmse,
         "cf_svdpp_rmse": q_svdpp_rmse,
@@ -1621,6 +1641,9 @@ SELECT id, cluster FROM r WHERE rn = 1
             seed=11, gseed=29),
         "gm_factor_bp_beliefs": O.sql_factor_bp_beliefs(
             groups=40, iterations=5, damping=0.5, regularization=0.25),
+        "gm_factor_bp_sum_beliefs": O.sql_factor_bp_beliefs(
+            groups=40, iterations=5, damping=0.5, regularization=0.25,
+            mode="sum"),
         "cf_implicit_ratings": O.sql_implicit_ratings(percentage=1e-4),
         "cf_sparse_als2_user_factors": O.sql_sparse_als2_user_factors(
             iterations=2),

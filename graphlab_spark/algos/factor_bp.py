@@ -15,6 +15,12 @@ variable of its domain, ``:397-434`` make_bp_graph) and
   seeded at ``APPROX_LOG_ZERO = -1e6`` (``:568-596``,
   ``table_base.hpp:57-60``); projecting onto the table's own domain is
   a plain copy (``:571-575``);
+- ``marginalize(msg)``: the sum-product projection — linear-domain sum
+  ``log(sum_y exp(this(x,y)))`` over the removed dimensions, an exact
+  zero summing to APPROX_LOG_ZERO (``:531-563``); the vertex program
+  ships with MAP active and marginalize as the in-code alternative
+  (``bp_vertex_program.hpp:236-239``), so this engine exposes both as
+  ``mode="max"`` (default) / ``mode="sum"``;
 - ``shift_normalize``: subtract the max entry (``:347-356``);
 - ``damp(other, d)``: probability-space mix ``ln(d*exp(other) +
   (1-d)*exp(this))`` with an exact-zero clamp to APPROX_LOG_ZERO,
@@ -235,10 +241,14 @@ def factor_graph_bp(
     damping: float = 0.0,
     regularization: float = 0.0,
     bound: float | None = None,
+    mode: str = "max",
     checkpoint: CheckpointManager | None = None,
     resume: bool = True,
 ) -> FactorBPResult:
-    """Run synchronous max-sum BP on a bipartite factor graph.
+    """Run synchronous BP on a bipartite factor graph — ``mode="max"``
+    is the reference's shipped max-sum program, ``mode="sum"`` the
+    sum-product variant it carries in-code (module docstring): the only
+    difference is the factor->variable projection (MAP vs marginalize).
 
     ``variables = (id, card: int, prior: array<double>[card])`` — log
     node potentials (``factor_graph.hpp:201-211``
@@ -272,6 +282,10 @@ def factor_graph_bp(
                          "(dense_table.hpp:604-605)")
     if regularization < 0.0:
         raise ValueError("factor_graph_bp: need regularization >= 0")
+    if mode not in ("max", "sum"):
+        raise ValueError(
+            f"factor_graph_bp: mode must be 'max' (MAP projection) or "
+            f"'sum' (marginalize), got {mode!r}")
     _validate(variables, factors)
 
     # --- static sides -------------------------------------------------
@@ -315,21 +329,34 @@ def factor_graph_bp(
         fbel = _factor_beliefs(msgs, ftab)
         j = msgs.join(vbel, "vid").join(fbel, "fid")
         keep = ["fid", "vid", "pos", "card", "stride", "numel"]
-        # factor -> variable: cavity = fbel / (old v->f), MAP onto the
-        # variable (max over the other dims, seeded at APPROX_LOG_ZERO)
+
+        # factor -> variable: project the cavity fbel / (old v->f) onto
+        # the variable — MAP (max over the other dims, seeded at
+        # APPROX_LOG_ZERO) or marginalize (linear-domain sum, an exact
+        # zero reading as APPROX_LOG_ZERO, dense_table.hpp:531-563)
+        def slice_entries(lbl):  # noqa: ANN001 - cavity values at lbl
+            return F.transform(
+                F.filter(
+                    F.sequence(F.lit(0).cast("long"),
+                               F.col("numel") - 1),
+                    lambda idx: _state_at(
+                        idx, F.col("stride"), F.col("card")) == lbl),
+                lambda idx: F.element_at("fbel", (idx + 1).cast("int"))
+                - F.element_at("mv", (lbl + 1).cast("int")))
+
+        if mode == "max":
+            def project(lbl):  # noqa: ANN001
+                return F.greatest(F.lit(APPROX_LOG_ZERO),
+                                  F.array_max(slice_entries(lbl)))
+        else:
+            def project(lbl):  # noqa: ANN001
+                s = F.aggregate(slice_entries(lbl), F.lit(0.0),
+                                lambda acc, x: acc + F.exp(x))
+                return (F.when(s == 0.0, F.lit(APPROX_LOG_ZERO))
+                        .otherwise(F.log(s)))
+
         raw_mf = F.transform(
-            F.sequence(F.lit(0), F.col("card") - 1),
-            lambda lbl: F.greatest(
-                F.lit(APPROX_LOG_ZERO),
-                F.array_max(F.transform(
-                    F.filter(
-                        F.sequence(F.lit(0).cast("long"),
-                                   F.col("numel") - 1),
-                        lambda idx: _state_at(
-                            idx, F.col("stride"), F.col("card")) == lbl),
-                    lambda idx: F.element_at(
-                        "fbel", (idx + 1).cast("int"))
-                    - F.element_at("mv", (lbl + 1).cast("int"))))))
+            F.sequence(F.lit(0), F.col("card") - 1), project)
         # variable -> factor: cavity = vbel / (old f->v); MAP onto the
         # variable's own domain is a copy (dense_table.hpp:571-575)
         raw_mv = F.zip_with("vbel", "mf", lambda b, m: b - m)
@@ -412,11 +439,13 @@ def factor_graph_bp(
 def factor_bp_beliefs(
     variables: DataFrame, factors: DataFrame, iterations: int = 10,
     damping: float = 0.0, regularization: float = 0.0,
-    bound: float | None = None,
+    bound: float | None = None, mode: str = "max",
 ) -> DataFrame:
-    """(id, belief: array<double>, label): max-sum beliefs and the MAP
-    decode — argmax over states, first max on ties (array_position
-    finds the first occurrence)."""
+    """(id, belief: array<double>, label): beliefs and the argmax
+    decode — first max on ties (array_position finds the first
+    occurrence).  ``mode="max"`` beliefs are max-marginals (the label
+    is the MAP decode); ``mode="sum"`` beliefs are log marginals up to
+    a per-variable additive constant (exact on trees)."""
     return factor_graph_bp(
         variables, factors, iterations, damping, regularization,
-        bound).beliefs
+        bound, mode).beliefs

@@ -2356,12 +2356,9 @@ def sql_vision_panorama_groups() -> str:
 def sql_factor_bp_beliefs(groups: int = 40, iterations: int = 5,
                           damping: float = 0.5,
                           regularization: float = 0.25,
-                          seed: int = 41) -> str:
-    import math as _math
-
+                          seed: int = 41, mode: str = "max") -> str:
     g, alz = groups, "-1000000.0"
     d, r = repr(float(damping)), repr(float(regularization))
-    e_lit = repr(_math.e)
     u0 = _sql_synth_unit(sql_edge_hash(str(seed), "(v.vid * 8 + s.range)"))
     u1 = _sql_synth_unit(sql_edge_hash(str(seed + 1),
                                        "(fn.fid * 32 + e.range)"))
@@ -2420,6 +2417,18 @@ states AS (
     damp_mf = (f"CASE WHEN {d} * exp(mf) + (1 - {d}) * exp(smf) = 0 "
                f"THEN {alz} ELSE ln({d} * exp(mf) + (1 - {d}) * exp(smf)) "
                "END") if damping > 0.0 else "smf"
+    # factor->variable projection: MAP (max) or marginalize (sum) —
+    # the sum arm mirrors Spark's per-entry exp(fb - mv) accumulation
+    if mode == "max":
+        agg = "max(f.fb) AS mxfb"
+        m4join = ""
+        proj = f"greatest({alz}, rf.mxfb - m.mv)"
+    else:
+        agg = "sum(exp(f.fb - m4.mv)) AS sumexp"
+        m4join = ("\n            JOIN msgs m4 ON m4.fid = a.fid "
+                  "AND m4.vid = a.vid AND m4.i = a.st")
+        proj = (f"CASE WHEN rf.sumexp = 0 THEN {alz} "
+                "ELSE ln(rf.sumexp) END")
     rec = f"""
 msgs(it, fid, vid, i, mv, mf) AS (
   SELECT 0, fid, vid, i, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
@@ -2433,7 +2442,7 @@ msgs(it, fid, vid, i, mv, mf) AS (
     FROM ({reg_layers} (
       SELECT m.it + 1 AS it, m.fid, m.vid, m.i, m.mv, m.mf,
              vb.b - m.mf AS rmv,
-             greatest({alz}, rf.mxfb - m.mv) AS rmf
+             {proj} AS rmf
       FROM msgs m
       JOIN (SELECT p.vid, p.i, p.p + q.s AS b
             FROM pri p
@@ -2441,7 +2450,7 @@ msgs(it, fid, vid, i, mv, mf) AS (
                   GROUP BY vid, i) q
               ON q.vid = p.vid AND q.i = p.i) vb
         ON vb.vid = m.vid AND vb.i = m.i
-      JOIN (SELECT a.fid, a.vid, a.st, max(f.fb) AS mxfb
+      JOIN (SELECT a.fid, a.vid, a.st, {agg}
             FROM amap a
             JOIN (SELECT t.fid, t.idx, t.val + sum(m3.mv) AS fb
                   FROM ftab t
@@ -2449,7 +2458,7 @@ msgs(it, fid, vid, i, mv, mf) AS (
                   JOIN msgs m3 ON m3.fid = a2.fid AND m3.vid = a2.vid
                                   AND m3.i = a2.st
                   GROUP BY t.fid, t.idx, t.val) f
-              ON f.fid = a.fid AND f.idx = a.idx
+              ON f.fid = a.fid AND f.idx = a.idx{m4join}
             GROUP BY a.fid, a.vid, a.st) rf
         ON rf.fid = m.fid AND rf.vid = m.vid AND rf.st = m.i
       WHERE m.it < {iterations}
@@ -2463,10 +2472,12 @@ fin AS (SELECT vid, i, sum(mf) AS s FROM msgs
         WHERE it = {iterations} GROUP BY vid, i),
 bel AS (SELECT p.vid, p.i,
                CASE WHEN f.s IS NULL THEN 0.0 ELSE p.p + f.s END AS b
-        FROM pri p LEFT JOIN fin f ON f.vid = p.vid AND f.i = p.i),
-mx AS (SELECT vid, max(b) AS mb FROM bel GROUP BY vid),
-lab AS (SELECT b.vid, min(b.i) AS label
-        FROM bel b JOIN mx ON mx.vid = b.vid AND b.b = mx.mb
-        GROUP BY b.vid)
-SELECT b.vid AS id, b.i AS i, round(b.b, 6) AS b, l.label
-FROM bel b JOIN lab l ON l.vid = b.vid"""
+        FROM pri p LEFT JOIN fin f ON f.vid = p.vid AND f.i = p.i)
+-- label via a single-evaluation window, NOT a b = max(b) re-join:
+-- DuckDB inlines the bel CTE into each reference and the parallel
+-- float aggregation inside can differ in the last ulp between
+-- evaluations, so exact-equality argmax joins drop whole variables
+SELECT vid AS id, i, round(b, 6) AS b,
+       first_value(i) OVER (PARTITION BY vid ORDER BY b DESC, i ASC)
+         AS label
+FROM bel"""

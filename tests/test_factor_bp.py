@@ -27,7 +27,8 @@ from graphlab_spark.sources.parsers import load_synthetic_factor_graph
 # numpy replication of the schedule (module docstring of factor_bp)
 # ---------------------------------------------------------------------------
 
-def _np_replay(vrows, frows, iterations, damping, regularization):
+def _np_replay(vrows, frows, iterations, damping, regularization,
+               mode="max"):
     def shift(a):
         return a - a.max()
 
@@ -81,11 +82,15 @@ def _np_replay(vrows, frows, iterations, damping, regularization):
             raw_mv = vb[v] - mf[(f, v)]
             raw_mf = np.empty(c)
             for lbl in range(c):
-                best = APPROX_LOG_ZERO
-                for idx in range(len(fb[f])):
-                    if state_at(idx, s, c) == lbl:
-                        best = max(best, fb[f][idx] - mv[(f, v)][lbl])
-                raw_mf[lbl] = best
+                ent = [fb[f][idx] - mv[(f, v)][lbl]
+                       for idx in range(len(fb[f]))
+                       if state_at(idx, s, c) == lbl]
+                if mode == "max":
+                    raw_mf[lbl] = max([APPROX_LOG_ZERO] + ent)
+                else:
+                    tot = sum(math.exp(x) for x in ent)
+                    raw_mf[lbl] = (APPROX_LOG_ZERO if tot == 0.0
+                                   else math.log(tot))
             nmv[(f, v)] = tail(raw_mv, mv[(f, v)])
             nmf[(f, v)] = tail(raw_mf, mf[(f, v)])
         mv, mf = nmv, nmf
@@ -102,17 +107,19 @@ def _np_replay(vrows, frows, iterations, damping, regularization):
     return beliefs
 
 
-@pytest.mark.parametrize("damping,reg",
-                         [(0.0, 0.0), (0.5, 0.0), (0.0, 0.3), (0.5, 0.25)])
-def test_matches_numpy_replay(spark, damping, reg):
+@pytest.mark.parametrize("damping,reg,mode",
+                         [(0.0, 0.0, "max"), (0.5, 0.0, "max"),
+                          (0.0, 0.3, "max"), (0.5, 0.25, "max"),
+                          (0.0, 0.0, "sum"), (0.5, 0.25, "sum")])
+def test_matches_numpy_replay(spark, damping, reg, mode):
     variables, factors = load_synthetic_factor_graph(spark, groups=3)
     vrows = {r["id"]: r for r in variables.collect()}
     frows = {r["fid"]: r for r in factors.collect()}
     res = factor_graph_bp(variables, factors, iterations=4,
-                          damping=damping, regularization=reg)
+                          damping=damping, regularization=reg, mode=mode)
     got = {r["id"]: (np.array(r["belief"]), r["label"])
            for r in res.beliefs.collect()}
-    want = _np_replay(vrows, frows, 4, damping, reg)
+    want = _np_replay(vrows, frows, 4, damping, reg, mode)
     assert set(got) == set(want)
     for vid, exp in want.items():
         bel, lbl = got[vid]
@@ -179,6 +186,51 @@ def test_tree_exact_map(spark):
     assert res.converged and res.supersteps < 30
     got = {r["id"]: r["label"] for r in res.beliefs.collect()}
     assert got == _brute_force_map(priors, facs)
+
+
+def test_tree_exact_marginals_sum_mode(spark):
+    """Sum-product BP on a tree: the softmax of each variable's belief
+    equals the exact marginal by joint enumeration (the marginalize
+    projection of dense_table.hpp:531-563)."""
+    rng = np.random.RandomState(11)
+    priors = {0: rng.randn(2), 1: rng.randn(3), 2: rng.randn(2)}
+    priors = {v: [round(float(x), 3) for x in p] for v, p in priors.items()}
+    facs = [
+        (50, [0, 1, 2], [2, 3, 2],
+         [round(float(x), 3) for x in rng.randn(12)]),
+        (51, [1], [3], [round(float(x), 3) for x in rng.randn(3)]),
+    ]
+    variables, factors = _frame_model(spark, priors, facs)
+    res = factor_graph_bp(variables, factors, iterations=30,
+                          mode="sum", bound=1e-12)
+    assert res.converged
+    got = {r["id"]: np.array(r["belief"]) for r in res.beliefs.collect()}
+    # exact marginals by enumeration
+    vids = sorted(priors)
+    cards = [len(priors[v]) for v in vids]
+    pos_of = {v: i for i, v in enumerate(vids)}
+    marg = {v: np.zeros(len(priors[v])) for v in vids}
+    for asg in itertools.product(*[range(c) for c in cards]):
+        s = sum(priors[v][asg[pos_of[v]]] for v in vids)
+        for _f, fvs, fcs, tbl in facs:
+            idx, stride = 0, 1
+            for p, fv in enumerate(fvs):
+                idx += asg[pos_of[fv]] * stride
+                stride *= fcs[p]
+            s += tbl[idx]
+        w = math.exp(s)
+        for v in vids:
+            marg[v][asg[pos_of[v]]] += w
+    for v in vids:
+        exact = marg[v] / marg[v].sum()
+        b = np.exp(got[v] - got[v].max())
+        assert np.allclose(b / b.sum(), exact, atol=1e-9), (v, b, exact)
+
+
+def test_mode_validation(spark):
+    variables, factors = load_synthetic_factor_graph(spark, groups=2)
+    with pytest.raises(ValueError, match="mode must be"):
+        factor_graph_bp(variables, factors, 1, mode="marginal")
 
 
 def test_iterations_zero_decodes_prior(spark):
@@ -278,14 +330,18 @@ def test_contract_oracle_parity_small(spark):
     from graphlab_spark.oracles import sql_factor_bp_beliefs
 
     variables, factors = load_synthetic_factor_graph(spark, groups=4)
-    bel = factor_bp_beliefs(variables, factors, iterations=3,
-                            damping=0.5, regularization=0.25)
-    got = sorted(
-        (r["id"], r["i"], r["b"], r["label"])
-        for r in bel.select(
-            "id", F.posexplode("belief").alias("i", "b"), "label")
-        .select("id", "i", F.round("b", 6).alias("b"), "label").collect())
-    want = sorted(map(tuple, duckdb.connect().execute(
-        sql_factor_bp_beliefs(groups=4, iterations=3, damping=0.5,
-                              regularization=0.25)).fetchall()))
-    assert got == want
+    for mode in ("max", "sum"):
+        bel = factor_bp_beliefs(variables, factors, iterations=3,
+                                damping=0.5, regularization=0.25,
+                                mode=mode)
+        got = sorted(
+            (r["id"], r["i"], r["b"], r["label"])
+            for r in bel.select(
+                "id", F.posexplode("belief").alias("i", "b"), "label")
+            .select("id", "i", F.round("b", 6).alias("b"),
+                    "label").collect())
+        want = sorted(map(tuple, duckdb.connect().execute(
+            sql_factor_bp_beliefs(groups=4, iterations=3, damping=0.5,
+                                  regularization=0.25,
+                                  mode=mode)).fetchall()))
+        assert got == want, mode
