@@ -35,7 +35,7 @@ from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
          "kcore", "sssp", "diameter", "convert", "extension", "ingress",
-         "stitch", "gibbs")
+         "stitch", "gibbs", "factor_bp")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -90,6 +90,17 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="gibbs: Potts smoothing strength (dyadic values "
                         "keep the chain bit-deterministic)")
     p.add_argument("--seed", type=int, default=103)
+    # factor_bp verb (factors/ library workflow: alchemy model file ->
+    # bipartite factor graph -> synchronous BP -> beliefs/labels)
+    p.add_argument("--model", help="factor_bp: alchemy model file")
+    p.add_argument("--damping", type=float, default=0.0,
+                   help="factor_bp: message damping in [0, 1)")
+    p.add_argument("--bound", type=float, default=None,
+                   help="factor_bp: stop when the max probability-space "
+                        "residual is <= bound (default: fixed iterations)")
+    p.add_argument("--bp-mode", default="max", choices=["max", "sum"],
+                   help="factor_bp: MAP (max-sum) or marginal "
+                        "(sum-product) projection")
     return p
 
 
@@ -178,6 +189,34 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows
             ],
             "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+    if args.algo == "factor_bp":
+        # N-ary factor-graph BP over an alchemy model file — the
+        # factor_graph.hpp/bp_vertex_program.hpp workflow end to end
+        if not args.model:
+            raise SystemExit("factor_bp requires --model (alchemy file)")
+        from .algos.factor_bp import factor_graph_bp
+        from .sources.alchemy import load_alchemy_factor_graph
+        variables, factors = load_alchemy_factor_graph(spark, args.model)
+        t0 = time.time()
+        res = factor_graph_bp(
+            variables, factors,
+            iterations=args.iterations if args.iterations else 10,
+            damping=args.damping, bound=args.bound, mode=args.bp_mode,
+            checkpoint=CheckpointManager(args.checkpoint_dir,
+                                         every=args.checkpoint_every),
+            resume=args.resume)
+        bel = res.beliefs.persist()
+        out = {
+            "algo": "factor_bp", "mode": args.bp_mode,
+            "variables": bel.count(), "factors": factors.count(),
+            "supersteps": res.supersteps, "converged": res.converged,
+        }
+        if args.output:
+            bel.write.mode("overwrite").parquet(args.output)
+        out["wall_sec"] = round(time.time() - t0, 3)
+        bel.unpersist()
+        print(json.dumps(out))
         return 0
     g = _load_graph(spark, args)
     ckpt = CheckpointManager(args.checkpoint_dir, every=args.checkpoint_every)

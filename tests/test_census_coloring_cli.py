@@ -221,3 +221,30 @@ def test_cli_gibbs(spark, tmp_path, capsys):
     rows = spark.read.parquet(str(out)).collect()
     assert {r["id"] for r in rows} == {0, 1, 2, 3, 4}
     assert all(r["asg"] in (0, 1) for r in rows)
+
+
+def test_cli_factor_bp(spark, tmp_path, capsys):
+    """factor_bp verb: alchemy model file -> N-ary BP -> beliefs
+    parquet, in both projection modes."""
+    from graphlab_spark.cli import main
+    model = tmp_path / "m.alchemy"
+    model.write_text(
+        "variables:\nx\ny\nz\t3\nfactors:\n"
+        "z // 0.3 0.2 0.1\n"
+        "x / y / z // 0.1 0.9 0.3 0.2 0.0 0.4 0.1 0.3 0.2 1.6 0.5 0.2\n")
+    out = tmp_path / "beliefs"
+    rc = main(["factor_bp", "--model", str(model), "--output", str(out),
+               "--iterations", "15", "--bound", "1e-10"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["algo"] == "factor_bp" and m["mode"] == "max"
+    assert m["variables"] == 3 and m["factors"] == 2
+    assert m["converged"] is True
+    rows = {r["id"]: r for r in spark.read.parquet(str(out)).collect()}
+    # unique MAP of this model is (x, y, z) = (1, 0, 2)
+    assert (rows[0]["label"], rows[1]["label"], rows[2]["label"]) == (1, 0, 2)
+    rc = main(["factor_bp", "--model", str(model), "--bp-mode", "sum",
+               "--iterations", "15", "--bound", "1e-10"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["mode"] == "sum" and m["converged"] is True
