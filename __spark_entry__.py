@@ -1212,8 +1212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mplp_labels": q_mplp_labels,
         "graph_dd_labels": q_dd_labels,
         "graph_ad3_labels": q_ad3_labels,
-        "graph_dd_projected_labels": q_dd_projected_labels,
-        "graph_bethe_admm_labels": q_bethe_admm_labels,
+        # --- session-4: transcripts are the graft payload, so the two
+        # --- transcript-composition queries take window priority over
+        # --- the 4th/5th dual-decomposition variants (the DD engine
+        # --- keeps two in-window rows: graph_dd_labels base loop +
+        # --- graph_ad3_labels QP solve; projected/bethe-ADMM reuse the
+        # --- same superstep machinery and stay in the dev sweep):
+        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        "transcript_near_dups": q_transcript_near_dups,
         "graph_budget_map": q_budget_map,
         "cf_nmf_user_factors": q_nmf_user_factors,
         "curation_hash_sample": q_hash_sample,
@@ -1269,21 +1275,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs_scale": q_minhash_pairs_scale,
         "lda_word_topics_scale": q_lda_word_topics_scale,
         "curation_quality_buckets_scale": q_quality_buckets_scale,
-        # --- value-oracled but displaced from the 50-entry driver window
-        # --- by the rows-only scale twins above (whose ONLY driver-visible
-        # --- grading path is the rows-only check; these two stay fully
-        # --- verified by scripts/oracle_dev.py --all and have strong
-        # --- in-window siblings: graph_pagerank_* x4 driver-green in r02
-        # --- cover the pagerank machinery, cf_sgd_user_factors covers the
-        # --- SGD state cf_sgd_rmse derives from).  Rotate them into the
-        # --- window next round (the three *_rmse queries displaced by
-        # --- the new graph_ad3_labels / graph_dd_projected_labels —
-        # --- each rmse is a derived scalar over a factor state whose
-        # --- full-state query stays in-window):
-        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
-        # --- displaced by gm_factor_bp_beliefs (see the window note
-        # --- above); stays value-oracled in the dev sweep:
-        "transcript_near_dups": q_transcript_near_dups,
+        # --- value-oracled but outside the 50-entry driver window: the
+        # --- 4th/5th dual-decomposition variants yielded their window
+        # --- slots to the transcript compositions above (session-4);
+        # --- both reuse the superstep machinery of the in-window
+        # --- graph_dd_labels/graph_ad3_labels and stay fully verified
+        # --- by scripts/oracle_dev.py --all + pytest:
+        "graph_dd_projected_labels": q_dd_projected_labels,
+        "graph_bethe_admm_labels": q_bethe_admm_labels,
         # --- sum-product twin of the in-window gm_factor_bp_beliefs
         # --- (same engine/model, marginalize projection); value-oracled
         # --- in the dev sweep, outside the full window:
