@@ -30,17 +30,22 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with iterative-graph-friendly conf.
 
     ``cores`` pins ``local[cores]`` (used by the two-level scaling bench);
     default is ``local[$SPARK_GRAFT_CPUS]`` falling back to all cores.
+    ``master`` overrides the master URL entirely (e.g.
+    ``local-cluster[4,4,8192]`` for the multi-executor scaling evidence,
+    or a real ``spark://``/``yarn`` URL in production); ``cores`` then
+    only sizes the default shuffle parallelism.
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(8, 2 * cores)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -39,16 +39,37 @@ EDGES_PATH = (f"/tmp/scaling_edges_{N_CONVS}.parquet"
               if N_CONVS != 600000 else "/tmp/scaling_edges.parquet")
 SUPERSTEPS = 6
 SHUFFLE_PARTITIONS = 64
-# N -> 4N thread pair (the sandbox stand-in for N vs 4N executors).
-# 8,32 saturates this single-socket VM's memory bandwidth at the high
-# level (see membw_ceiling); 4,16 exercises the same 4x parallelism
-# ratio below the saturation knee and with headroom for host noise.
+# SCALING_MODE selects the N -> 4N stand-in:
+#   threads   (default) — local[n] executor-thread levels in one JVM;
+#   executors — local-cluster[n, SCALING_EXEC_CORES, SCALING_EXEC_MEM_MB]
+#               levels: n SEPARATE executor JVM processes per level, each
+#               with its own heap/BlockManager, shuffle blocks fetched
+#               over loopback Netty — the literal N vs 4N EXECUTORS shape
+#               of the north rule, minus only the physical network.
+MODE = os.environ.get("SCALING_MODE", "threads")
+if MODE not in ("threads", "executors"):
+    raise SystemExit(f"SCALING_MODE must be threads|executors, got {MODE!r}")
+EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", "4"))
+EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "8192"))
+# N -> 4N pair. threads: core counts (8,32 saturates this single-socket
+# VM's memory bandwidth at the high level — see membw_ceiling; 4,16
+# exercises the same 4x ratio below the saturation knee).  executors:
+# executor-process counts (default 1 -> 4 executors x EXEC_CORES cores).
 LEVELS = tuple(int(x) for x in
-               os.environ.get("SCALING_LEVELS", "8,32").split(","))
+               os.environ.get(
+                   "SCALING_LEVELS",
+                   "8,32" if MODE == "threads" else "1,4").split(","))
 if len(LEVELS) != 2 or LEVELS[0] >= LEVELS[1]:
     raise SystemExit(
-        f"SCALING_LEVELS must be exactly two ascending core counts "
+        f"SCALING_LEVELS must be exactly two ascending levels "
         f"'lo,hi' (e.g. '8,32'); got {os.environ.get('SCALING_LEVELS')!r}")
+
+
+def _level_cores(level: int) -> int:
+    """Total concurrent cores a level drives (hw probes pool size)."""
+    return level * EXEC_CORES if MODE == "executors" else level
+
+
 TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
 
 
@@ -67,7 +88,7 @@ def hw_ceiling(n: int = 20_000_000, levels: tuple = None) -> dict:
     time (observed ceilings here range 0.4-1.0)."""
     import multiprocessing as mp
 
-    lo, hi = levels or LEVELS
+    lo, hi = levels or tuple(_level_cores(x) for x in LEVELS)
 
     def timed(procs: int) -> float:
         t0 = time.time()
@@ -107,7 +128,7 @@ def membw_ceiling(n: int = 20_000_000, levels: tuple = None) -> dict:
     efficiency criterion assessable on this hardware."""
     import multiprocessing as mp
 
-    lo, hi = levels or LEVELS
+    lo, hi = levels or tuple(_level_cores(x) for x in LEVELS)
 
     def agg(procs: int) -> float:
         with mp.Pool(procs) as p:
@@ -149,9 +170,18 @@ def run_one(cores: int) -> dict:
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         extra["spark.local.dir"] = local_dir
-    spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
+    master = None
+    if MODE == "executors":
+        # `cores` is the executor count here: n separate worker JVMs,
+        # each EXEC_CORES-wide with its own EXEC_MEM_MB heap; shuffle
+        # blocks move between BlockManagers over loopback Netty exactly
+        # as on a real cluster.
+        master = f"local-cluster[{cores},{EXEC_CORES},{EXEC_MEM_MB}]"
+        extra["spark.executor.memory"] = f"{EXEC_MEM_MB}m"
+    spark = get_spark(app_name=f"scaling-{cores}",
+                      cores=_level_cores(cores),
                       shuffle_partitions=SHUFFLE_PARTITIONS,
-                      extra_conf=extra)
+                      extra_conf=extra, master=master)
     spark.sparkContext.setLogLevel("ERROR")
     edges = spark.read.parquet(EDGES_PATH)
     g = EdgeGraph(edges, num_edge_partitions=SHUFFLE_PARTITIONS)
@@ -169,9 +199,14 @@ def run_one(cores: int) -> dict:
     # the BASELINE metric (edges/sec *per superstep*) is taken over
     # supersteps 1..k.
     steady = sum(steps[1:]) / (len(steps) - 1) / 1000.0
-    return {"cores": cores, "edges": n_edges, "wall_sec": round(wall, 2),
-            "steady_superstep_sec": round(steady, 3),
-            "superstep_ms": steps}
+    out = {"cores": cores, "edges": n_edges, "wall_sec": round(wall, 2),
+           "steady_superstep_sec": round(steady, 3),
+           "superstep_ms": steps}
+    if MODE == "executors":
+        out.update(executors=cores, cores_per_executor=EXEC_CORES,
+                   executor_mem_mb=EXEC_MEM_MB,
+                   total_cores=_level_cores(cores))
+    return out
 
 
 def _gated_trial(cores: int, gate: float, max_tries: int = 6) -> dict | None:
@@ -239,6 +274,10 @@ def main() -> None:
         steady = min(steadies[cores])
         results.append({
             "cores": cores, "edges": n_edges, "supersteps": SUPERSTEPS,
+            **({"executors": cores, "cores_per_executor": EXEC_CORES,
+                "executor_mem_mb": EXEC_MEM_MB,
+                "total_cores": _level_cores(cores)}
+               if MODE == "executors" else {}),
             "wall_sec": wall, "wall_sec_trials": walls[cores],
             "steady_superstep_sec": steady,
             "steady_superstep_sec_trials": steadies[cores],
@@ -254,11 +293,19 @@ def main() -> None:
     membw = membw_ceiling()
     hw = min(ceiling["hw_scaling_ceiling"],
              ceiling_after["hw_scaling_ceiling"])
+    varies = (
+        "only executor-thread count varies (sandbox stand-in for N vs 4N "
+        "executors)" if MODE == "threads" else
+        f"only the executor-PROCESS count varies — local-cluster["
+        f"n,{EXEC_CORES},{EXEC_MEM_MB}] launches n separate executor JVMs "
+        "each with its own heap/BlockManager, shuffle blocks fetched "
+        "between processes over loopback Netty: the literal N vs 4N "
+        "executors shape of the north rule minus only the physical network")
     out = {
+        "mode": MODE,
         "protocol": "same job/input/shuffle partitioning; fresh JVM per "
                     "(level, trial), trials interleaved, min-of-trials; "
-                    "only executor-thread count varies (sandbox stand-in "
-                    "for N vs 4N executors); efficiency is on the "
+                    f"{varies}; efficiency is on the "
                     "BASELINE metric — steady-state edges/sec per "
                     "superstep (supersteps 1..k; superstep 0 carries the "
                     "one-time per-graph contribution build, amortized in "
@@ -293,7 +340,9 @@ def main() -> None:
     }
     # Keep the best (passing) record: a contended-window failure must not
     # clobber a previously captured quiet-window measurement.
-    path = os.path.join(REPO, "BENCH_scaling.json")
+    path = os.path.join(
+        REPO, "BENCH_scaling.json" if MODE == "threads"
+        else "BENCH_scaling_executors.json")
     prior = None
     if os.path.exists(path):
         with open(path) as f:
