@@ -52,7 +52,19 @@ def _build_pyfiles_zip(path: str) -> None:
 
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
-def test_spark_submit_pyfiles_pagerank(spark, tmp_path):
+@pytest.mark.parametrize(
+    "master",
+    [
+        "local[4]",
+        # Multi-executor launch: 2 SEPARATE executor JVMs (own heaps /
+        # BlockManagers) that each fetch the --py-files zip from the
+        # driver's file server — the literal multi-executor
+        # ``spark-submit --py-files`` deployment shape, minus only the
+        # physical network between worker hosts.
+        "local-cluster[2,2,1024]",
+    ],
+)
+def test_spark_submit_pyfiles_pagerank(spark, tmp_path, master):
     zip_path = str(tmp_path / "graphlab_spark.zip")
     _build_pyfiles_zip(zip_path)
     driver_path = tmp_path / "driver.py"
@@ -62,9 +74,10 @@ def test_spark_submit_pyfiles_pagerank(spark, tmp_path):
     events = os.path.join(SF_DIR, "events.parquet")
     cmd = [
         SPARK_SUBMIT,
-        "--master", "local[4]",
+        "--master", master,
         "--conf", "spark.sql.shuffle.partitions=8",
         "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.executor.memory=1024m",
         "--py-files", zip_path,
         str(driver_path),
         "pagerank", "--events", events,
