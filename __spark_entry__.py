@@ -1250,10 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gm_gibbs_denoise": q_gibbs_denoise,
         "graph_mplp_sparse_labels": q_mplp_sparse_labels,
         # --- session-3 addition (value-oracled, never driver-checked):
-        # --- the N-ary factor-graph BP engine; takes the window slot of
-        # --- transcript_near_dups, whose machinery has the strongest
-        # --- driver-green siblings (dedup_minhash_clusters green in
-        # --- r02; transcript_corpus/edges stay in-window):
+        # --- the N-ary factor-graph BP engine; after the session-4
+        # --- transcript re-prioritization the slot it occupies came
+        # --- from graph_dd_projected_labels (see the out-of-window
+        # --- block below):
         "gm_factor_bp_beliefs": q_factor_bp_beliefs,
         # --- pulled into the window in place of the three rows-only
         # --- entries below (a rows-only driver row records only a row

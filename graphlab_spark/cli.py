@@ -198,10 +198,14 @@ def main(argv: list[str] | None = None) -> int:
         from .algos.factor_bp import factor_graph_bp
         from .sources.alchemy import load_alchemy_factor_graph
         variables, factors = load_alchemy_factor_graph(spark, args.model)
+        # the parse pipeline (explode/join/groupBy) is re-read by
+        # validation, superstep init, and the metrics count below —
+        # persist once instead of re-parsing per job
+        factors = factors.persist()
         t0 = time.time()
         res = factor_graph_bp(
             variables, factors,
-            iterations=args.iterations if args.iterations else 10,
+            iterations=10 if args.iterations is None else args.iterations,
             damping=args.damping, bound=args.bound, mode=args.bp_mode,
             checkpoint=CheckpointManager(args.checkpoint_dir,
                                          every=args.checkpoint_every),
@@ -216,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             bel.write.mode("overwrite").parquet(args.output)
         out["wall_sec"] = round(time.time() - t0, 3)
         bel.unpersist()
+        factors.unpersist()
         print(json.dumps(out))
         return 0
     g = _load_graph(spark, args)

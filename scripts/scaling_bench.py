@@ -311,12 +311,14 @@ def main() -> None:
                     "one-time per-graph contribution build, amortized in "
                     "any real run and reported separately as wall_sec); "
                     "hw_scaling_ceiling = what an embarrassingly-parallel "
-                    f"CPU burn scaled {LEVELS[0]}->{LEVELS[-1]} at "
+                    f"CPU burn scaled {_level_cores(LEVELS[0])}->"
+                    f"{_level_cores(LEVELS[-1])} cores at "
                     "measurement time (host CPU steal moves it); every "
                     "trial is bracketed by pre+post probes that must both "
                     "clear the gate or the trial is discarded; hw_membw = "
                     "aggregate STREAM-triad bandwidth at "
-                    f"{LEVELS[0]} vs {LEVELS[-1]} workers — a shuffle "
+                    f"{_level_cores(LEVELS[0])} vs "
+                    f"{_level_cores(LEVELS[-1])} streams — a shuffle "
                     "superstep is memory-bound, so this ceiling bounds "
                     "any engine's achievable scaling independent of CPU "
                     "availability (on this single-socket VM bandwidth "
