@@ -250,6 +250,21 @@ def main() -> None:
         print(json.dumps({"skipped": "hw ceiling below threshold",
                           **ceiling}))
         sys.exit(3)
+    # A superstep is memory-bound; the CPU-burn gate alone passed a
+    # window whose aggregate triad bandwidth had collapsed to ~10% of
+    # quiet-host levels (BENCH_scaling_executors.json 2026-08-19 —
+    # hw_pre/post 0.84/0.80 yet membw_4 = 3.6 GB/s vs the quiet-window
+    # 34.1).  SCALING_MIN_MEMBW_GBPS gates on ABSOLUTE lo-level triad
+    # bandwidth so retries fail fast instead of burning a 15-minute
+    # measurement in a bandwidth-starved window.
+    min_membw = float(os.environ.get("SCALING_MIN_MEMBW_GBPS", "0"))
+    if min_membw:
+        lo_cores = _level_cores(LEVELS[0])
+        probe = membw_ceiling()
+        if probe[f"membw_{lo_cores}_gbps"] < min_membw:
+            print(json.dumps({"skipped": "lo-level membw below threshold",
+                              **probe}))
+            sys.exit(3)
     walls: dict[int, list[float]] = {c: [] for c in LEVELS}
     steadies: dict[int, list[float]] = {c: [] for c in LEVELS}
     trial_meta: list[dict] = []
