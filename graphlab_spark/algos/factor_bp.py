@@ -286,7 +286,25 @@ def factor_graph_bp(
         raise ValueError(
             f"factor_graph_bp: mode must be 'max' (MAP projection) or "
             f"'sum' (marginalize), got {mode!r}")
-    _validate(variables, factors)
+    # Both input lineages are read several times before the first
+    # superstep (validation probes, the pri/ftab builds, the per-edge
+    # init scan): persist here once — for the duration of the call
+    # only, and only if the caller hasn't already — so a computed
+    # lineage (an alchemy parse, a sparse densify) isn't re-executed
+    # per probe.
+    owned = []
+    if not variables.is_cached:
+        variables = variables.persist()
+        owned.append(variables)
+    if not factors.is_cached:
+        factors = factors.persist()
+        owned.append(factors)
+    try:
+        _validate(variables, factors)
+    except Exception:
+        for df in owned:
+            df.unpersist()
+        raise
 
     # --- static sides -------------------------------------------------
     pri_c = variables.select(F.col("id").alias("vid"), "card",
@@ -431,6 +449,8 @@ def factor_graph_bp(
                 label.alias("label"))
     )
     ftab.unpersist()
+    for df in owned:
+        df.unpersist()
     return FactorBPResult(messages=msgs, beliefs=beliefs,
                           supersteps=result.supersteps,
                           converged=result.converged)

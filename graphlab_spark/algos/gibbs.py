@@ -270,7 +270,7 @@ def chromatic_gibbs(
         j = st.join(sums, "id", "left")
         b = [F.col(f"t{x}") + F.coalesce(f"n{x}", F.lit(0.0))
              for x in ks]
-        mx = F.greatest(*b) if k > 1 else b[0]
+        mx = F.greatest(*b)  # k >= 2 enforced at entry
         e = [F.exp(b[x] - mx) for x in ks]
         z = e[0]
         for x in range(1, k):

@@ -184,7 +184,8 @@ def pagerank(
 
         return observed, finish
 
-    chunk_budget = fixed_supersteps or max_supersteps
+    chunk_budget = (max_supersteps if fixed_supersteps is None
+                    else fixed_supersteps)
     if fuse > 1:
         chunk_budget = -(-chunk_budget // fuse)  # ceil-div: chunks, not steps
     result = run_bsp(

@@ -198,9 +198,9 @@ def main(argv: list[str] | None = None) -> int:
         from .algos.factor_bp import factor_graph_bp
         from .sources.alchemy import load_alchemy_factor_graph
         variables, factors = load_alchemy_factor_graph(spark, args.model)
-        # the parse pipeline (explode/join/groupBy) is re-read by
-        # validation, superstep init, and the metrics count below —
-        # persist once instead of re-parsing per job
+        # factor_graph_bp persists un-cached inputs for the call's
+        # duration, but this verb also counts factors AFTER the run —
+        # persist here so the parse survives until the metrics line
         factors = factors.persist()
         t0 = time.time()
         res = factor_graph_bp(
@@ -284,7 +284,8 @@ def main(argv: list[str] | None = None) -> int:
             F.array(F.lit(0.0), F.lit(-lam), F.lit(-lam), F.lit(0.0))
             .alias("table"))
         res = chromatic_gibbs(unary, factors, 2, sweeps=args.sweeps,
-                              seed=args.seed)
+                              seed=args.seed, checkpoint=ckpt,
+                              resume=args.resume)
         stats = gibbs_run_statistics(res, unary, factors, 2)
         state = res.state.select("id", "asg")
         supersteps, converged = args.sweeps * res.ncolors, True

@@ -150,7 +150,8 @@ class VertexProgram:
         return run_bsp(
             init_state,
             step,
-            max_supersteps=fixed_supersteps or max_supersteps,
+            max_supersteps=(max_supersteps if fixed_supersteps is None
+                            else fixed_supersteps),
             checkpoint=checkpoint,
             resume=resume,
             verbose=verbose,

@@ -224,7 +224,12 @@ def run_bsp(
                     max_delta=float(metrics.get("max_delta", float("nan"))),
                     wall_ms=wall_ms,
                 )
-                state = ckpt.save(i, state, sm).persist()
+                # save() writes state out and returns the parquet
+                # read-back; drop the pre-save cached copy so durable
+                # checkpoints don't pin a stale |V|-row block per save
+                saved = ckpt.save(i, state, sm).persist()
+                state.unpersist()
+                state = saved
             if converged:
                 break
     return BSPResult(state=state, supersteps=i + 1, converged=converged, history=history)

@@ -120,8 +120,22 @@ def _parse_sections(
                         # optional '///' weight suffix
                         F.substring_index("line", "///", 1), "//", -1)),
                         r"\s+"),
-                    lambda s: s.cast("double")).alias("vals"))
+                    # try_cast, not cast: under ANSI (the Spark 4
+                    # default) a malformed token would die with a
+                    # context-free CAST_INVALID_INPUT before the
+                    # friendly per-line error below; with ANSI off it
+                    # would flow into the BP/Gibbs tables as a silent
+                    # NULL that passes every size-based check
+                    lambda s: s.try_cast("double")).alias("vals"))
         )
+        badval = raw.filter(
+            F.exists("vals", lambda x: x.isNull())).take(1)
+        if badval:
+            raise ValueError(
+                f"load_alchemy: factor line {badval[0]['idx']} has an "
+                "unparseable table value token (values section: "
+                "whitespace-separated doubles between '//' and an "
+                "optional '///' weight)")
         return lines, variables, raw
     except Exception:
         if variables is not None:

@@ -251,3 +251,13 @@ def test_alchemy_factor_graph_bp_end_to_end(spark, tmp_path):
                 if s > best:
                     best, arg = s, (x, y, z)
     assert (got[0], got[1], got[2]) == arg
+
+
+def test_load_alchemy_bad_value_token(spark, tmp_path):
+    """A malformed table value must raise the loader's per-line error,
+    not a context-free ANSI cast failure (or a silent NULL with ANSI
+    off that would NULL beliefs downstream)."""
+    bad = tmp_path / "badval.alchemy"
+    bad.write_text("variables:\na\nfactors:\na // 0.5 x.5\n")
+    with pytest.raises(ValueError, match="unparseable table value"):
+        load_alchemy(spark, str(bad))

@@ -248,3 +248,25 @@ def test_cli_factor_bp(spark, tmp_path, capsys):
     assert rc == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["mode"] == "sum" and m["converged"] is True
+
+
+def test_cli_gibbs_checkpoint_resume(spark, tmp_path, capsys):
+    """--checkpoint-dir/--resume must actually reach the sampler (the
+    verb once built the manager and never passed it)."""
+    from graphlab_spark.cli import main
+    from graphlab_spark.plans.checkpoint import CheckpointManager
+    tsv = tmp_path / "edges.tsv"
+    tsv.write_text("0\t1\n1\t2\n2\t3\n3\t4\n4\t0\n")
+    ck = tmp_path / "ck"
+    rc = main(["gibbs", "--input", str(tsv), "--format", "tsv",
+               "--sweeps", "2", "--seed", "7",
+               "--checkpoint-dir", str(ck), "--checkpoint-every", "2"])
+    assert rc == 0
+    manifests = CheckpointManager(str(ck)).manifests()
+    assert manifests, "gibbs run wrote no checkpoints"
+    # a longer resumed run picks the chain up instead of restarting
+    rc = main(["gibbs", "--input", str(tsv), "--format", "tsv",
+               "--sweeps", "3", "--seed", "7", "--resume",
+               "--checkpoint-dir", str(ck), "--checkpoint-every", "2"])
+    assert rc == 0
+    capsys.readouterr()

@@ -122,3 +122,11 @@ def test_fuse_rejects_bad_combos(fixture_graph):
         pagerank(fixture_graph, fuse=2, delta_cache=True)
     with pytest.raises(ValueError, match="fuse"):
         pagerank(fixture_graph, fuse=2, gather="arrow")
+
+
+def test_pagerank_zero_fixed_supersteps(fixture_graph):
+    """pagerank(fixed_supersteps=0): zero superstep jobs, init ranks."""
+    from graphlab_spark.algos.pagerank import pagerank
+    res = pagerank(fixture_graph, fixed_supersteps=0)
+    assert res.supersteps == 0
+    assert {r["rank"] for r in res.state.collect()} == {1.0}

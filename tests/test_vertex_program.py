@@ -73,3 +73,13 @@ def test_invalid_program_rejected():
         VertexProgram(init="1", gather="val", merge="median")
     with pytest.raises(ValueError, match="gather_edges"):
         VertexProgram(init="1", gather="val", gather_edges="sideways")
+
+
+def test_zero_fixed_supersteps_returns_init(graph):
+    """fixed_supersteps=0 must run ZERO gather/apply rounds and return
+    the init state (a falsy-zero `or` once coerced it to the 100-step
+    default and ran a full round before the stop check)."""
+    res = PAGERANK_PROGRAM.run(graph, fixed_supersteps=0)
+    assert res.supersteps == 0
+    vals = {r["val"] for r in res.state.collect()}
+    assert vals == {1.0}  # init expression, untouched
