@@ -67,6 +67,7 @@ def jacobi(
     res = run_bsp(init, step, max_supersteps=max_supersteps,
                   checkpoint=checkpoint, resume=resume)
     e.unpersist()
+    v.unpersist()
     return res
 
 

@@ -63,7 +63,10 @@ def kmeans(
         dists = F.array(*[_dist_sq("v", c) for c in cs])
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    assign = None
+    # assignment to the CURRENT centers, evaluated before any Lloyd
+    # update so iterations=0 returns the init-center assignment
+    # instead of crashing on a None
+    assign = pts.select("id", "v", cluster_expr(centers).alias("cluster"))
     for it in range(iterations):
         assign = pts.select("id", "v", cluster_expr(centers).alias("cluster"))
         stats = (

@@ -95,7 +95,10 @@ def sql_stratified_sample(
     seed: int = SAMPLE_SEED,
 ) -> str:
     case = "CASE " + " ".join(
-        f"WHEN {stratum_col} = '{v}' THEN {float(r)!r}"
+        # stratum values come from data: escape embedded quotes so the
+        # emitted SQL stays well-formed (and un-injectable)
+        f"WHEN {stratum_col} = '{v.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {float(r)!r}"
         for v, r in sorted(rates.items())
     ) + f" ELSE {float(default_rate)!r} END"
     return (f"SELECT * FROM {table} "
@@ -189,7 +192,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                 .select("doc_id", key(F.col("ng")).alias("k"))
     hits = (pos.join(F.broadcast(bench), "k", "left_semi")
                .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
-    return (corpus.select("doc_id", "n_ngrams")
+    # second consumer of `corpus` would re-run the full n-gram build;
+    # derive the count arithmetically from the token split instead
+    # (exactly the SQL twin's `base` CTE), so the corpus is n-gram-
+    # tokenized once, on the exploded probe side only
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.expr("array()")
+    ).otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+    counts = docs.select(
+        "doc_id",
+        F.greatest(F.lit(0).cast("long"),
+                   (F.size(toks) - F.lit(n - 1)).cast("long"))
+        .alias("n_ngrams"))
+    return (counts
             .join(hits, "doc_id", "left")
             .select(
                 "doc_id", "n_ngrams",
@@ -349,6 +364,17 @@ def quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS,
     else:
         cuts = scored.approxQuantile(
             "avg_logp", [i / n_buckets for i in range(1, n_buckets)], 1e-4)
+        if not cuts:
+            # no scoreable document (approxQuantile on an empty frame
+            # returns []): mirror the portable path's graceful empty
+            # result instead of indexing cuts below
+            return scored.select(
+                F.lit(1).alias("bucket"), "n_toks", "avg_logp").groupBy(
+                "bucket").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_toks").cast("long").alias("n_tokens"),
+                F.round(F.min("avg_logp"), 6).alias("min_logp"),
+                F.round(F.max("avg_logp"), 6).alias("max_logp"))
         expr = F.lit(n_buckets)
         for i in range(n_buckets - 1, 0, -1):
             expr = F.when(F.col("avg_logp") <= F.lit(cuts[i - 1]),

@@ -133,7 +133,13 @@ def jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU, n: int = SHINGLE_N,
     (documented) trade-off; MinHash-LSH remains the primary 100 TB
     dedup path.
     """
-    sh = char_shingles(docs, n).persist()
+    # lazy localCheckpoint, not persist: the shingle table is reused
+    # by several branches of the RETURNED lazy plan, so an explicit
+    # cache could never be unpersisted here — RDD-level checkpoint
+    # blocks are ContextCleaner-collected once the result is dropped,
+    # where a CacheManager entry would pin executor storage for the
+    # session lifetime (one leak per call)
+    sh = char_shingles(docs, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -244,7 +250,10 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
     """
     k = len(MINHASH_COEFFS)
     n_bands = k // MINHASH_BAND_ROWS
-    sig = minhash_signatures(docs, n, portable=portable).persist()
+    # lazy localCheckpoint (see jaccard_pairs): reused by the band
+    # explosion AND the estimate prefilter, released with the result
+    sig = minhash_signatures(docs, n, portable=portable).localCheckpoint(
+        eager=False)
     bands = None
     for j in range(n_bands):
         cols = [f"m{j * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
@@ -281,7 +290,7 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
     # Candidate-driven exact-Jaccard verify: intersections are computed
     # ONLY for prefiltered candidates (never the full inverted-index
     # pair blowup — hot shingles would make that quadratic).
-    sh = char_shingles(docs, n).persist()
+    sh = char_shingles(docs, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -315,7 +324,6 @@ def sql_minhash_lsh_pairs(tau: float = JACCARD_TAU, n: int = SHINGLE_N,
         )
         for j in range(n_bands)
     )
-    k = len(MINHASH_COEFFS)
     est = " + ".join(
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(k)
     )
@@ -401,7 +409,8 @@ def simhash_pairs(docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX,
     """(doc_a, doc_b, hamming) pairs within Hamming distance, candidates
     via nibble banding (B/4 bands of 4 bits; distance <= 3 guarantees
     >=1 identical nibble by pigeonhole)."""
-    sig = simhash_signatures(docs, portable=portable).persist()
+    sig = simhash_signatures(docs, portable=portable).localCheckpoint(
+        eager=False)
     n_nibbles = SIMHASH_BITS // 4
     bands = None
     for j in range(n_nibbles):
@@ -466,6 +475,9 @@ def minhash_dup_clusters(docs: DataFrame, tau: float = JACCARD_TAU,
     # constant
     g = EdgeGraph(edges)
     state = connected_components(g, resume=False).state
+    # CC has already run (one action per superstep) and its state is
+    # lineage-truncated, so the pair graph's cache can be released now
+    g.unpersist()
     out = (
         docs.select("doc_id")
         .join(state.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -38,8 +38,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from `documents`: payload = utf-8 bytes
     of the text, kind cycles by doc_id (deterministic; used by tests and
     the driver harness — no real media ships in this environment)."""
+    # pmod, not %: Spark's % preserves sign, so a negative doc_id would
+    # hit element_at(0) (runtime error) or index from the array end
     kind = F.element_at(
-        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+        F.array(*[F.lit(k) for k in _KINDS]),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int")
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -111,8 +114,8 @@ def sql_media_stats(table: str = "documents") -> str:
     """DuckDB twin of media_from_documents |> media_stats."""
     return f"""
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS kind,
+       CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM {table}
 """

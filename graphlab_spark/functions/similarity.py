@@ -75,7 +75,10 @@ def cosine_pairs(emb: DataFrame, tau: float = COSINE_TAU,
     canonicalized to vec_a < vec_b and only those are scored, so cost
     is O(|candidates|) and the scoring/filter plan (two id equi-joins,
     no cross product) is shared with the exact path."""
-    n = with_norm(emb).persist()
+    # lazy localCheckpoint, not persist: reused by both join sides of
+    # the returned lazy plan; blocks are released when the result is
+    # dropped instead of pinning CacheManager storage per call
+    n = with_norm(emb).localCheckpoint(eager=False)
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
                  F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
@@ -120,7 +123,7 @@ def ann_topk_brute(emb: DataFrame, n_queries: int = ANN_QUERIES,
     for each query vector (vec_id < n_queries), self excluded.
     Deterministic order: cos (6 dp) desc, then neighbor_id asc."""
     from pyspark.sql import Window
-    n = with_norm(emb).persist()
+    n = with_norm(emb).localCheckpoint(eager=False)
     q = n.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
         F.col("nrm").alias("nq"))
@@ -217,7 +220,8 @@ def lsh_candidate_pairs(emb: DataFrame, n_queries: int = ANN_QUERIES,
     whole query."""
     if n_planes is None:
         n_planes = derived_planes(emb.count())
-    b = with_lsh_buckets(with_norm(emb), n_tables, n_planes, dim).persist()
+    b = with_lsh_buckets(with_norm(emb), n_tables, n_planes,
+                         dim).localCheckpoint(eager=False)
     tagged = None
     for t in range(n_tables):
         probes = F.array(*(
@@ -368,7 +372,7 @@ def ann_topk_ivf(emb: DataFrame, n_queries: int = ANN_QUERIES,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>")
 
-    n = with_norm(emb).persist()
+    n = with_norm(emb).localCheckpoint(eager=False)
     q = n.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
         F.col("nrm").alias("nq"))
@@ -481,6 +485,7 @@ def cosine_dup_clusters(emb: DataFrame, tau: float = COSINE_TAU,
                          F.col("vec_b").alias("dst"))
     g = EdgeGraph(edges)
     state = connected_components(g, resume=False).state
+    g.unpersist()  # CC ran eagerly; state is lineage-truncated
     return (
         emb.select("vec_id")
         .join(state.withColumnRenamed("id", "vec_id"), "vec_id", "left")
@@ -635,7 +640,10 @@ def knn_components(emb: DataFrame, k: int = 3) -> DataFrame:
     from ..graph import EdgeGraph
 
     edges = knn_graph(emb, k=k).select("src", "dst")
-    return connected_components(EdgeGraph(edges), resume=False).state
+    g = EdgeGraph(edges)
+    state = connected_components(g, resume=False).state
+    g.unpersist()  # CC ran eagerly; state is lineage-truncated
+    return state
 
 
 def sql_knn_components(k: int = 3, table: str = "embeddings") -> str:

@@ -446,7 +446,8 @@ def bm25_scores(docs, terms: list[str], k1: float = BM25_K1,
 
 def sql_bm25(terms: list[str], k1: float = BM25_K1, b: float = BM25_B,
              table: str = "documents") -> str:
-    quoted = ", ".join("'" + t + "'" for t in terms)
+    # terms come from user input: escape embedded single quotes
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
 WITH toks AS (
   SELECT doc_id, tok FROM (

@@ -198,8 +198,9 @@ def panorama_groups(matches: DataFrame) -> DataFrame:
     edges = matches.select(F.col("img_a").alias("src"),
                            F.col("img_b").alias("dst"))
     g = EdgeGraph(edges)
-    return connected_components(g, resume=False).state.select(
-        "id", F.col("component").alias("pano"))
+    state = connected_components(g, resume=False).state
+    g.unpersist()  # CC ran eagerly; state is lineage-truncated
+    return state.select("id", F.col("component").alias("pano"))
 
 
 def warp_images(images: DataFrame, cameras: DataFrame) -> DataFrame:

@@ -24,6 +24,17 @@ O(#active conversations) state, Arrow-batched, no per-row Python
 anywhere outside the vectorized pandas kernel.  Node ids are attached
 AFTER the stateful step with the same ``xxhash64`` column expressions
 as the batch path, so streamed and batch-derived edges are identical.
+
+Ordering contract: sequence edges assume per-conversation arrival is
+monotone in ``turn_idx`` ACROSS micro-batches (within a batch any
+order is fine — the kernel sorts).  A turn arriving after a
+higher-indexed turn was already chained is SKIPPED for sequence edges
+(its hub edges still stream): append mode cannot retract the
+already-emitted edge to splice it in, and the alternative — emitting
+against the stale state — would produce backwards edges and a
+regressed chain.  Batch equivalence therefore holds exactly for
+in-order (per conversation) streams, which is what a transcript
+source keyed by conversation produces.
 """
 
 from __future__ import annotations
@@ -74,6 +85,19 @@ def _make_sequence_pairs(state_ttl_ms: int | None):
         starts, ends = [], []
         for i in idxs:
             if last_idx is not None:
+                if i <= last_idx:
+                    # A turn arriving AFTER a higher-indexed turn of its
+                    # conversation was already chained (out-of-order
+                    # across micro-batches, still inside the watermark —
+                    # the watermark drops old rows, it does not order
+                    # them).  Append mode cannot retract the already-
+                    # emitted edge to splice this turn in, so the only
+                    # safe options are skip or corrupt: emitting here
+                    # would produce a BACKWARDS edge and regress the
+                    # chain state.  Skip — the turn's hub edges
+                    # (turn->tool, turn->role) still stream through the
+                    # stateless projections.
+                    continue
                 starts.append(last_idx)
                 ends.append(i)
             last_idx = i

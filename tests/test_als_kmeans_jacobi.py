@@ -330,3 +330,15 @@ def test_synthetic_clusters_portable_kmeans_recovery(spark):
     agree = maj.agg(F.sum("count")).first()[0]
     assert agree >= 0.99 * 600
     assert maj.select("km").distinct().count() == nc
+
+
+def test_kmeans_zero_iterations_assigns_to_init_centers(spark):
+    """iterations=0 must return the init-center assignment (it used to
+    crash on a None)."""
+    from graphlab_spark.algos.kmeans import kmeans
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(8)]
+    pts = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, centers = kmeans(pts, k=2, iterations=0, init="first")
+    assert len(centers) == 2
+    got = {r["id"]: r["cluster"] for r in assign.collect()}
+    assert len(got) == 8 and set(got.values()) <= {0, 1}

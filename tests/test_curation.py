@@ -216,3 +216,26 @@ def test_quality_buckets_scale_path_close_to_exact(spark):
     assert sum(exact.values()) == sum(approx.values()) == 40
     for b in exact:
         assert abs(exact[b] - approx.get(b, 0)) <= 3  # boundary ties only
+
+
+def test_quality_buckets_scale_path_empty_corpus(spark):
+    """portable=False on a corpus with no scoreable document must
+    return empty like the portable path, not IndexError on the empty
+    approxQuantile cut list."""
+    from graphlab_spark.functions.curation import quality_buckets
+    docs = spark.createDataFrame([(1, "a"), (2, "")],
+                                 "doc_id long, text string")
+    assert quality_buckets(docs, n_buckets=4, portable=False).count() == 0
+    assert quality_buckets(docs, n_buckets=4, portable=True).count() == 0
+
+
+def test_sql_stratified_sample_escapes_quotes():
+    import duckdb
+
+    from graphlab_spark.functions.curation import sql_stratified_sample
+    sql = sql_stratified_sample("lang", {"o'brien": 0.5})
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT 1 AS doc_id, "
+        "'o''brien' AS lang")
+    con.execute(sql).fetchall()  # must parse

@@ -110,6 +110,35 @@ def test_sequence_pairs_cross_chunk_order():
     assert st2.timeout_set == 5000
 
 
+def test_sequence_pairs_cross_batch_out_of_order_is_skipped():
+    """A turn arriving AFTER a higher-indexed turn was already chained
+    (out-of-order across micro-batches, inside the watermark) must be
+    skipped for sequence edges — not emitted as a backwards edge with a
+    regressed chain state."""
+    import pandas as pd
+
+    from graphlab_spark.streaming.ingest import _make_sequence_pairs
+
+    fn = _make_sequence_pairs(None)
+    # batch 1: turns 0, 2 (turn 1 delayed)
+    st = _FakeState()
+    out = list(fn(("c1",), iter([pd.DataFrame({"turn_idx": [0, 2]})]), st))
+    assert list(zip(out[0]["a"], out[0]["b"])) == [(0, 2)]
+    assert st.get == (2,)
+    # batch 2: the late turn 1 — no backwards (2->1), no state regress
+    out = list(fn(("c1",), iter([pd.DataFrame({"turn_idx": [1]})]), st))
+    assert out == []
+    assert st.get == (2,)
+    # batch 3: turn 3 chains from 2, not from the late turn
+    out = list(fn(("c1",), iter([pd.DataFrame({"turn_idx": [3]})]), st))
+    assert list(zip(out[0]["a"], out[0]["b"])) == [(2, 3)]
+    assert st.get == (3,)
+    # a retransmit of the current head is likewise a no-op
+    out = list(fn(("c1",), iter([pd.DataFrame({"turn_idx": [3]})]), st))
+    assert out == []
+    assert st.get == (3,)
+
+
 def test_sequence_pairs_timeout_evicts():
     from graphlab_spark.streaming.ingest import _make_sequence_pairs
 
