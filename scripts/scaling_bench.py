@@ -365,10 +365,16 @@ def main() -> None:
         with open(path) as f:
             prior = json.load(f)
     if out["pass"] or prior is None or not prior.get("pass"):
-        if prior is not None and prior.get("pass") and out["pass"]:
-            # accumulate evidence: keep the superseded passing record
+        if prior is not None and out["pass"] and "levels" in prior:
+            # accumulate evidence: keep the superseded record — passing
+            # priors extend the pass list; a NON-passing prior at a
+            # different level geometry is knee evidence (e.g. the 4x4-core
+            # executors record whose membw ceiling explains its 0.72) and
+            # must not vanish when a below-the-knee pass lands
             keep = {k: prior.get(k) for k in
                     ("levels", "speedup", "scaling_efficiency",
+                     "efficiency_vs_hw_ceiling",
+                     "efficiency_vs_membw_ceiling",
                      "measured_at", "pass")}
             out["prior_records"] = (prior.get("prior_records") or []) + [keep]
         with open(path, "w") as f:
