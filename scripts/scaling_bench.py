@@ -364,25 +364,42 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-    if out["pass"] or prior is None or not prior.get("pass"):
-        if prior is not None and out["pass"] and "levels" in prior:
-            # accumulate evidence: keep the superseded record — passing
-            # priors extend the pass list; a NON-passing prior at a
-            # different level geometry is knee evidence (e.g. the 4x4-core
-            # executors record whose membw ceiling explains its 0.72) and
-            # must not vanish when a below-the-knee pass lands
-            keep = {k: prior.get(k) for k in
-                    ("levels", "speedup", "scaling_efficiency",
-                     "efficiency_vs_hw_ceiling",
-                     "efficiency_vs_membw_ceiling",
-                     "measured_at", "pass")}
-            out["prior_records"] = (prior.get("prior_records") or []) + [keep]
+    record = merge_record(out, prior)
+    if record is not None:
         with open(path, "w") as f:
-            json.dump(out, f, indent=2)
+            json.dump(record, f, indent=2)
     else:
         print(json.dumps({"note": "measurement did not pass; keeping prior "
                           "passing BENCH_scaling.json record"}))
     print(json.dumps(out))
+
+
+# Fields an archived (superseded) record keeps in prior_records.
+ARCHIVE_FIELDS = ("levels", "speedup", "scaling_efficiency",
+                  "efficiency_vs_hw_ceiling",
+                  "efficiency_vs_membw_ceiling",
+                  "measured_at", "pass")
+
+
+def merge_record(out: dict, prior: dict | None) -> dict | None:
+    """Decide what the BENCH_scaling json should hold after a run.
+
+    Returns the record to write (``out``, possibly carrying archived
+    priors) or None to keep ``prior`` untouched — a contended-window
+    failure must never clobber a quiet-window pass.  When a pass
+    supersedes ANY measured prior, the prior is archived into
+    ``out['prior_records']``: passing priors extend the evidence list,
+    and a NON-passing prior at a different level geometry is knee
+    evidence (e.g. the 4x4-core executors record whose membw ceiling
+    explains its 0.72) that must not vanish when a below-the-knee pass
+    lands.
+    """
+    if not (out["pass"] or prior is None or not prior.get("pass")):
+        return None
+    if prior is not None and out["pass"] and "levels" in prior:
+        keep = {k: prior.get(k) for k in ARCHIVE_FIELDS}
+        out["prior_records"] = (prior.get("prior_records") or []) + [keep]
+    return out
 
 
 if __name__ == "__main__":
