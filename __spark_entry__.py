@@ -221,6 +221,16 @@ def q_sssp(spark, sf_dir):
     return out.filter(~F.isnan("distance") & (F.col("distance") != float("inf")))
 
 
+def q_betweenness_hubs(spark, sf_dir):
+    """Brandes dependency sums from the four lexicographically-first
+    event-type hubs (engine extension; oracle = chained BFS +
+    descending-level accumulation recursions)."""
+    from graphlab_spark.algos.betweenness import betweenness
+    g = _graph(spark, sf_dir)
+    out = betweenness(g, sources=[-1, -2, -3, -4], directed=False)
+    return out.select("id", F.round("bc", 6).alias("bc"))
+
+
 def q_catpath(spark, sf_dir):
     """Category-mediated typed BFS (apps/our_algo) from the min event
     id, over membership (event↔type-hub) and type-co-occurrence links."""
@@ -1342,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_sir": q_sir,
         "cascade_percolation": q_percolation,
         "graph_topo_layers": q_topo_layers,
+        "graph_betweenness_hubs": q_betweenness_hubs,
     }
 
 
@@ -1686,6 +1697,7 @@ FROM transcripts GROUP BY conv_id""",
         "graph_ingress_report": _sql_ingress_report_oracle(),
         "sim_knn_graph": S.sql_knn_graph(k=3),
         "sim_knn_components": S.sql_knn_components(k=3),
+        "graph_betweenness_hubs": O.sql_betweenness_hubs(),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs

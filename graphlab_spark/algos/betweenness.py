@@ -1,0 +1,177 @@
+"""Betweenness centrality via multi-source Brandes accumulation.
+
+Engine extension: the reference's graph-analytics toolkit has no
+betweenness app, but it is the canonical "which vertices broker the
+link graph" question asked next after PageRank, and the standard
+scalable form — Brandes (2001) restricted to a source sample, cf.
+Bader/Madduri's approximate variant — maps onto the same
+level-synchronous machinery as SSSP
+(``/root/reference/toolkits/graph_analytics/sssp.cpp`` is the closest
+reference shape: frontier relaxation from a source set).
+
+Definition computed here: for the given ``sources`` S,
+
+    bc(v) = sum_{s in S, s != v} delta_s(v),
+    delta_s(v) = sum_{t} sigma_st(v) / sigma_st   (v not in {s, t})
+
+i.e. the exact Brandes dependency sum over the chosen source set, on
+the *simple* (deduplicated) undirected graph by default.  With S = all
+vertices this is exact (directed-pair counting: each unordered pair
+contributes from both endpoints); with a sampled S it is the classic
+|S|-source estimator — the 100-TB scale path, where S stays O(100)
+while V grows.
+
+Spark plan, all Catalyst-side (no UDFs, one action per superstep):
+
+- forward: level-synchronous multi-root BFS carrying
+  ``(root, id, dist, sigma)`` — one frontier⋈edges shuffle join plus a
+  (root, dst) partial+final hash-agg summing path counts, and one
+  anti-join against the visited set, per level; the new-vertex count
+  rides the cumulative-state materialization (count delta), so each
+  level is one job;
+- the shortest-path DAG is materialized once as
+  ``(root, v, w, dv, sv, sw)`` via two hash joins;
+- backward: for level L = maxdist-1 .. 0, one (root, w)-keyed join of
+  the dag slice at L with the already-final deltas — Brandes'
+  delta(v) = sum_w sv/sw * (1 + delta(w));
+- state is O(|V| * |S|) rows; every shuffle is keyed by
+  (root, vertex) so skew stays bounded by the degree distribution,
+  and lineage is cut at every level materialization (the same
+  per-superstep discipline as ``run_bsp``).
+
+The whole computation is replayed exactly by the chained recursive-CTE
+oracle ``oracles.sql_betweenness_hubs`` (BFS recursion, then a
+descending-level accumulation recursion over the DAG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import EdgeGraph
+from ..plans.checkpoint import truncate_lineage
+
+
+def betweenness(
+    graph: EdgeGraph,
+    sources: list[int],
+    directed: bool = False,
+    max_supersteps: int = 64,
+    verbose: bool = False,
+) -> DataFrame:
+    """Returns ``(id long, bc double)`` for every vertex (0.0 for
+    vertices on no shortest path).
+
+    ``sources`` not present in the graph contribute nothing (mirrors
+    ``sssp``'s init-by-membership).  Parallel edges are collapsed:
+    betweenness is a simple-graph statistic, so path multiplicity from
+    duplicate log lines would be an artifact, not signal.
+    """
+    edges_plan = (graph.edges if directed else graph.symmetric_edges)
+    edges_pre = edges_plan.select("src", "dst").distinct().persist()
+    # lineage is cut at EVERY materialization (run_bsp's per-superstep
+    # discipline): the loops below re-join state against `edges` and
+    # against earlier state, and shared lineage would both trip Spark's
+    # ambiguous-self-join analysis and grow the plan unboundedly
+    edges = truncate_lineage(edges_pre)
+    edges_pre.unpersist()
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        cached = df.persist()
+        cut = truncate_lineage(cached)
+        cached.unpersist()
+        return cut
+
+    src_lit = F.array(*[F.lit(int(s)) for s in sources])
+    visited = _materialize(
+        graph.vertices.filter(F.array_contains(src_lit, F.col("id")))
+        .select(
+            F.col("id").alias("root"),
+            F.col("id"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    total = visited.count()
+    frontier = visited
+    max_dist = 0
+    for it in range(1, max_supersteps + 1):
+        expanded = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .groupBy("root", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("root", F.col("dst").alias("id"),
+                    F.lit(it).alias("dist"), "sigma")
+        )
+        new = expanded.join(visited.select("root", "id"), ["root", "id"],
+                            "left_anti")
+        grown = _materialize(visited.union(new))
+        new_total = grown.count()
+        n_new = new_total - total
+        if verbose:
+            print(f"betweenness forward {it}: {n_new} new")
+        if n_new == 0:
+            grown.unpersist()
+            break
+        total, max_dist = new_total, it
+        # the next frontier is exactly the rows discovered this level
+        visited.unpersist()
+        visited = grown
+        frontier = grown.filter(F.col("dist") == it)
+
+    # shortest-path DAG: v -> w with dist(w) = dist(v) + 1, same root
+    fv = visited.select(F.col("root"), F.col("id").alias("v"),
+                        F.col("dist").alias("dv"), F.col("sigma").alias("sv"))
+    fw = visited.select(F.col("root").alias("root_w"),
+                        F.col("id").alias("w"),
+                        F.col("dist").alias("dw"), F.col("sigma").alias("sw"))
+    dag = _materialize(
+        fv.join(edges, fv["v"] == edges["src"])
+        .join(fw, (edges["dst"] == fw["w"])
+              & (fv["root"] == fw["root_w"])
+              & (fw["dw"] == fv["dv"] + 1))
+        .select("root", "v", "w", "dv", "sv", "sw")
+    )
+    dag.count()
+
+    # backward accumulation, level by level; a delta is final as soon
+    # as its level is processed (successors always one level deeper)
+    deltas = _materialize(
+        visited.filter(F.col("dist") == max_dist)
+        .select("root", "id", F.lit(0.0).alias("delta"))
+    )
+    for level in range(max_dist - 1, -1, -1):
+        contrib = (
+            dag.filter(F.col("dv") == level)
+            .join(deltas.select("root", F.col("id").alias("w"), "delta"),
+                  ["root", "w"])
+            .groupBy("root", "v")
+            .agg(F.sum(F.col("sv") / F.col("sw")
+                       * (F.lit(1.0) + F.col("delta"))).alias("contrib"))
+        )
+        level_rows = (
+            visited.filter(F.col("dist") == level)
+            .join(contrib,
+                  (visited["root"] == contrib["root"])
+                  & (visited["id"] == contrib["v"]), "left")
+            .select(visited["root"], visited["id"],
+                    F.coalesce("contrib", F.lit(0.0)).alias("delta"))
+        )
+        grown = _materialize(deltas.union(level_rows))
+        grown.count()
+        deltas.unpersist()
+        deltas = grown
+
+    bc = (
+        graph.vertices.join(
+            deltas.filter(F.col("root") != F.col("id"))
+            .groupBy("id").agg(F.sum("delta").alias("s")),
+            "id", "left")
+        .select("id", F.coalesce("s", F.lit(0.0)).alias("bc"))
+    )
+    out = truncate_lineage(bc.persist())
+    bc.unpersist()
+    for df in (deltas, dag, visited, edges):
+        df.unpersist()
+    return out

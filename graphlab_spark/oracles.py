@@ -2481,3 +2481,85 @@ SELECT vid AS id, i, round(b, 6) AS b,
        first_value(i) OVER (PARTITION BY vid ORDER BY b DESC, i ASC)
          AS label
 FROM bel"""
+
+
+# ---------------------------------------------------------------------------
+# betweenness centrality (mirrors algos/betweenness.py — Brandes over a
+# source set: level-synchronous BFS with path counting, then a
+# descending-level dependency accumulation over the shortest-path DAG)
+# ---------------------------------------------------------------------------
+
+def sql_betweenness_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
+                         cap: int = 64) -> str:
+    """Chained recursions: ``bfs`` re-emits the visited set each level
+    and appends the new frontier (dist = iter) with sigma = sum of
+    frontier-predecessor sigmas; ``acc`` walks levels back down,
+    computing delta(v) = sum_w sv/sw * (1 + delta(w)) from the
+    already-final deltas one level deeper.  Dense and frontier
+    schedules agree because BFS level-synchrony fixes (dist, sigma)
+    the first time a vertex is reached."""
+    rootlist = ", ".join(str(int(r)) for r in roots)
+    symd = "symd AS (SELECT DISTINCT src, dst FROM sym)"
+    bfs = f"""
+bfs(iter, root, id, dist, sigma, grew) AS (
+  SELECT 0, id, id, 0, CAST(1 AS DOUBLE), CAST(1 AS BIGINT)
+  FROM verts WHERE id IN ({rootlist})
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, u.root, u.id, u.dist, u.sigma,
+           sum(CASE WHEN u.dist = p.iter + 1 THEN 1 ELSE 0 END)
+             OVER () AS grew
+    FROM (
+      SELECT root, id, dist, sigma FROM bfs
+      UNION ALL
+      SELECT nf.root, nf.id, nf.dist, nf.sigma FROM (
+        SELECT f.root, s.dst AS id, f.dist + 1 AS dist,
+               sum(f.sigma) AS sigma
+        FROM bfs f JOIN symd s ON f.id = s.src
+        WHERE f.dist = f.iter
+        GROUP BY f.root, s.dst, f.dist
+      ) nf
+      LEFT JOIN bfs v ON v.root = nf.root AND v.id = nf.id
+      WHERE v.id IS NULL
+    ) u
+    CROSS JOIN (SELECT DISTINCT iter, grew FROM bfs) p
+    WHERE p.grew > 0 AND p.iter < {cap}
+  )
+)"""
+    acc = """
+fin AS (SELECT root, id, dist, sigma FROM bfs
+        WHERE iter = (SELECT max(iter) FROM bfs)),
+md AS (SELECT coalesce(max(dist), 0) AS d FROM fin),
+dag AS (SELECT v.root, v.id AS v, w.id AS w, v.dist AS dv,
+               v.sigma AS sv, w.sigma AS sw
+        FROM fin v JOIN symd s ON v.id = s.src
+        JOIN fin w ON w.root = v.root AND w.id = s.dst
+                   AND w.dist = v.dist + 1),
+acc(level, root, id, delta) AS (
+  SELECT (SELECT d FROM md), root, id, CAST(0 AS DOUBLE)
+  FROM fin WHERE dist = (SELECT d FROM md)
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.level - 1 AS level, u.root, u.id, u.delta
+    FROM (
+      SELECT root, id, delta FROM acc
+      UNION ALL
+      SELECT f.root, f.id, coalesce(c.contrib, CAST(0 AS DOUBLE))
+      FROM fin f
+      LEFT JOIN (
+        SELECT g.root, g.v, sum(g.sv / g.sw * (1 + a.delta)) AS contrib
+        FROM dag g JOIN acc a ON a.root = g.root AND a.id = g.w
+        GROUP BY g.root, g.v
+      ) c ON c.root = f.root AND c.v = f.id
+      WHERE f.dist = (SELECT DISTINCT level FROM acc) - 1
+    ) u
+    CROSS JOIN (SELECT DISTINCT level FROM acc) p
+    WHERE p.level > 0
+  )
+)"""
+    return (_rec(_VERTS, _SYM, symd, bfs.strip(), acc.strip()) + """
+SELECT v.id, round(coalesce(s.bcsum, 0), 6) AS bc
+FROM verts v LEFT JOIN (
+  SELECT id, sum(delta) AS bcsum FROM acc
+  WHERE level = (SELECT min(level) FROM acc) AND root <> id
+  GROUP BY id) s ON s.id = v.id""")
