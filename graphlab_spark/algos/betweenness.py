@@ -26,9 +26,9 @@ Spark plan, all Catalyst-side (no UDFs, one action per superstep):
 - forward: level-synchronous multi-root BFS carrying
   ``(root, id, dist, sigma)`` — one frontier⋈edges shuffle join plus a
   (root, dst) partial+final hash-agg summing path counts, and one
-  anti-join against the visited set, per level; the new-vertex count
-  rides the cumulative-state materialization (count delta), so each
-  level is one job;
+  anti-join against the visited set, per level; each level is one
+  eager-checkpoint job plus a count of the checkpointed blocks (the
+  new-vertex count is the delta of cumulative totals);
 - the shortest-path DAG is materialized once as
   ``(root, v, w, dv, sv, sw)`` via two hash joins;
 - backward: for level L = maxdist-1 .. 0, one (root, w)-keyed join of
@@ -51,8 +51,10 @@ from pyspark.sql import functions as F
 
 from ..graph import EdgeGraph
 from ..plans.checkpoint import truncate_lineage
+from ..plans.superstep import no_aqe_loop
 
 
+@no_aqe_loop
 def betweenness(
     graph: EdgeGraph,
     sources: list[int],
@@ -67,24 +69,27 @@ def betweenness(
     ``sssp``'s init-by-membership).  Parallel edges are collapsed:
     betweenness is a simple-graph statistic, so path multiplicity from
     duplicate log lines would be an artifact, not signal.
+
+    No durable checkpoint/resume (unlike the ``run_bsp`` algos): a BFS
+    level is O(diameter) supersteps, so a failed run is re-run; the
+    per-level localCheckpoints exist for lineage/self-join hygiene,
+    with superseded snapshots reclaimed by the context cleaner as the
+    Python references drop — the same lifecycle ``run_bsp`` state has.
+
+    Raises ``RuntimeError`` if the BFS has not exhausted every frontier
+    within ``max_supersteps`` — a truncated forward phase would yield
+    silently undercounted centralities.
     """
-    edges_plan = (graph.edges if directed else graph.symmetric_edges)
-    edges_pre = edges_plan.select("src", "dst").distinct().persist()
-    # lineage is cut at EVERY materialization (run_bsp's per-superstep
+    # lineage is cut at every materialization (run_bsp's per-superstep
     # discipline): the loops below re-join state against `edges` and
     # against earlier state, and shared lineage would both trip Spark's
-    # ambiguous-self-join analysis and grow the plan unboundedly
-    edges = truncate_lineage(edges_pre)
-    edges_pre.unpersist()
-
-    def _materialize(df: DataFrame) -> DataFrame:
-        cached = df.persist()
-        cut = truncate_lineage(cached)
-        cached.unpersist()
-        return cut
+    # ambiguous-self-join analysis and grow the plan unboundedly.
+    # truncate_lineage is eager, so each call IS the level's one action.
+    edges_plan = (graph.edges if directed else graph.symmetric_edges)
+    edges = truncate_lineage(edges_plan.select("src", "dst").distinct())
 
     src_lit = F.array(*[F.lit(int(s)) for s in sources])
-    visited = _materialize(
+    visited = truncate_lineage(
         graph.vertices.filter(F.array_contains(src_lit, F.col("id")))
         .select(
             F.col("id").alias("root"),
@@ -96,6 +101,7 @@ def betweenness(
     total = visited.count()
     frontier = visited
     max_dist = 0
+    exhausted = total == 0
     for it in range(1, max_supersteps + 1):
         expanded = (
             frontier.join(edges, frontier["id"] == edges["src"])
@@ -106,19 +112,23 @@ def betweenness(
         )
         new = expanded.join(visited.select("root", "id"), ["root", "id"],
                             "left_anti")
-        grown = _materialize(visited.union(new))
+        grown = truncate_lineage(visited.union(new))
         new_total = grown.count()
         n_new = new_total - total
         if verbose:
             print(f"betweenness forward {it}: {n_new} new")
         if n_new == 0:
-            grown.unpersist()
+            exhausted = True
             break
         total, max_dist = new_total, it
         # the next frontier is exactly the rows discovered this level
-        visited.unpersist()
         visited = grown
         frontier = grown.filter(F.col("dist") == it)
+    if not exhausted:
+        raise RuntimeError(
+            f"betweenness: BFS frontier still growing after "
+            f"{max_supersteps} supersteps — results would be silently "
+            "undercounted; raise max_supersteps above the graph diameter")
 
     # shortest-path DAG: v -> w with dist(w) = dist(v) + 1, same root
     fv = visited.select(F.col("root"), F.col("id").alias("v"),
@@ -126,18 +136,17 @@ def betweenness(
     fw = visited.select(F.col("root").alias("root_w"),
                         F.col("id").alias("w"),
                         F.col("dist").alias("dw"), F.col("sigma").alias("sw"))
-    dag = _materialize(
+    dag = truncate_lineage(
         fv.join(edges, fv["v"] == edges["src"])
         .join(fw, (edges["dst"] == fw["w"])
               & (fv["root"] == fw["root_w"])
               & (fw["dw"] == fv["dv"] + 1))
         .select("root", "v", "w", "dv", "sv", "sw")
     )
-    dag.count()
 
     # backward accumulation, level by level; a delta is final as soon
     # as its level is processed (successors always one level deeper)
-    deltas = _materialize(
+    deltas = truncate_lineage(
         visited.filter(F.col("dist") == max_dist)
         .select("root", "id", F.lit(0.0).alias("delta"))
     )
@@ -158,20 +167,12 @@ def betweenness(
             .select(visited["root"], visited["id"],
                     F.coalesce("contrib", F.lit(0.0)).alias("delta"))
         )
-        grown = _materialize(deltas.union(level_rows))
-        grown.count()
-        deltas.unpersist()
-        deltas = grown
+        deltas = truncate_lineage(deltas.union(level_rows))
 
-    bc = (
+    return truncate_lineage(
         graph.vertices.join(
             deltas.filter(F.col("root") != F.col("id"))
             .groupBy("id").agg(F.sum("delta").alias("s")),
             "id", "left")
         .select("id", F.coalesce("s", F.lit(0.0)).alias("bc"))
     )
-    out = truncate_lineage(bc.persist())
-    bc.unpersist()
-    for df in (deltas, dag, visited, edges):
-        df.unpersist()
-    return out

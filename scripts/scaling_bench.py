@@ -396,8 +396,9 @@ def merge_record(out: dict, prior: dict | None) -> dict | None:
     """
     if not (out["pass"] or prior is None or not prior.get("pass")):
         return None
-    if prior is not None and out["pass"] and "levels" in prior:
-        keep = {k: prior.get(k) for k in ARCHIVE_FIELDS}
+    if prior is not None and out["pass"] and (
+            "levels" in prior or prior.get("pass")):
+        keep = {k: prior[k] for k in ARCHIVE_FIELDS if k in prior}
         out["prior_records"] = (prior.get("prior_records") or []) + [keep]
     return out
 

@@ -121,6 +121,19 @@ def test_directed_asymmetry(spark):
     assert undirected[1] == pytest.approx(2.0)
 
 
+def test_truncated_bfs_raises(spark):
+    # diameter 5 > max_supersteps 3: a silently undercounted result is
+    # refused
+    edges = [(i, i + 1) for i in range(5)]
+    g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                  num_edge_partitions=2)
+    try:
+        with pytest.raises(RuntimeError, match="still growing"):
+            betweenness(g, sources=[0], max_supersteps=3)
+    finally:
+        g.unpersist()
+
+
 def test_disconnected_component_zeroes(spark):
     edges = [(0, 1), (1, 2), (10, 11)]
     got = _spark_bc(spark, edges, [0, 1, 2])

@@ -93,13 +93,26 @@ def test_archive_chain_accumulates():
     assert ats == ["t1", "t2"]
 
 
-def test_prior_without_levels_not_archived():
-    # degenerate/hand-written prior lacking measurements: replace, no
-    # archive entry fabricated from missing fields
+def test_prior_fail_without_levels_not_archived():
+    # degenerate/hand-written FAILING prior lacking measurements:
+    # replace, no archive entry fabricated from missing fields
     prior = {"pass": False, "note": "placeholder"}
     out = _run(True)
     rec = sb.merge_record(out, prior)
     assert rec is out and "prior_records" not in rec
+
+
+def test_prior_pass_without_levels_still_archived():
+    # a passing prior is evidence even under an older schema lacking
+    # "levels" — archive whatever ARCHIVE_FIELDS it does carry
+    prior = {"pass": True, "scaling_efficiency": 0.91,
+             "measured_at": "old"}
+    out = _run(True)
+    rec = sb.merge_record(out, prior)
+    assert rec is out
+    kept = rec["prior_records"][0]
+    assert kept == {"pass": True, "scaling_efficiency": 0.91,
+                    "measured_at": "old"}
 
 
 if __name__ == "__main__":
