@@ -231,6 +231,16 @@ def q_betweenness_hubs(spark, sf_dir):
     return out.select("id", F.round("bc", 6).alias("bc"))
 
 
+def q_harmonic_hubs(spark, sf_dir):
+    """Harmonic centrality (sum of reciprocal hop distances) from the
+    same four hub sources (engine extension; oracle = the shared BFS
+    recursion + a reciprocal-distance aggregation)."""
+    from graphlab_spark.algos.betweenness import harmonic_centrality
+    g = _graph(spark, sf_dir)
+    out = harmonic_centrality(g, sources=[-1, -2, -3, -4], directed=False)
+    return out.select("id", F.round("hc", 6).alias("hc"))
+
+
 def q_catpath(spark, sf_dir):
     """Category-mediated typed BFS (apps/our_algo) from the min event
     id, over membership (event↔type-hub) and type-co-occurrence links."""
@@ -1353,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_percolation": q_percolation,
         "graph_topo_layers": q_topo_layers,
         "graph_betweenness_hubs": q_betweenness_hubs,
+        "graph_harmonic_hubs": q_harmonic_hubs,
     }
 
 
@@ -1698,6 +1709,7 @@ FROM transcripts GROUP BY conv_id""",
         "sim_knn_graph": S.sql_knn_graph(k=3),
         "sim_knn_components": S.sql_knn_components(k=3),
         "graph_betweenness_hubs": O.sql_betweenness_hubs(),
+        "graph_harmonic_hubs": O.sql_harmonic_hubs(),
         # no oracle (rows-only): cf_als_factor_norms + cf_svd_lanczos
         # (per-user ridge solves / driver-side tridiagonal eigenproblem
         # — not ANSI-SQL-expressible; exactness via pytest goldens vs

@@ -1,6 +1,6 @@
 from .adpredictor import adpredictor, clicks_from_lineitem, predict_ctr
 from .als import add_implicit_ratings, als, predict, rmse, sparse_als, wals
-from .betweenness import betweenness
+from .betweenness import betweenness, harmonic_centrality
 from .biassgd import biassgd, biassgd_predict, biassgd_rmse
 from .cascades import bond_percolation, sir_cascade
 from .catpath import catpath, catpath_articles, events_typed_edges
@@ -55,5 +55,5 @@ __all__ = [
     "catpath", "catpath_articles", "events_typed_edges",
     "adpredictor", "clicks_from_lineitem", "predict_ctr",
     "kmeans", "jacobi", "residual_norm",
-    "betweenness",
+    "betweenness", "harmonic_centrality",
 ]

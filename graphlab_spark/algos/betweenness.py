@@ -87,48 +87,8 @@ def betweenness(
     # truncate_lineage is eager, so each call IS the level's one action.
     edges_plan = (graph.edges if directed else graph.symmetric_edges)
     edges = truncate_lineage(edges_plan.select("src", "dst").distinct())
-
-    src_lit = F.array(*[F.lit(int(s)) for s in sources])
-    visited = truncate_lineage(
-        graph.vertices.filter(F.array_contains(src_lit, F.col("id")))
-        .select(
-            F.col("id").alias("root"),
-            F.col("id"),
-            F.lit(0).alias("dist"),
-            F.lit(1.0).alias("sigma"),
-        )
-    )
-    total = visited.count()
-    frontier = visited
-    max_dist = 0
-    exhausted = total == 0
-    for it in range(1, max_supersteps + 1):
-        expanded = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .groupBy("root", "dst")
-            .agg(F.sum("sigma").alias("sigma"))
-            .select("root", F.col("dst").alias("id"),
-                    F.lit(it).alias("dist"), "sigma")
-        )
-        new = expanded.join(visited.select("root", "id"), ["root", "id"],
-                            "left_anti")
-        grown = truncate_lineage(visited.union(new))
-        new_total = grown.count()
-        n_new = new_total - total
-        if verbose:
-            print(f"betweenness forward {it}: {n_new} new")
-        if n_new == 0:
-            exhausted = True
-            break
-        total, max_dist = new_total, it
-        # the next frontier is exactly the rows discovered this level
-        visited = grown
-        frontier = grown.filter(F.col("dist") == it)
-    if not exhausted:
-        raise RuntimeError(
-            f"betweenness: BFS frontier still growing after "
-            f"{max_supersteps} supersteps — results would be silently "
-            "undercounted; raise max_supersteps above the graph diameter")
+    visited, max_dist = _forward_bfs(graph, edges, sources,
+                                     max_supersteps, verbose)
 
     # shortest-path DAG: v -> w with dist(w) = dist(v) + 1, same root
     fv = visited.select(F.col("root"), F.col("id").alias("v"),
@@ -176,3 +136,86 @@ def betweenness(
             "id", "left")
         .select("id", F.coalesce("s", F.lit(0.0)).alias("bc"))
     )
+
+
+@no_aqe_loop
+def harmonic_centrality(
+    graph: EdgeGraph,
+    sources: list[int],
+    directed: bool = False,
+    max_supersteps: int = 64,
+    verbose: bool = False,
+) -> DataFrame:
+    """Harmonic centrality ``hc(v) = sum_{s in S, s != v, d(s,v) < inf}
+    1 / d(s, v)`` over the given source set — returns ``(id long,
+    hc double)`` for every vertex (0.0 when no source reaches it).
+
+    The harmonic form (Boldi & Vigna, "Axioms for centrality") is the
+    closeness variant that stays well-defined on disconnected
+    log-derived graphs: unreachable pairs contribute 0 instead of
+    poisoning a reciprocal-of-sum.  Shares the multi-root BFS forward
+    phase with :func:`betweenness` (distances only; path counts are
+    carried but unused) and inherits its source-sampling scale story
+    and its ``RuntimeError`` on a truncated BFS.
+    """
+    edges_plan = (graph.edges if directed else graph.symmetric_edges)
+    edges = truncate_lineage(edges_plan.select("src", "dst").distinct())
+    visited, _ = _forward_bfs(graph, edges, sources, max_supersteps,
+                              verbose)
+    return truncate_lineage(
+        graph.vertices.join(
+            visited.filter(F.col("dist") > 0)
+            .groupBy("id")
+            .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("s")),
+            "id", "left")
+        .select("id", F.coalesce("s", F.lit(0.0)).alias("hc"))
+    )
+
+
+def _forward_bfs(graph, edges, sources, max_supersteps, verbose):
+    """Level-synchronous multi-root BFS with path counting.  Returns
+    ``(visited, max_dist)`` where visited is an eagerly-checkpointed
+    ``(root, id, dist, sigma)`` DataFrame covering every vertex
+    reachable from each source present in the graph."""
+    src_lit = F.array(*[F.lit(int(s)) for s in sources])
+    visited = truncate_lineage(
+        graph.vertices.filter(F.array_contains(src_lit, F.col("id")))
+        .select(
+            F.col("id").alias("root"),
+            F.col("id"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    total = visited.count()
+    frontier = visited
+    max_dist = 0
+    exhausted = total == 0
+    for it in range(1, max_supersteps + 1):
+        expanded = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .groupBy("root", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("root", F.col("dst").alias("id"),
+                    F.lit(it).alias("dist"), "sigma")
+        )
+        new = expanded.join(visited.select("root", "id"), ["root", "id"],
+                            "left_anti")
+        grown = truncate_lineage(visited.union(new))
+        new_total = grown.count()
+        n_new = new_total - total
+        if verbose:
+            print(f"forward bfs {it}: {n_new} new")
+        if n_new == 0:
+            exhausted = True
+            break
+        total, max_dist = new_total, it
+        # the next frontier is exactly the rows discovered this level
+        visited = grown
+        frontier = grown.filter(F.col("dist") == it)
+    if not exhausted:
+        raise RuntimeError(
+            f"multi-source BFS frontier still growing after "
+            f"{max_supersteps} supersteps — results would be silently "
+            "undercounted; raise max_supersteps above the graph diameter")
+    return visited, max_dist

@@ -2484,23 +2484,23 @@ FROM bel"""
 
 
 # ---------------------------------------------------------------------------
-# betweenness centrality (mirrors algos/betweenness.py — Brandes over a
-# source set: level-synchronous BFS with path counting, then a
-# descending-level dependency accumulation over the shortest-path DAG)
+# betweenness / harmonic centrality (mirror algos/betweenness.py —
+# multi-root level-synchronous BFS with path counting, then for
+# betweenness a descending-level dependency accumulation over the
+# shortest-path DAG)
 # ---------------------------------------------------------------------------
 
-def sql_betweenness_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
-                         cap: int = 64) -> str:
-    """Chained recursions: ``bfs`` re-emits the visited set each level
-    and appends the new frontier (dist = iter) with sigma = sum of
-    frontier-predecessor sigmas; ``acc`` walks levels back down,
-    computing delta(v) = sum_w sv/sw * (1 + delta(w)) from the
-    already-final deltas one level deeper.  Dense and frontier
-    schedules agree because BFS level-synchrony fixes (dist, sigma)
-    the first time a vertex is reached."""
+_SYMD = "symd AS (SELECT DISTINCT src, dst FROM sym)"
+
+
+def _brandes_bfs_rec(roots: tuple[int, ...], cap: int) -> str:
+    """BFS recursion shared by the betweenness and harmonic oracles:
+    re-emits the visited set each level and appends the new frontier
+    (dist = iter) with sigma = sum of frontier-predecessor sigmas.
+    Dense and frontier schedules agree because BFS level-synchrony
+    fixes (dist, sigma) the first time a vertex is reached."""
     rootlist = ", ".join(str(int(r)) for r in roots)
-    symd = "symd AS (SELECT DISTINCT src, dst FROM sym)"
-    bfs = f"""
+    return f"""
 bfs(iter, root, id, dist, sigma, grew) AS (
   SELECT 0, id, id, 0, CAST(1 AS DOUBLE), CAST(1 AS BIGINT)
   FROM verts WHERE id IN ({rootlist})
@@ -2526,6 +2526,14 @@ bfs(iter, root, id, dist, sigma, grew) AS (
     WHERE p.grew > 0 AND p.iter < {cap}
   )
 )"""
+
+
+def sql_betweenness_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
+                         cap: int = 64) -> str:
+    """Chained recursions: the shared ``bfs`` (``_brandes_bfs_rec``),
+    then ``acc`` walking levels back down, computing
+    delta(v) = sum_w sv/sw * (1 + delta(w)) from the already-final
+    deltas one level deeper."""
     acc = """
 fin AS (SELECT root, id, dist, sigma FROM bfs
         WHERE iter = (SELECT max(iter) FROM bfs)),
@@ -2557,9 +2565,26 @@ acc(level, root, id, delta) AS (
     WHERE p.level > 0
   )
 )"""
-    return (_rec(_VERTS, _SYM, symd, bfs.strip(), acc.strip()) + """
+    return (_rec(_VERTS, _SYM, _SYMD,
+                 _brandes_bfs_rec(roots, cap).strip(), acc.strip()) + """
 SELECT v.id, round(coalesce(s.bcsum, 0), 6) AS bc
 FROM verts v LEFT JOIN (
   SELECT id, sum(delta) AS bcsum FROM acc
   WHERE level = (SELECT min(level) FROM acc) AND root <> id
   GROUP BY id) s ON s.id = v.id""")
+
+
+def sql_harmonic_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
+                      cap: int = 64) -> str:
+    """Harmonic centrality over the source set: sum of 1/dist over the
+    final BFS table's positive-distance rows (the root's own dist-0 row
+    and unreached vertices contribute nothing)."""
+    fin = """
+fin AS (SELECT root, id, dist FROM bfs
+        WHERE iter = (SELECT max(iter) FROM bfs))"""
+    return (_rec(_VERTS, _SYM, _SYMD,
+                 _brandes_bfs_rec(roots, cap).strip(), fin.strip()) + """
+SELECT v.id, round(coalesce(s.hcsum, 0), 6) AS hc
+FROM verts v LEFT JOIN (
+  SELECT id, sum(CAST(1 AS DOUBLE) / dist) AS hcsum FROM fin
+  WHERE dist > 0 GROUP BY id) s ON s.id = v.id""")

@@ -7,7 +7,7 @@ import collections
 import pytest
 
 from graphlab_spark import EdgeGraph
-from graphlab_spark.algos.betweenness import betweenness
+from graphlab_spark.algos.betweenness import betweenness, harmonic_centrality
 
 
 def _py_brandes(edges, sources, directed=False):
@@ -141,6 +141,57 @@ def test_disconnected_component_zeroes(spark):
     assert got[1] == pytest.approx(_py_brandes(edges, [0, 1, 2])[1])
 
 
+def _py_harmonic(edges, sources):
+    adj = collections.defaultdict(set)
+    verts = set()
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+        verts |= {s, d}
+    hc = collections.defaultdict(float)
+    for s in sources:
+        if s not in verts:
+            continue
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                hc[v] += 1.0 / d
+    return {v: hc.get(v, 0.0) for v in verts}
+
+
+def test_harmonic_path_and_star(spark):
+    for edges in ([(0, 1), (1, 2), (2, 3)], [(0, i) for i in range(1, 6)]):
+        want = _py_harmonic(edges, sorted({v for e in edges for v in e}))
+        g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                      num_edge_partitions=4)
+        try:
+            got = {r["id"]: r["hc"]
+                   for r in harmonic_centrality(
+                       g, sources=sorted(want)).collect()}
+        finally:
+            g.unpersist()
+        _assert_close(got, want)
+
+
+def test_harmonic_unreachable_contributes_zero(spark):
+    edges = [(0, 1), (10, 11)]
+    g = EdgeGraph(spark.createDataFrame(edges, "src long, dst long"),
+                  num_edge_partitions=2)
+    try:
+        got = {r["id"]: r["hc"]
+               for r in harmonic_centrality(g, sources=[0]).collect()}
+    finally:
+        g.unpersist()
+    assert got == {0: 0.0, 1: 1.0, 10: 0.0, 11: 0.0}
+
+
 def test_oracle_twin_on_events_micro_corpus(spark, tmp_path):
     """The DuckDB oracle and the Spark query produce identical (id, bc)
     sets on a small synthetic events table — the same comparison the
@@ -170,3 +221,10 @@ def test_oracle_twin_on_events_micro_corpus(spark, tmp_path):
     oracle_rows = set(map(tuple, con.execute(sql_betweenness_hubs())
                           .fetchall()))
     assert spark_rows == oracle_rows
+
+    from graphlab_spark.oracles import sql_harmonic_hubs
+    spark_hc = {(r["id"], r["hc"])
+                for r in entry.q_harmonic_hubs(spark, str(tmp_path))
+                .collect()}
+    oracle_hc = set(map(tuple, con.execute(sql_harmonic_hubs()).fetchall()))
+    assert spark_hc == oracle_hc
