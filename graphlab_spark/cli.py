@@ -35,7 +35,7 @@ from .plans.checkpoint import CheckpointManager
 
 ALGOS = ("pagerank", "cc", "lpa", "triangles", "census", "coloring",
          "kcore", "sssp", "diameter", "convert", "extension", "ingress",
-         "stitch", "gibbs", "factor_bp")
+         "stitch", "gibbs", "factor_bp", "betweenness", "harmonic")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -58,6 +58,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "in the reference")
     p.add_argument("--k", type=int, default=2, help="k for kcore")
     p.add_argument("--source", type=int, default=0, help="sssp source vid")
+    p.add_argument("--sources", default=None,
+                   help="comma-separated source vids "
+                        "(betweenness/harmonic; default --source)")
     p.add_argument("--output-format", default="tsv",
                    choices=["tsv", "snap", "csv", "parquet"],
                    help="target format for the convert verb")
@@ -268,6 +271,12 @@ def main(argv: list[str] | None = None) -> int:
         from .algos.diameter import approx_diameter
         d = approx_diameter(g)
         state = spark.createDataFrame([(int(d["diameter"]),)], "diameter int")
+    elif args.algo in ("betweenness", "harmonic"):
+        from .algos.betweenness import betweenness, harmonic_centrality
+        srcs = ([int(s) for s in args.sources.split(",")]
+                if args.sources else [args.source])
+        fn = betweenness if args.algo == "betweenness" else harmonic_centrality
+        state = fn(g, sources=srcs, max_supersteps=args.max_supersteps)
     elif args.algo == "gibbs":
         # chromatic parallel Gibbs over the loaded graph, instantiated
         # like the lbp/mplp link-graph model: K=2 portable log-phi

@@ -192,6 +192,24 @@ def test_harmonic_unreachable_contributes_zero(spark):
     assert got == {0: 0.0, 1: 1.0, 10: 0.0, 11: 0.0}
 
 
+def test_cli_betweenness_and_harmonic(spark, tmp_path, capsys):
+    import json
+
+    from graphlab_spark.cli import main
+    tsv = tmp_path / "e.tsv"
+    tsv.write_text("0\t1\n1\t2\n2\t3\n")
+    out = tmp_path / "bc"
+    assert main(["betweenness", "--input", str(tsv), "--format", "tsv",
+                 "--sources", "0,1,2,3", "--output", str(out)]) == 0
+    assert main(["harmonic", "--input", str(tsv), "--format", "tsv",
+                 "--sources", "0,1,2,3"]) == 0
+    lines = [json.loads(ln)
+             for ln in capsys.readouterr().out.strip().splitlines()]
+    assert {ln["algo"] for ln in lines} == {"betweenness", "harmonic"}
+    bc = {r["id"]: r["bc"] for r in spark.read.parquet(str(out)).collect()}
+    assert bc[1] == pytest.approx(4.0) and bc[0] == pytest.approx(0.0)
+
+
 def test_oracle_twin_on_events_micro_corpus(spark, tmp_path):
     """The DuckDB oracle and the Spark query produce identical (id, bc)
     sets on a small synthetic events table — the same comparison the
