@@ -5,6 +5,7 @@ oracle twin's DuckDB replay on an events micro-corpus."""
 import collections
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphlab_spark import EdgeGraph
 from graphlab_spark.algos.betweenness import betweenness, harmonic_centrality
@@ -190,6 +191,41 @@ def test_harmonic_unreachable_contributes_zero(spark):
     finally:
         g.unpersist()
     assert got == {0: 0.0, 1: 1.0, 10: 0.0, 11: 0.0}
+
+
+def test_forward_superstep_plan_shape(spark):
+    """The BFS level must stay a keyed-shuffle plan: frontier⋈edges
+    hash join, partial+final (root, dst) hash aggregation, anti-join —
+    no cartesian product, no single-partition window, and exactly one
+    shuffle exchange (the message aggregation; the anti-join side may
+    broadcast or reuse the same partitioning)."""
+    from graphlab_spark.plans.checkpoint import truncate_lineage
+    g = EdgeGraph(
+        spark.createDataFrame([(i, (i * 7 + 1) % 50) for i in range(200)],
+                              "src long, dst long"),
+        num_edge_partitions=4)
+    try:
+        edges = truncate_lineage(
+            g.symmetric_edges.select("src", "dst").distinct())
+        frontier = truncate_lineage(
+            g.vertices.limit(4).select(
+                F.col("id").alias("root"), "id",
+                F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")))
+        expanded = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .groupBy("root", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("root", F.col("dst").alias("id"),
+                    F.lit(1).alias("dist"), "sigma"))
+        new = expanded.join(frontier.select("root", "id"),
+                            ["root", "id"], "left_anti")
+        plan = new._jdf.queryExecution().executedPlan().toString()
+    finally:
+        g.unpersist()
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_cli_betweenness_and_harmonic(spark, tmp_path, capsys):
