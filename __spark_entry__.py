@@ -1209,107 +1209,95 @@ def q_lda_word_topics(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-3 ordering: queries with no driver CORRECTNESS row yet
-        # --- come first (the driver checks the first 50 registry entries;
-        # --- the rest stay covered by scripts/oracle_dev.py --all + pytest).
+        # --- round-4 ordering (VERDICT r3 "Next round" item 1): the 15
+        # --- queries that have NEVER had a driver CORRECTNESS row come
+        # --- first (the driver checks the first 50 registry entries; the
+        # --- rest stay covered by scripts/oracle_dev.py --all + pytest).
+        # --- 9 value-oracled:
+        "graph_dd_projected_labels": q_dd_projected_labels,
+        "graph_bethe_admm_labels": q_bethe_admm_labels,
+        "gm_factor_bp_sum_beliefs": q_factor_bp_sum_beliefs,
+        "cf_sgd_rmse": q_sgd_rmse,
+        "cf_biassgd_rmse": q_biassgd_rmse,
+        "cf_svdpp_rmse": q_svdpp_rmse,
+        "graph_warp_coloring": q_warp_coloring,
+        "graph_betweenness_hubs": q_betweenness_hubs,
+        "graph_harmonic_hubs": q_harmonic_hubs,
+        # --- 6 rows-only (driver-side dense linear algebra with numpy
+        # --- pytest goldens, plus xxhash64/approxQuantile scale twins
+        # --- DuckDB can't replay; the driver records a rows-green row):
+        "cf_sparse_als_support": q_sparse_als_support,
+        "cf_svd_lanczos": q_svd_lanczos,
+        "graph_tsc": q_tsc,
+        "dedup_minhash_pairs_scale": q_minhash_pairs_scale,
+        "lda_word_topics_scale": q_lda_word_topics_scale,
+        "curation_quality_buckets_scale": q_quality_buckets_scale,
+        # --- the one red r3 row, re-checked after the HUGEINT→BIGINT
+        # --- span_sec cast fix in _sql_transcript_sessions_oracle:
+        "transcript_sessions": q_transcript_sessions,
+        # --- r3-green window filler (transcript payload + LSH-guard
+        # --- contract queries kept in-window so the r4 bucket-cap change
+        # --- is re-hash-verified by the driver):
+        "transcript_near_dups": q_transcript_near_dups,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh,
+        "dedup_minhash_clusters": q_minhash_clusters,
+        "sim_cosine_pairs": q_cosine_pairs,
+        "sim_cosine_dup_clusters": q_cosine_dup_clusters,
+        "sim_ann_topk_lsh": q_ann_lsh,
+        "sim_knn_graph": q_knn_graph,
+        "sim_knn_components": q_knn_components,
+        "graph_lpa": q_lpa,
+        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        "transcript_corpus": q_transcript_corpus,
+        "transcript_edges": q_transcript_edges,
+        "transcript_conv_stats": q_transcript_conv_stats,
+        "transcript_tool_transitions": q_tool_transitions,
+        "transcript_turn_latency": q_turn_latency,
+        "graph_contract_lpa": q_contract_lpa,
+        "graph_ingress_report": q_ingress_report,
+        # --- r3-green representatives of each toolkit family (window
+        # --- slots after the above; remaining r2/r3-green queries below
+        # --- fall outside the 50-row window and stay verified by the dev
+        # --- sweep + pytest):
         "graph_laplacian": q_laplacian,
-        "spectral_embedding2": q_spectral_embedding,
         "spectral_clusters2": q_spectral_clusters,
-        "cf_sgd_user_factors": q_sgd_user_factors,
-        "cf_biassgd_user_params": q_biassgd_user_params,
-        "cf_svdpp_user_params": q_svdpp_user_params,
-        "cf_wals1_user_factors": q_wals1_user_factors,
         "cf_als2_user_factors": q_als2_user_factors,
         "cf_implicit_ratings": q_implicit_ratings,
-        "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
-        "vision_match_graph": q_vision_match_graph,
-        "vision_panorama_groups": q_vision_panorama_groups,
+        "cf_nmf_user_factors": q_nmf_user_factors,
         "cf_adpredictor_weights": q_adpredictor_weights,
-        "cf_svd_power_v": q_svd_power,
         "cf_svd_lanczos2_sigma": q_svd_lanczos2_sigma,
         "lda_word_topics": q_lda_word_topics,
         "graph_lbp_beliefs": q_lbp_beliefs,
         "graph_mplp_labels": q_mplp_labels,
         "graph_dd_labels": q_dd_labels,
         "graph_ad3_labels": q_ad3_labels,
-        # --- session-4: transcripts are the graft payload, so the two
-        # --- transcript-composition queries take window priority over
-        # --- the 4th/5th dual-decomposition variants (the DD engine
-        # --- keeps two in-window rows: graph_dd_labels base loop +
-        # --- graph_ad3_labels QP solve; projected/bethe-ADMM reuse the
-        # --- same superstep machinery and stay in the dev sweep):
-        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
-        "transcript_near_dups": q_transcript_near_dups,
-        "graph_budget_map": q_budget_map,
-        "cf_nmf_user_factors": q_nmf_user_factors,
+        "gm_factor_bp_beliefs": q_factor_bp_beliefs,
+        "gm_gibbs_denoise": q_gibbs_denoise,
         "curation_hash_sample": q_hash_sample,
-        "curation_stratified_sample": q_stratified_sample,
         "curation_scrub_pii": q_scrub_pii,
-        "curation_decontaminate": q_decontaminate,
         "curation_pack_sequences": q_pack_sequences,
         "curation_quality_buckets": q_quality_buckets,
-        "transcript_corpus": q_transcript_corpus,
-        "transcript_edges": q_transcript_edges,
-        "transcript_conv_stats": q_transcript_conv_stats,
-        "transcript_tool_transitions": q_tool_transitions,
-        "transcript_sessions": q_transcript_sessions,
-        "graph_contract_lpa": q_contract_lpa,
-        "graph_ingress_report": q_ingress_report,
-        "sim_knn_graph": q_knn_graph,
-        "sim_knn_components": q_knn_components,
-        # --- new round-3 queries (also inside the driver's 50-row window):
+        "vision_match_graph": q_vision_match_graph,
+        # ----- 50-row driver window ends around here -----
+        "spectral_embedding2": q_spectral_embedding,
+        "cf_sgd_user_factors": q_sgd_user_factors,
+        "cf_biassgd_user_params": q_biassgd_user_params,
+        "cf_svdpp_user_params": q_svdpp_user_params,
+        "cf_wals1_user_factors": q_wals1_user_factors,
+        "cf_sparse_als2_user_factors": q_sparse_als2_user_factors,
+        "vision_panorama_groups": q_vision_panorama_groups,
+        "cf_svd_power_v": q_svd_power,
+        "graph_budget_map": q_budget_map,
+        "curation_stratified_sample": q_stratified_sample,
+        "curation_decontaminate": q_decontaminate,
         "cf_als2_regnormal_user_factors": q_als2_regnormal_user_factors,
         "cf_warp_als1_user_factors": q_warp_als1_user_factors,
         "cf_warp_nmf1_user_factors": q_warp_nmf1_user_factors,
         "graph_mplp_table_labels": q_mplp_table_labels,
-        # --- session-2 round-3 additions, value-oracled: placed inside
-        # --- the driver's 50-row window ahead of the rows-only scale
-        # --- twins (whose driver check is weaker than their pytest)
         "gm_synthetic_image": q_synthetic_image,
         "cluster_synthetic_stats": q_synthetic_clusters,
-        "gm_gibbs_denoise": q_gibbs_denoise,
         "graph_mplp_sparse_labels": q_mplp_sparse_labels,
-        # --- session-3 addition (value-oracled, never driver-checked):
-        # --- the N-ary factor-graph BP engine; after the session-4
-        # --- transcript re-prioritization the slot it occupies came
-        # --- from graph_dd_projected_labels (see the out-of-window
-        # --- block below):
-        "gm_factor_bp_beliefs": q_factor_bp_beliefs,
-        # --- pulled into the window in place of the three rows-only
-        # --- entries below (a rows-only driver row records only a row
-        # --- count; these two are value-oracled, so their driver row is
-        # --- a full hash-match — strictly more evidence per slot):
-        "transcript_turn_latency": q_turn_latency,
         "cf_synthetic_als_stats": q_synthetic_als_stats,
-        # --- rows-only entries (driver-side dense linear algebra — k=20
-        # --- LDLT supports, m=4 Lanczos tridiagonal, exp(H) — with
-        # --- numpy/closed-form pytest goldens; a driver row would add
-        # --- only a row count, so they yield their window slots to
-        # --- value-oracled queries):
-        "cf_sparse_als_support": q_sparse_als_support,
-        "cf_svd_lanczos": q_svd_lanczos,
-        "graph_tsc": q_tsc,
-        # --- scale-path twins of the portable-default operators (rows-only:
-        # --- xxhash64/approxQuantile plans DuckDB can't replay; semantic
-        # --- equivalence to the portable twin is pytest-asserted):
-        "dedup_minhash_pairs_scale": q_minhash_pairs_scale,
-        "lda_word_topics_scale": q_lda_word_topics_scale,
-        "curation_quality_buckets_scale": q_quality_buckets_scale,
-        # --- value-oracled but outside the 50-entry driver window: the
-        # --- 4th/5th dual-decomposition variants yielded their window
-        # --- slots to the transcript compositions above (session-4);
-        # --- both reuse the superstep machinery of the in-window
-        # --- graph_dd_labels/graph_ad3_labels and stay fully verified
-        # --- by scripts/oracle_dev.py --all + pytest:
-        "graph_dd_projected_labels": q_dd_projected_labels,
-        "graph_bethe_admm_labels": q_bethe_admm_labels,
-        # --- sum-product twin of the in-window gm_factor_bp_beliefs
-        # --- (same engine/model, marginalize projection); value-oracled
-        # --- in the dev sweep, outside the full window:
-        "gm_factor_bp_sum_beliefs": q_factor_bp_sum_beliefs,
-        "cf_sgd_rmse": q_sgd_rmse,
-        "cf_biassgd_rmse": q_biassgd_rmse,
-        "cf_svdpp_rmse": q_svdpp_rmse,
         # --- driver-green in CORRECTNESS_r02.json:
         "graph_edges_from_events": q_edges,
         "graph_degrees": q_degrees,
@@ -1321,7 +1309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_per_vertex": q_triangles_per_vertex,
         "graph_connected_components": q_connected_components,
         "graph_cc_sizes": q_cc_sizes,
-        "graph_lpa": q_lpa,
         "graph_kcore_k2": q_kcore_k2,
         "graph_hits": q_hits,
         "graph_ppr_from_hub": q_ppr,
@@ -1333,7 +1320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_vset_inout": q_vset_inout,
         "graph_directed_census": q_directed_census,
         "graph_coloring": q_coloring,
-        "graph_warp_coloring": q_warp_coloring,
         "graph_kcore_table": q_kcore_table,
         "graph_approx_diameter": q_approx_diameter,
         "text_stats": q_text_stats,
@@ -1345,14 +1331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_doc_lines": q_line_dedup,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "dedup_minhash_signatures": q_minhash_sigs,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh,
-        "dedup_minhash_clusters": q_minhash_clusters,
         "dedup_simhash_signatures": q_simhash_sigs,
         "dedup_simhash_pairs": q_simhash_pairs,
-        "sim_cosine_pairs": q_cosine_pairs,
-        "sim_cosine_dup_clusters": q_cosine_dup_clusters,
         "sim_ann_topk_brute": q_ann_brute,
-        "sim_ann_topk_lsh": q_ann_lsh,
         "sim_ann_topk_ivf": q_ann_ivf,
         "multimodal_media_stats": q_media_stats,
         "cluster_kmeans_assign1": q_kmeans_assign1,
@@ -1362,8 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_sir": q_sir,
         "cascade_percolation": q_percolation,
         "graph_topo_layers": q_topo_layers,
-        "graph_betweenness_hubs": q_betweenness_hubs,
-        "graph_harmonic_hubs": q_harmonic_hubs,
     }
 
 
@@ -1386,7 +1365,7 @@ tjit AS (SELECT p.conv_id, p.turn_idx,
          FROM tparsed p),
 tsess AS ({sql_sessionize(3600, "tjit")})
 SELECT conv_id, session_idx, CAST(count(*) AS BIGINT) AS n_turns,
-       max(ts_epoch) - min(ts_epoch) AS span_sec
+       CAST(max(ts_epoch) - min(ts_epoch) AS BIGINT) AS span_sec
 FROM tsess GROUP BY conv_id, session_idx"""
 
 

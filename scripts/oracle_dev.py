@@ -17,6 +17,50 @@ sys.path.insert(0, "/root/repo")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# --- type-strict comparison (VERDICT r3 "What's wrong" item 2) -------------
+# The driver's hash is type-sensitive: DuckDB HUGEINT vs Spark BIGINT
+# hash-mismatches even when every value is equal (Python == masked this for
+# transcript_sessions in r3).  Canonicalize both engines' column types and
+# fail the sweep on any difference so that class of bug dies here.
+
+_DUCK_TO_CANON = {
+    "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "HUGEINT": "hugeint", "UBIGINT": "ubigint",
+    "UINTEGER": "uint", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    "BLOB": "binary",
+}
+
+
+def _duck_canon(t: str) -> str:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{_duck_canon(t[:-2])}>"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return _DUCK_TO_CANON.get(t, t.lower())
+
+
+def _spark_canon(t: str) -> str:
+    # simpleString() is already canonical (bigint/int/double/string/
+    # array<double>/...); timestamp_ntz ≡ timestamp for the hash
+    return "timestamp" if t.startswith("timestamp") else t
+
+
+def type_mismatches(spark_schema, duck_cols) -> list[str]:
+    """Compare Spark schema vs DuckDB DESCRIBE rows by column name; return
+    human-readable mismatch strings (empty = type-clean)."""
+    sp = {f.name: _spark_canon(f.dataType.simpleString())
+          for f in spark_schema.fields}
+    dk = {name: _duck_canon(typ) for name, typ in duck_cols}
+    out = []
+    for name in sorted(set(sp) | set(dk)):
+        if sp.get(name) != dk.get(name):
+            out.append(f"{name}: spark={sp.get(name)} duck={dk.get(name)}")
+    return out
+
 
 def main() -> None:
     args = sys.argv[1:]
@@ -42,21 +86,32 @@ def main() -> None:
             print(f"{name}: NO ORACLE (skipped)")
             continue
         t0 = time.time()
-        sp = sorted(tuple(r) for r in qs[name](spark, sf_dir).collect())
+        sdf = qs[name](spark, sf_dir)
+        sp = sorted(tuple(r) for r in sdf.collect())
         t1 = time.time()
         try:
             dk = sorted(tuple(r) for r in con.execute(os_[name]).fetchall())
+            duck_cols = [(r[0], r[1]) for r in
+                         con.execute(f"DESCRIBE {os_[name]}").fetchall()]
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: DUCKDB ERROR {str(exc)[:400]}")
             failures.append(name)
             continue
         t2 = time.time()
         ok = sp == dk
-        msg = f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(sp)}/{len(dk)}"
+        tmis = type_mismatches(sdf.schema, duck_cols)
+        verdict = "OK" if ok and not tmis else (
+            "TYPE-MISMATCH" if ok else "MISMATCH")
+        msg = f"{name}: {verdict} rows={len(sp)}/{len(dk)}"
         msg += f" spark={t1 - t0:.1f}s duck={t2 - t1:.1f}s"
         print(msg)
-        if not ok:
+        if tmis:
             failures.append(name)
+            for m in tmis:
+                print("  type:", m)
+        if not ok:
+            if name not in failures:
+                failures.append(name)
             sset, dset = set(sp), set(dk)
             print("  spark_only:", sorted(sset - dset)[:5])
             print("  duck_only :", sorted(dset - sset)[:5])
