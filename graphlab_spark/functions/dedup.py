@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lsh_guard import LSH_MAX_BUCKET, cap_bucket_groups
+
 SHINGLE_N = 5  # 5-char shingles: baseline Jaccard between unrelated docs
                # stays low while near-dups stay ~1.0 (3-grams of a small
                # vocabulary are corpus-wide common -> candidate explosion)
@@ -241,12 +243,21 @@ SELECT doc_id, {mins} FROM ws GROUP BY doc_id
 
 
 def minhash_lsh_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
-                      n: int = SHINGLE_N, portable: bool = True) -> DataFrame:
+                      n: int = SHINGLE_N, portable: bool = True,
+                      max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard >= tau.
 
     Bands of MINHASH_BAND_ROWS rows; a pair is a candidate iff it
     collides in >=1 band.  This is the 100 TB path: the join fans out on
     (band, band-key), never on raw shingles or the full pair matrix.
+
+    ``max_bucket`` caps rows per (band, bkey) group *before* the
+    candidate self-join (``lsh_guard.cap_bucket_groups``), so one
+    mega-bucket of boilerplate can never emit B^2 candidate rows;
+    dropped volume is observable via the guard's observe metric and
+    ``lsh_guard.oversized_groups``.  ``max_bucket=None`` is the exact
+    uncapped mode the DuckDB oracle replays (identical results on any
+    corpus whose buckets stay under the cap).
     """
     k = len(MINHASH_COEFFS)
     n_bands = k // MINHASH_BAND_ROWS
@@ -262,6 +273,8 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
             F.concat_ws("_", *cols).alias("bkey"),
         )
         bands = bd if bands is None else bands.unionAll(bd)
+    bands = cap_bucket_groups(bands, ["band", "bkey"], max_bucket,
+                              label="minhash_lsh")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (

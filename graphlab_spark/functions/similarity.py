@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lsh_guard import LSH_MAX_BUCKET, cap_bucket_groups
+
 COSINE_TAU = 0.4
 ANN_QUERIES = 10  # vec_id < ANN_QUERIES are the query set
 ANN_K = 5
@@ -210,14 +212,19 @@ def with_lsh_buckets(emb: DataFrame, n_tables: int = LSH_TABLES,
 def lsh_candidate_pairs(emb: DataFrame, n_queries: int = ANN_QUERIES,
                         n_tables: int = LSH_TABLES,
                         n_planes: int | None = None,
-                        dim: int = LSH_DIM) -> DataFrame:
+                        dim: int = LSH_DIM,
+                        max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """Distinct (query_id, neighbor_id, cos) LSH candidates — the
     pre-ranking stage of ``ann_topk_lsh``, exposed so tests can assert
     the per-query candidate budget stays bounded as N grows.
 
     ``n_planes=None`` derives the plane count from the corpus size
     (``derived_planes``): one ``count()`` action, amortized across the
-    whole query."""
+    whole query.  ``max_bucket`` caps the neighbor side of each
+    (table, bucket) group before the probe join (``lsh_guard``) so a
+    degenerate bucket — all-equal embeddings collapsing one sign
+    pattern — costs at most max_bucket candidates per probe; None
+    disables (the exact mode the DuckDB oracle replays)."""
     if n_planes is None:
         n_planes = derived_planes(emb.count())
     b = with_lsh_buckets(with_norm(emb), n_tables, n_planes,
@@ -241,6 +248,8 @@ def lsh_candidate_pairs(emb: DataFrame, n_queries: int = ANN_QUERIES,
                       F.col("embedding").alias("ec"), F.col("nrm").alias("nc"),
                       F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
         cand = ct if cand is None else cand.unionAll(ct)
+    cand = cap_bucket_groups(cand, ["t", "bucket"], max_bucket,
+                             label="ann_lsh")
     return (
         tagged.join(cand, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -252,7 +261,8 @@ def lsh_candidate_pairs(emb: DataFrame, n_queries: int = ANN_QUERIES,
 
 def ann_topk_lsh(emb: DataFrame, n_queries: int = ANN_QUERIES, k: int = ANN_K,
                  n_tables: int = LSH_TABLES, n_planes: int | None = None,
-                 dim: int = LSH_DIM) -> DataFrame:
+                 dim: int = LSH_DIM,
+                 max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.  A vector
     is a candidate for a query iff they collide in >=1 of n_tables
     tables (plus Hamming-1 multiprobe within each table).  The
@@ -264,7 +274,8 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = ANN_QUERIES, k: int = ANN_K,
     pinned, the whole pipeline (LCG planes included) is replayed
     value-for-value by the DuckDB oracle (``sql_ann_topk_lsh``)."""
     from pyspark.sql import Window
-    scored = lsh_candidate_pairs(emb, n_queries, n_tables, n_planes, dim)
+    scored = lsh_candidate_pairs(emb, n_queries, n_tables, n_planes, dim,
+                                 max_bucket=max_bucket)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -572,7 +583,8 @@ def knn_graph(emb: DataFrame, k: int = 3,
 def lsh_knn_candidates(emb: DataFrame, n_tables: int = LSH_TABLES,
                        n_planes: int | None = None,
                        dim: int = LSH_DIM,
-                       multiprobe: bool = True) -> DataFrame:
+                       multiprobe: bool = True,
+                       max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """All-to-all (src, dst) candidate pairs from LSH bucket
     co-occupancy (any table) — the sub-quadratic generator for
     ``knn_graph`` / ``cosine_pairs`` at scale.  Plane count defaults to
@@ -585,7 +597,12 @@ def lsh_knn_candidates(emb: DataFrame, n_tables: int = LSH_TABLES,
     vectors share the *exact* bucket in every table (their sign
     patterns agree wherever margins exceed the perturbation), so the
     extra probes only inflate candidate volume on locally dense
-    corpora."""
+    corpora.
+
+    ``max_bucket`` caps rows per bucket on the non-exploded join side
+    (``lsh_guard.cap_bucket_groups``) — this is the quadratic site: a
+    mega-bucket of B co-hashing vectors would otherwise self-join into
+    B^2 pairs per table.  None disables (exact mode)."""
     if n_planes is None:
         n_planes = derived_planes(emb.count())
     bucketed = with_lsh_buckets(emb, n_tables=n_tables, n_planes=n_planes,
@@ -603,8 +620,10 @@ def lsh_knn_candidates(emb: DataFrame, n_tables: int = LSH_TABLES,
         ))
         l = bucketed.select(F.col("vec_id").alias("src"),
                             F.explode(probes).alias("bucket"))
-        r = bucketed.select(F.col(f"b{t}").alias("bucket"),
-                            F.col("vec_id").alias("dst"))
+        r = cap_bucket_groups(
+            bucketed.select(F.col(f"b{t}").alias("bucket"),
+                            F.col("vec_id").alias("dst")),
+            ["bucket"], max_bucket, label=f"knn_lsh_t{t}")
         pt = l.join(r, "bucket").filter(F.col("src") != F.col("dst"))
         pairs = pt if pairs is None else pairs.unionAll(pt)
     return pairs.select("src", "dst").distinct()
