@@ -78,7 +78,10 @@ def betweenness(
 
     Raises ``RuntimeError`` if the BFS has not exhausted every frontier
     within ``max_supersteps`` — a truncated forward phase would yield
-    silently undercounted centralities.
+    silently undercounted centralities.  Exhaustion is confirmed by one
+    empty superstep, so the effective requirement is
+    ``max_supersteps >= diameter + 1`` (a deepest frontier landing
+    exactly at ``max_supersteps`` raises, conservatively).
     """
     # lineage is cut at every materialization (run_bsp's per-superstep
     # discipline): the loops below re-join state against `edges` and
@@ -105,15 +108,20 @@ def betweenness(
     )
 
     # backward accumulation, level by level; a delta is final as soon
-    # as its level is processed (successors always one level deeper)
-    deltas = truncate_lineage(
+    # as its level is processed.  The dag enforces dw = dv + 1, so the
+    # join only ever needs the *previous* level's slice — joining the
+    # full accumulated table would shuffle an ever-growing DataFrame
+    # for a join in which one level's rows can match; the finished
+    # slices are kept aside and unioned once for the final aggregation.
+    prev = truncate_lineage(
         visited.filter(F.col("dist") == max_dist)
         .select("root", "id", F.lit(0.0).alias("delta"))
     )
+    slices = [prev]
     for level in range(max_dist - 1, -1, -1):
         contrib = (
             dag.filter(F.col("dv") == level)
-            .join(deltas.select("root", F.col("id").alias("w"), "delta"),
+            .join(prev.select("root", F.col("id").alias("w"), "delta"),
                   ["root", "w"])
             .groupBy("root", "v")
             .agg(F.sum(F.col("sv") / F.col("sw")
@@ -127,8 +135,12 @@ def betweenness(
             .select(visited["root"], visited["id"],
                     F.coalesce("contrib", F.lit(0.0)).alias("delta"))
         )
-        deltas = truncate_lineage(deltas.union(level_rows))
+        prev = truncate_lineage(level_rows)
+        slices.append(prev)
 
+    deltas = slices[0]
+    for s in slices[1:]:
+        deltas = deltas.union(s)
     return truncate_lineage(
         graph.vertices.join(
             deltas.filter(F.col("root") != F.col("id"))

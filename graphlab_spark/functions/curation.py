@@ -360,7 +360,9 @@ def quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS,
     if portable:
         w = Window.orderBy("avg_logp", "doc_id")
         bucketed = scored.select(
-            F.ntile(n_buckets).over(w).alias("bucket"), "n_toks", "avg_logp")
+            # long, matching DuckDB ntile (BIGINT) — type-strict oracle
+            F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+            "n_toks", "avg_logp")
     else:
         cuts = scored.approxQuantile(
             "avg_logp", [i / n_buckets for i in range(1, n_buckets)], 1e-4)
@@ -369,7 +371,8 @@ def quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS,
             # returns []): mirror the portable path's graceful empty
             # result instead of indexing cuts below
             return scored.select(
-                F.lit(1).alias("bucket"), "n_toks", "avg_logp").groupBy(
+                F.lit(1).cast("long").alias("bucket"),
+                "n_toks", "avg_logp").groupBy(
                 "bucket").agg(
                 F.count("*").cast("long").alias("n_docs"),
                 F.sum("n_toks").cast("long").alias("n_tokens"),
@@ -379,7 +382,8 @@ def quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS,
         for i in range(n_buckets - 1, 0, -1):
             expr = F.when(F.col("avg_logp") <= F.lit(cuts[i - 1]),
                           F.lit(i)).otherwise(expr)
-        bucketed = scored.select(expr.alias("bucket"), "n_toks", "avg_logp")
+        bucketed = scored.select(expr.cast("long").alias("bucket"),
+                                 "n_toks", "avg_logp")
     return (
         bucketed.groupBy("bucket")
         .agg(F.count("*").cast("long").alias("n_docs"),

@@ -262,7 +262,9 @@ def repetition_signals(docs, n: int = REP_N):
     ).otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
     base = docs.select(
         "doc_id", F.length("text").alias("n_chars"), toks_arr.alias("toks")
-    ).select("doc_id", "n_chars", "toks", F.size("toks").alias("n_toks"))
+    ).select("doc_id", "n_chars", "toks",
+             # long, matching DuckDB len() (BIGINT) — type-strict oracle
+             F.size("toks").cast("long").alias("n_toks"))
     uni = (
         base.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))

@@ -2528,6 +2528,23 @@ bfs(iter, root, id, dist, sigma, grew) AS (
 )"""
 
 
+def _bfs_trunc_chk(cap: int) -> str:
+    """One-row CTE that errors when the BFS recursion stopped at the
+    iteration cap while the frontier was still growing — the oracle
+    twin of the Spark side's RuntimeError, so a capped oracle run can
+    never be mistaken for a valid baseline (it would silently
+    undercount centralities otherwise).  Joined with ``WHERE ok = 0``
+    so the check cannot be pruned as unused."""
+    return f"""
+chk AS (SELECT CASE WHEN max(iter) >= {cap}
+                    AND max(CASE WHEN iter = (SELECT max(iter) FROM bfs)
+                                 THEN grew ELSE 0 END) > 0
+               THEN error('oracle BFS truncated at cap={cap} with a '
+                          'growing frontier; raise cap above the graph '
+                          'diameter')
+               ELSE 0 END AS ok FROM bfs)"""
+
+
 def sql_betweenness_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
                          cap: int = 64) -> str:
     """Chained recursions: the shared ``bfs`` (``_brandes_bfs_rec``),
@@ -2566,12 +2583,14 @@ acc(level, root, id, delta) AS (
   )
 )"""
     return (_rec(_VERTS, _SYM, _SYMD,
-                 _brandes_bfs_rec(roots, cap).strip(), acc.strip()) + """
+                 _brandes_bfs_rec(roots, cap).strip(), acc.strip(),
+                 _bfs_trunc_chk(cap).strip()) + """
 SELECT v.id, round(coalesce(s.bcsum, 0), 6) AS bc
-FROM verts v LEFT JOIN (
+FROM verts v CROSS JOIN chk LEFT JOIN (
   SELECT id, sum(delta) AS bcsum FROM acc
   WHERE level = (SELECT min(level) FROM acc) AND root <> id
-  GROUP BY id) s ON s.id = v.id""")
+  GROUP BY id) s ON s.id = v.id
+WHERE chk.ok = 0""")
 
 
 def sql_harmonic_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
@@ -2583,8 +2602,10 @@ def sql_harmonic_hubs(roots: tuple[int, ...] = (-1, -2, -3, -4),
 fin AS (SELECT root, id, dist FROM bfs
         WHERE iter = (SELECT max(iter) FROM bfs))"""
     return (_rec(_VERTS, _SYM, _SYMD,
-                 _brandes_bfs_rec(roots, cap).strip(), fin.strip()) + """
+                 _brandes_bfs_rec(roots, cap).strip(), fin.strip(),
+                 _bfs_trunc_chk(cap).strip()) + """
 SELECT v.id, round(coalesce(s.hcsum, 0), 6) AS hc
-FROM verts v LEFT JOIN (
+FROM verts v CROSS JOIN chk LEFT JOIN (
   SELECT id, sum(CAST(1 AS DOUBLE) / dist) AS hcsum FROM fin
-  WHERE dist > 0 GROUP BY id) s ON s.id = v.id""")
+  WHERE dist > 0 GROUP BY id) s ON s.id = v.id
+WHERE chk.ok = 0""")

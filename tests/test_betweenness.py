@@ -266,19 +266,48 @@ def test_oracle_twin_on_events_micro_corpus(spark, tmp_path):
     events.write.parquet(pq)
 
     import __spark_entry__ as entry
-    spark_rows = {(r["id"], r["bc"])
-                  for r in entry.q_betweenness_hubs(spark, str(tmp_path))
-                  .collect()}
+    spark_bc = {r["id"]: r["bc"]
+                for r in entry.q_betweenness_hubs(spark, str(tmp_path))
+                .collect()}
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}/*.parquet'")
-    oracle_rows = set(map(tuple, con.execute(sql_betweenness_hubs())
-                          .fetchall()))
-    assert spark_rows == oracle_rows
+    oracle_bc = dict(con.execute(sql_betweenness_hubs()).fetchall())
+    # per-id closeness, not exact equality of rounded sets: summation
+    # order differs between engines, so a delta landing near a 5e-7
+    # rounding boundary would flip the 6th decimal and flake
+    assert spark_bc.keys() == oracle_bc.keys()
+    for i, v in spark_bc.items():
+        assert v == pytest.approx(oracle_bc[i], abs=2e-6), f"bc id={i}"
 
     from graphlab_spark.oracles import sql_harmonic_hubs
-    spark_hc = {(r["id"], r["hc"])
+    spark_hc = {r["id"]: r["hc"]
                 for r in entry.q_harmonic_hubs(spark, str(tmp_path))
                 .collect()}
-    oracle_hc = set(map(tuple, con.execute(sql_harmonic_hubs()).fetchall()))
-    assert spark_hc == oracle_hc
+    oracle_hc = dict(con.execute(sql_harmonic_hubs()).fetchall())
+    assert spark_hc.keys() == oracle_hc.keys()
+    for i, v in spark_hc.items():
+        assert v == pytest.approx(oracle_hc[i], abs=2e-6), f"hc id={i}"
+
+
+def test_oracle_truncation_sentinel(spark, tmp_path):
+    """A capped oracle run must error, mirroring the Spark side's
+    RuntimeError, instead of returning undercounted centralities."""
+    duckdb = pytest.importorskip("duckdb")
+    from graphlab_spark.oracles import (sql_betweenness_hubs,
+                                        sql_harmonic_hubs)
+
+    events = spark.createDataFrame(
+        [(e, e * 7 % 97, f"u{e % 5}", "alpha", 1.0, "{}")
+         for e in range(1, 61)],
+        "event_id long, ts long, user_id string, event_type string, "
+        "value double, props string")
+    pq = str(tmp_path / "events.parquet")
+    events.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}/*.parquet'")
+    # sanity: generous cap succeeds
+    assert len(con.execute(sql_betweenness_hubs(cap=64)).fetchall()) > 0
+    for sql in (sql_betweenness_hubs(cap=1), sql_harmonic_hubs(cap=1)):
+        with pytest.raises(Exception, match="truncated"):
+            con.execute(sql).fetchall()
