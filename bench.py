@@ -10,7 +10,9 @@ Runs the engine's flagship workloads over ``$SPARK_GRAFT_SF_DIR``
 - triangles:  exact total triangle count;
 - minhash:    MinHash-LSH near-dup pairs on documents (xxhash64 scale
               path — no portable dense-rank sort);
-- ann:        multi-table LSH top-k cosine neighbors on embeddings.
+- ann:        multi-table LSH top-k cosine neighbors on embeddings;
+- betweenness16: sampled-source Brandes betweenness from the 16
+              top-degree hubs (multi-root BFS + backward accumulation).
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
@@ -83,6 +85,15 @@ def main() -> None:
 
     from graphlab_spark.algos.kmeans import kmeans
     timed("kmeans", lambda: kmeans(emb, k=4, iterations=10)[0].count())
+
+    # sampled-source betweenness (|S|=16 top-degree hubs): the r4
+    # centrality family's tracked perf number — multi-root BFS forward
+    # phase + level-by-level Brandes accumulation, state O(|V|*|S|)
+    from graphlab_spark.algos.betweenness import betweenness
+    hubs = [r["src"] for r in
+            g.symmetric_edges.groupBy("src").agg(F.count("*").alias("d"))
+            .orderBy(F.desc("d"), "src").limit(16).collect()]
+    timed("betweenness16", lambda: betweenness(g, sources=hubs).count())
 
     total = round(sum(timings.values()), 3)
     line = {

@@ -90,6 +90,11 @@ def load_parquet_edges(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_format(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    # graphjrl/bintsv4 read the reference's actual bytes
+    # (binary_formats; ``builtin_parsers.hpp:196-318``,
+    # ``distributed_graph.hpp:3278-3291``); "bin"/"parquet" are the
+    # engine-native columnar snapshots.
+    from .binary_formats import load_bintsv4, load_graphjrl
     loaders = {
         "snap": load_snap,
         "tsv": load_tsv,
@@ -97,8 +102,8 @@ def load_format(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         "adj": load_adj,
         "parquet": load_parquet_edges,
         "bin": load_parquet_edges,
-        "graphjrl": load_parquet_edges,
-        "bintsv4": load_parquet_edges,
+        "graphjrl": load_graphjrl,
+        "bintsv4": load_bintsv4,
     }
     if fmt not in loaders:
         raise ValueError(f"unknown graph format: {fmt}")
@@ -113,8 +118,14 @@ def save_edges(edges: DataFrame, path: str, fmt: str = "tsv") -> None:
         edges.select("src", "dst").write.mode("overwrite").csv(path, sep="\t")
     elif fmt == "csv":
         edges.select("src", "dst").write.mode("overwrite").csv(path, sep=",")
-    elif fmt in ("parquet", "bin", "graphjrl", "bintsv4"):
+    elif fmt in ("parquet", "bin"):
         edges.write.mode("overwrite").parquet(path)
+    elif fmt == "graphjrl":
+        from .binary_formats import save_graphjrl
+        save_graphjrl(edges, path)
+    elif fmt == "bintsv4":
+        from .binary_formats import save_bintsv4
+        save_bintsv4(edges, path)
     else:
         raise ValueError(f"unknown graph format: {fmt}")
 

@@ -165,3 +165,44 @@ def test_sssp_weighted_edges(spark):
                         resume=False).state.collect()}
     assert st == {0: 0.0, 2: 1.0, 1: 2.0}
     g.unpersist()
+
+
+def test_lpa_frontier_schedule_matches_dense(spark):
+    """Frontier-pruned gather (recompute only destinations with a
+    changed neighbor) must be bit-identical to the dense schedule,
+    superstep for superstep, on a graph with a long convergence tail."""
+    from graphlab_spark.sources.parsers import load_synthetic_powerlaw
+
+    g = EdgeGraph(load_synthetic_powerlaw(spark, 400, seed=7),
+                  num_edge_partitions=8)
+    dense = label_propagation(g, max_supersteps=20, resume=False)
+    frontier = label_propagation(g, max_supersteps=20, resume=False,
+                                 schedule="frontier")
+    d = {r.id: r.label for r in dense.state.collect()}
+    f = {r.id: r.label for r in frontier.state.collect()}
+    assert f == d
+    assert frontier.supersteps == dense.supersteps
+    assert frontier.converged == dense.converged
+    # same per-superstep active counts — the schedules walk in lockstep
+    assert ([h["active"] for h in frontier.history]
+            == [h["active"] for h in dense.history])
+    # the frontier run's late supersteps touch a shrinking active set
+    actives = [h["active"] for h in frontier.history]
+    assert actives[-1] < actives[0]
+    g.unpersist()
+
+
+def test_lpa_frontier_golden(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c"), (6, "c")],
+        "id long, label string")
+    g = EdgeGraph(edges, num_edge_partitions=4)
+    res = label_propagation(g, initial_labels=seeds, schedule="frontier")
+    assert res.converged
+    got = {r.id: r.label for r in res.state.collect()}
+    assert got == {1: "a", 2: "a", 3: "a", 4: "c", 5: "c", 6: "c"}
+    assert res.state.columns == ["id", "label"]
+    g.unpersist()
