@@ -179,6 +179,15 @@ def q_lpa(spark, sf_dir):
     return label_propagation(g, max_supersteps=10, resume=False).state
 
 
+def q_lpa_frontier(spark, sf_dir):
+    """Frontier-pruned LPA schedule (recompute only destinations with a
+    changed neighbor) — shares ``sql_lpa`` with ``graph_lpa``: the
+    driver hash doubles as the bit-identical-schedules proof."""
+    g = _graph(spark, sf_dir)
+    return label_propagation(g, max_supersteps=10, resume=False,
+                             schedule="frontier").state
+
+
 def q_kcore_k2(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return kcore_subgraph(g, k=2)
@@ -1047,6 +1056,27 @@ def q_pack_sequences(spark, sf_dir):
     return C.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition: scrub PII -> decontaminate the
+    scrubbed corpus against the held-out benchmark split -> drop
+    contaminated docs -> exact-dedup survivors (min-doc_id canonical)
+    -> pack into training chunks.  One query exercising the full
+    training-data path the individual contract queries cover piecewise;
+    every stage is the same operator the standalone query uses, so the
+    oracle is the chained CTE of their SQL twins."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    scrubbed = C.scrub_pii(corpus).select("doc_id", "text")
+    decon = C.decontaminate(scrubbed, bench)
+    clean = scrubbed.join(
+        decon.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id")
+    hashed = clean.withColumn("__h", F.md5("text"))
+    canon = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    survivors = hashed.join(canon, ["__h", "doc_id"]).select("doc_id", "text")
+    return C.pack_sequences(survivors)
+
+
 def q_quality_buckets(spark, sf_dir):
     """Data-mixing table: LM-quality quantile buckets with per-bucket
     doc/token mass (exact-ntile verification mode; the scale path uses
@@ -1239,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- contract queries kept in-window so the r4 bucket-cap change
         # --- is re-hash-verified by the driver):
         "transcript_near_dups": q_transcript_near_dups,
+        "graph_lpa_frontier": q_lpa_frontier,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
         "dedup_minhash_clusters": q_minhash_clusters,
         "sim_cosine_pairs": q_cosine_pairs,
@@ -1349,6 +1381,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
+
+def _sql_curation_pipeline() -> str:
+    """Chained CTE of the per-stage SQL twins (scrub -> decontaminate
+    -> exact-dedup survivors -> pack), mirroring q_curation_pipeline
+    stage for stage."""
+    scrub = C.sql_scrub_pii(
+        table="(SELECT * FROM documents WHERE doc_id % 10 <> 0)")
+    decon = C.sql_decontaminate(
+        "doc_id % 10 <> 0", "doc_id % 10 = 0", table="pipe")
+    pack = C.sql_pack_sequences(table="surv")
+    return f"""WITH scrub AS (SELECT doc_id, text FROM ({scrub}) s0),
+pipe AS (SELECT doc_id, text FROM scrub
+         UNION ALL
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+decon AS (SELECT * FROM ({decon}) d0),
+clean AS (SELECT s.doc_id, s.text FROM scrub s
+          JOIN decon d ON d.doc_id = s.doc_id AND d.contaminated = 0),
+canon AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+          FROM clean GROUP BY 1),
+surv AS (SELECT c.doc_id, c.text FROM clean c
+         JOIN canon ON md5(c.text) = canon.h
+                    AND c.doc_id = canon.doc_id)
+SELECT * FROM ({pack}) p"""
+
 
 def _sql_transcript_sessions_oracle() -> str:
     from graphlab_spark.operators.portable import sql_lcg_hash
@@ -1566,6 +1622,7 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "curation_decontaminate": C.sql_decontaminate(
             "doc_id % 10 <> 0", "doc_id % 10 = 0"),
         "curation_pack_sequences": C.sql_pack_sequences(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "curation_quality_buckets": C.sql_quality_buckets(),
         "sim_ann_topk_brute": S.sql_ann_topk_brute(),
         "multimodal_media_stats": M.sql_media_stats(),
@@ -1591,6 +1648,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "graph_sssp_from_hub": O.sql_sssp_from_hub(source=-1),
         "graph_catpath": O.sql_catpath(),
         "graph_lpa": O.sql_lpa(max_supersteps=10),
+        "graph_lpa_frontier": O.sql_lpa(max_supersteps=10),
         "graph_hits": O.sql_hits(supersteps=3),
         "graph_ppr_from_hub": O.sql_personalized_pagerank(seeds=(-1,),
                                                           tol=1e-6),
