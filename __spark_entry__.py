@@ -890,6 +890,26 @@ def q_vision_panorama_groups(spark, sf_dir):
     return V.panorama_groups(_stitch_matches(spark, sf_dir))
 
 
+def q_vision_pair_transforms(spark, sf_dir):
+    """Camera-estimation stage 1 (``stitch_main.cpp:214`` analog):
+    per-pair least-squares alignment + inliers + OpenCV-formula
+    confidence from content-descriptor matches over the shifted-copy
+    image table."""
+    from graphlab_spark.functions import vision as V
+    imgs = V.images_with_shifted_copies(_docs(spark, sf_dir))
+    return V.estimate_pair_transforms(V.content_features(imgs))
+
+
+def q_vision_camera_offsets(spark, sf_dir):
+    """Camera-estimation stage 2: homography-chain initialization —
+    per-image offsets from each panorama root, BFS-accumulated over the
+    pair-transform graph."""
+    from graphlab_spark.functions import vision as V
+    imgs = V.images_with_shifted_copies(_docs(spark, sf_dir))
+    t = V.estimate_pair_transforms(V.content_features(imgs))
+    return V.camera_offsets(t)
+
+
 def q_sparse_als2_user_factors(spark, sf_dir):
     """Sparse ALS at k=2, s=1 with portable init: the CoSaMP
     identify+re-estimate step (dense Cramer solve -> abs-argmax
@@ -1271,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_near_dups": q_transcript_near_dups,
         "graph_lpa_frontier": q_lpa_frontier,
         "curation_pipeline": q_curation_pipeline,
+        "vision_pair_transforms": q_vision_pair_transforms,
+        "vision_camera_offsets": q_vision_camera_offsets,
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
         "dedup_minhash_clusters": q_minhash_clusters,
         "sim_cosine_pairs": q_cosine_pairs,
@@ -1708,6 +1730,8 @@ SELECT id, cluster FROM r WHERE rn = 1
         "cf_svd_lanczos2_sigma": O.sql_svd_lanczos2_sigma(),
         "vision_match_graph": O.sql_vision_match_graph(),
         "vision_panorama_groups": O.sql_vision_panorama_groups(),
+        "vision_pair_transforms": O.sql_vision_pair_transforms(),
+        "vision_camera_offsets": O.sql_vision_camera_offsets(),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

@@ -203,11 +203,191 @@ def panorama_groups(matches: DataFrame) -> DataFrame:
     return state.select("id", F.col("component").alias("pano"))
 
 
+# -- camera estimation (Homography-Based Initialization analog) --------------
+#
+# stitch_main.cpp:214-230 runs OpenCV's HomographyBasedEstimator after
+# the match graph: per-pair transforms from matched keypoint
+# coordinates, then per-image camera parameters propagated over the
+# match graph's spanning structure.  The coordinate geometry here is
+# the 1-D patch-index analog of that stage (the module's stand-in-pixel
+# policy): transforms are least-squares shifts between matched keypoint
+# positions, confidence uses OpenCV's matchers.cpp formula
+# inliers / (8 + 0.3 * matches), and camera "offsets" are the
+# homography-chain initialization — a level-synchronous BFS from each
+# panorama root accumulating pairwise shifts.  Only the pixel-touching
+# warp/seam/composite tail remains stubbed below.
+
+def images_with_shifted_copies(docs: DataFrame,
+                               copy_every: int = 5) -> DataFrame:
+    """Like :func:`images_from_documents`, but the planted copy drops
+    the FIRST patch (prefix truncation), so the copy's content sits one
+    keypoint to the left of the original — a nonzero alignment for the
+    estimator to recover (tail truncation would leave every match at
+    shift 0)."""
+    base = docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.encode("text", "UTF-8").alias("payload"))
+    copies = (
+        docs.filter((F.col("doc_id") % copy_every == 0)
+                    & (F.length("text") >= 2 * CHUNK))
+        .select(
+            (-(F.col("doc_id") + 1)).alias("img_id"),
+            F.encode(F.expr(f"substring(text, {CHUNK + 1})"), "UTF-8")
+            .alias("payload"))
+    )
+    return base.unionByName(copies)
+
+
+def _content_desc_expr(payload, kp: int):
+    """Position-INSENSITIVE variant of ``_qdesc_expr`` (fold seeded
+    with 0, not kp): the same patch content hashes identically at any
+    keypoint index, which is what alignment estimation needs — the
+    position-folded words of :func:`compute_features` would never match
+    a shifted copy."""
+    text = F.decode(payload, "UTF-8")
+    probes = [
+        F.when(F.octet_length(payload) >= (kp + 1) * CHUNK,
+               F.ascii(F.substring(text, kp * CHUNK + off + 1, 1))
+               .cast("long"))
+        for off in (0, 5, 10, 15)
+    ]
+    folded = F.lit(0).cast("long")
+    for p in probes:
+        folded = (folded * F.lit(FOLD) + p) % F.lit(2_147_483_648)
+    return lcg_hash(folded)
+
+
+def content_features(images: DataFrame) -> DataFrame:
+    """(img_id, kp, qdesc) content descriptors for alignment
+    estimation — same extraction plan shape as
+    :func:`compute_features`, position-insensitive hash."""
+    kps = F.array(*[
+        F.struct(F.lit(k).alias("kp"),
+                 _content_desc_expr(F.col("payload"), k).alias("qdesc"))
+        for k in range(K_KEYPOINTS)
+    ])
+    ascii_only = (F.octet_length("payload")
+                  == F.length(F.decode("payload", "UTF-8")))
+    return (
+        images.filter(ascii_only)
+        .select("img_id", F.explode(kps).alias("f"))
+        .select("img_id", F.col("f.kp").alias("kp"),
+                F.col("f.qdesc").alias("qdesc"))
+        .filter(F.col("qdesc").isNotNull())
+    )
+
+
+def estimate_pair_transforms(features: DataFrame, df_cap: int = DF_CAP,
+                             min_matches: int = MIN_MATCHES) -> DataFrame:
+    """(img_a, img_b, n_matches, shift, n_inliers, confidence):
+    per-pair 1-D alignment from matched keypoint positions —
+    ``shift`` is the least-squares translation ``avg(kp_b - kp_a)``,
+    inliers are matches within 0.5 of it, and confidence is OpenCV's
+    ``inliers / (8 + 0.3 * matches)`` (``modules/stitching``'s
+    matchers formula, used by stitch_main's estimator input).  Same
+    df-capped visual-word bucket join as :func:`match_features`
+    (never all-pairs); the shift statistics are one window + one
+    aggregation on the pair key (exchange reused)."""
+    from pyspark.sql import Window
+    live = (
+        features.groupBy("qdesc")
+        .agg(F.countDistinct("img_id").alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("qdesc")
+    )
+    kept = features.join(live, "qdesc")
+    a = kept.select("qdesc", F.col("img_id").alias("img_a"),
+                    F.col("kp").alias("kp_a"))
+    b = kept.select("qdesc", F.col("img_id").alias("img_b"),
+                    F.col("kp").alias("kp_b"))
+    d = (F.col("kp_b") - F.col("kp_a")).cast("double")
+    w = Window.partitionBy("img_a", "img_b")
+    scored = (
+        a.join(b, "qdesc")
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", d.alias("__d"))
+        .withColumn("__t", F.avg("__d").over(w))
+    )
+    n = F.count(F.lit(1))
+    inl = F.sum(F.when(F.abs(F.col("__d") - F.col("__t")) <= 0.5, 1)
+                .otherwise(0))
+    return (
+        scored.groupBy("img_a", "img_b")
+        .agg(n.cast("long").alias("n_matches"),
+             F.round(F.first("__t"), 6).alias("shift"),
+             inl.cast("long").alias("n_inliers"),
+             F.round(inl / (F.lit(8.0) + 0.3 * n), 6).alias("confidence"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
+def camera_offsets(transforms: DataFrame,
+                   max_supersteps: int = 64) -> DataFrame:
+    """(img_id, pano, offset): the homography-chain initialization —
+    every matched image's alignment relative to its panorama root
+    (min img_id of its component, offset 0.0), accumulated by a
+    level-synchronous BFS over the symmetrized pair-transform graph:
+    ``offset(b) = offset(a) + shift(a, b)``; a vertex first reached
+    from several frontier parents takes the minimum candidate offset
+    (deterministic; with consistent transforms every path agrees).
+    Same per-level lineage-cut discipline and truncation
+    ``RuntimeError`` as ``algos/betweenness``'s forward BFS."""
+    from ..algos.connected_components import connected_components
+    from ..graph import EdgeGraph
+    from ..plans.checkpoint import truncate_lineage
+
+    edges = transforms.select(F.col("img_a").alias("src"),
+                              F.col("img_b").alias("dst"),
+                              F.col("shift").alias("t"))
+    sym = truncate_lineage(edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     (-F.col("t")).alias("t"))))
+    # the CC graph reuses the already-checkpointed sym blocks, so the
+    # pair-transform pipeline is computed exactly once
+    g = EdgeGraph(sym.select("src", "dst"))
+    pano = connected_components(g, resume=False).state \
+        .select(F.col("id"), F.col("component").alias("pano"))
+    g.unpersist()
+    visited = truncate_lineage(
+        pano.filter(F.col("id") == F.col("pano"))
+        .select("id", "pano", F.lit(0.0).alias("offset")))
+    frontier = visited
+    total = visited.count()
+    exhausted = total == 0
+    for _ in range(max_supersteps):
+        cand = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .groupBy(sym["dst"].alias("nid"))
+            .agg(F.min(frontier["offset"] + sym["t"]).alias("offset"))
+        )
+        new = (
+            cand.join(visited.select(F.col("id").alias("__vid")),
+                      cand["nid"] == F.col("__vid"), "left_anti")
+            .join(pano.select(F.col("id").alias("__pid"), "pano"),
+                  cand["nid"] == F.col("__pid"))
+            .select(F.col("nid").alias("id"), "pano", "offset")
+        )
+        grown = truncate_lineage(visited.union(new))
+        new_total = grown.count()
+        if new_total == total:
+            exhausted = True
+            break
+        frontier = truncate_lineage(new)
+        visited, total = grown, new_total
+    if not exhausted:
+        raise RuntimeError(
+            f"camera_offsets BFS still growing after {max_supersteps} "
+            "supersteps — offsets would be silently incomplete; raise "
+            "max_supersteps above the match-graph diameter")
+    return visited.select("id", "pano", F.round("offset", 6).alias("offset"))
+
+
 def warp_images(images: DataFrame, cameras: DataFrame) -> DataFrame:
     """STUB (``stitch_main.cpp:302``): spherical warp needs OpenCV."""
     raise NotImplementedError(
         "camera warp requires OpenCV (not installed); the match-graph "
-        "phase above is the distributed part of the pipeline")
+        "and camera-estimation phases above are the distributed part "
+        "of the pipeline")
 
 
 def find_seams(images: DataFrame, matches: DataFrame) -> DataFrame:
@@ -266,4 +446,60 @@ matches AS (
          CAST(count(*) AS BIGINT) AS matches
   FROM kept a JOIN kept b ON a.qdesc = b.qdesc AND a.img_id < b.img_id
   GROUP BY 1, 2
+  HAVING count(*) >= {min_matches})"""
+
+
+def sql_images_shifted(copy_every: int = 5, table: str = "documents") -> str:
+    """Twin of :func:`images_with_shifted_copies` (prefix-truncated
+    planted copies — nonzero alignment)."""
+    return f"""
+images AS (
+  SELECT doc_id AS img_id, text AS payload FROM {table}
+  UNION ALL
+  SELECT -(doc_id + 1), substr(text, {CHUNK + 1})
+  FROM {table}
+  WHERE doc_id % {copy_every} = 0 AND length(text) >= {2 * CHUNK})"""
+
+
+def sql_content_features() -> str:
+    """Twin of :func:`content_features` over the ``images`` CTE —
+    the position-insensitive fold (seed 0, not kp)."""
+    arms = []
+    for k in range(K_KEYPOINTS):
+        folded = "0"
+        for off in (0, 5, 10, 15):
+            byte = f"ascii(substr(payload, {k * CHUNK + off} + 1, 1))"
+            folded = f"(({folded} * {FOLD} + {byte}) % 2147483648)"
+        arms.append(
+            f"SELECT img_id, {k} AS kp, "
+            f"{sql_lcg_hash(folded)} AS qdesc "
+            f"FROM images WHERE length(payload) >= {(k + 1) * CHUNK} "
+            f"AND strlen(payload) = length(payload)")  # ASCII guard
+    return "cfeatures AS MATERIALIZED (" + " UNION ALL ".join(arms) + ")"
+
+
+def sql_pair_transforms(df_cap: int = DF_CAP,
+                        min_matches: int = MIN_MATCHES) -> str:
+    """Twin of :func:`estimate_pair_transforms` over ``cfeatures``."""
+    return f"""
+clive AS (SELECT qdesc FROM cfeatures GROUP BY qdesc
+          HAVING count(DISTINCT img_id) <= {df_cap}),
+ckept AS (SELECT f.* FROM cfeatures f JOIN clive l ON l.qdesc = f.qdesc),
+cscored AS (
+  SELECT img_a, img_b, d,
+         avg(d) OVER (PARTITION BY img_a, img_b) AS t
+  FROM (SELECT a.img_id AS img_a, b.img_id AS img_b,
+               CAST(b.kp - a.kp AS DOUBLE) AS d
+        FROM ckept a JOIN ckept b ON a.qdesc = b.qdesc
+                                  AND a.img_id < b.img_id)),
+transforms AS MATERIALIZED (
+  SELECT img_a, img_b,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         round(any_value(t), 6) AS shift,
+         CAST(sum(CASE WHEN abs(d - t) <= 0.5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inliers,
+         round(sum(CASE WHEN abs(d - t) <= 0.5 THEN 1 ELSE 0 END)
+               / (8.0 + 0.3 * count(*)), 6) AS confidence
+  FROM cscored
+  GROUP BY img_a, img_b
   HAVING count(*) >= {min_matches})"""

@@ -2342,6 +2342,81 @@ def sql_vision_panorama_groups() -> str:
               "WHERE iter = (SELECT max(iter) FROM vcc)")
 
 
+def _vision_transform_ctes() -> str:
+    """Shifted images -> content features -> pair transforms (mirrors
+    the camera-estimation inputs of ``functions/vision.py``)."""
+    from .functions.vision import (sql_content_features,
+                                   sql_images_shifted,
+                                   sql_pair_transforms)
+    return (sql_images_shifted().strip() + ",\n"
+            + sql_content_features().strip() + ",\n"
+            + sql_pair_transforms().strip())
+
+
+def sql_vision_pair_transforms() -> str:
+    return ("WITH " + _vision_transform_ctes()
+            + "\nSELECT img_a, img_b, n_matches, shift, n_inliers, "
+              "confidence FROM transforms")
+
+
+def sql_vision_camera_offsets(cap: int = 64) -> str:
+    """Twin of ``vision.camera_offsets``: hash-min CC over the pair
+    transforms for panorama roots, then a level-synchronous BFS
+    recursion accumulating ``offset(dst) = offset(src) + shift`` with a
+    min-merge on first reach, plus the truncation-sentinel chk of the
+    Spark side's RuntimeError."""
+    tverts = ("tverts AS (SELECT DISTINCT id FROM ("
+              "SELECT img_a AS id FROM transforms "
+              "UNION ALL SELECT img_b FROM transforms))")
+    tsym = ("tsym AS (SELECT img_a AS src, img_b AS dst, shift AS t "
+            "FROM transforms "
+            "UNION ALL SELECT img_b, img_a, -shift FROM transforms)")
+    tsympairs = ("tsympairs AS (SELECT src, dst FROM tsym)")
+    panof = ("panof AS (SELECT id, component AS pano FROM tcc "
+             "WHERE iter = (SELECT max(iter) FROM tcc))")
+    off = f"""
+off(iter, id, pano, ofs, dist, grew) AS (
+  SELECT 0, id, pano, CAST(0 AS DOUBLE), 0, CAST(1 AS BIGINT)
+  FROM panof WHERE id = pano
+  UNION ALL
+  SELECT * FROM (
+    SELECT p.iter + 1 AS iter, u.id, u.pano, u.ofs, u.dist,
+           sum(CASE WHEN u.dist = p.iter + 1 THEN 1 ELSE 0 END)
+             OVER () AS grew
+    FROM (
+      SELECT id, pano, ofs, dist FROM off
+      UNION ALL
+      SELECT nf.id, pn.pano, nf.ofs, nf.dist FROM (
+        SELECT s.dst AS id, min(f.ofs + s.t) AS ofs,
+               f.dist + 1 AS dist
+        FROM off f JOIN tsym s ON f.id = s.src
+        WHERE f.dist = f.iter
+        GROUP BY s.dst, f.dist
+      ) nf
+      JOIN panof pn ON pn.id = nf.id
+      LEFT JOIN off v ON v.id = nf.id
+      WHERE v.id IS NULL
+    ) u
+    CROSS JOIN (SELECT DISTINCT iter, grew FROM off) p
+    WHERE p.grew > 0 AND p.iter < {cap}
+  )
+)"""
+    chk = f"""
+chk AS (SELECT CASE WHEN max(iter) >= {cap}
+                    AND max(CASE WHEN iter = (SELECT max(iter) FROM off)
+                                 THEN grew ELSE 0 END) > 0
+               THEN error('camera_offsets oracle BFS truncated at '
+                          'cap={cap} with a growing frontier')
+               ELSE 0 END AS ok FROM off)"""
+    return ("WITH RECURSIVE " + _vision_transform_ctes() + ",\n"
+            + tverts + ",\n" + tsym + ",\n" + tsympairs + ",\n"
+            + _cc_rec("tcc", "tverts", "tsympairs") + ",\n"
+            + panof + ",\n" + off.strip() + ",\n" + chk.strip() + """
+SELECT o.id, o.pano, round(o.ofs, 6) AS "offset"
+FROM off o CROSS JOIN chk
+WHERE o.iter = (SELECT max(iter) FROM off) AND chk.ok = 0""")
+
+
 # ---------------------------------------------------------------------------
 # N-ary factor-graph max-sum BP (mirrors algos/factor_bp.py over the
 # sources/parsers.py::load_synthetic_factor_graph model — the factors/

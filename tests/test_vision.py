@@ -129,3 +129,67 @@ def test_match_graph_scale_candidates_linear(spark):
         F.col("pano") != (F.col("id") / gsize).cast("long") * gsize).count()
     assert wrong == 0 and panos.count() == n_groups * gsize
     images.unpersist(); feats.unpersist(); matches.unpersist()
+
+
+# -- camera estimation (round 4: stitch_main.cpp:214+ analog) ---------------
+
+def test_pair_transform_recovers_planted_shift(spark):
+    """A prefix-truncated copy sits one keypoint left of its original:
+    the estimator must recover shift=+1 (copy is img_a — negative id),
+    all matches inlying, with OpenCV's confidence formula."""
+    from graphlab_spark.functions import vision as V
+    text = "".join(chr(65 + (i * 7) % 26) for i in range(16 * 9))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    imgs = V.images_with_shifted_copies(docs, copy_every=1)
+    t = V.estimate_pair_transforms(V.content_features(imgs)).collect()
+    assert len(t) == 1
+    r = t[0]
+    assert (r["img_a"], r["img_b"]) == (-1, 0)
+    assert r["shift"] == 1.0
+    assert r["n_inliers"] == r["n_matches"]
+    n = r["n_matches"]
+    assert r["confidence"] == round(n / (8 + 0.3 * n), 6)
+
+
+def test_camera_offsets_chain(spark):
+    """Transforms forming a 3-image chain: offsets accumulate from the
+    component root (min img id) along the BFS; a disconnected pair gets
+    its own root."""
+    from graphlab_spark.functions.vision import camera_offsets
+    t = spark.createDataFrame(
+        [(1, 2, 3, 1.0, 3, 0.5), (2, 3, 3, 2.0, 3, 0.5),
+         (10, 11, 2, -4.0, 2, 0.4)],
+        "img_a long, img_b long, n_matches long, shift double, "
+        "n_inliers long, confidence double")
+    got = {r["id"]: (r["pano"], r["offset"])
+           for r in camera_offsets(t).collect()}
+    assert got == {1: (1, 0.0), 2: (1, 1.0), 3: (1, 3.0),
+                   10: (10, 0.0), 11: (10, -4.0)}
+
+
+def test_camera_offsets_truncation_guard(spark):
+    from graphlab_spark.functions.vision import camera_offsets
+    t = spark.createDataFrame(
+        [(1, 2, 2, 1.0, 2, 0.4), (2, 3, 2, 1.0, 2, 0.4)],
+        "img_a long, img_b long, n_matches long, shift double, "
+        "n_inliers long, confidence double")
+    with pytest.raises(RuntimeError, match="still growing"):
+        camera_offsets(t, max_supersteps=1)
+
+
+def test_content_features_position_insensitive(spark):
+    """The same patch content at different keypoint indices hashes
+    identically (what compute_features deliberately does NOT do)."""
+    from graphlab_spark.functions import vision as V
+    text = "".join(chr(65 + (i * 7) % 26) for i in range(16 * 3))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text[16:])], "doc_id long, text string")
+    imgs = docs.select(F.col("doc_id").alias("img_id"),
+                       F.encode("text", "UTF-8").alias("payload"))
+    feats = V.content_features(imgs).collect()
+    by_img = {}
+    for r in feats:
+        by_img.setdefault(r["img_id"], {})[r["kp"]] = r["qdesc"]
+    # img 1's patch k holds img 0's patch k+1 content -> same qdesc
+    assert by_img[1][0] == by_img[0][1]
+    assert by_img[1][1] == by_img[0][2]
