@@ -1259,11 +1259,68 @@ def q_lda_word_topics(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-4 ordering (VERDICT r3 "Next round" item 1): the 15
-        # --- queries that have NEVER had a driver CORRECTNESS row come
-        # --- first (the driver checks the first 50 registry entries; the
-        # --- rest stay covered by scripts/oracle_dev.py --all + pytest).
-        # --- 9 value-oracled:
+        # --- round-5 ordering (VERDICT r4 "Next round" item 1): the 44
+        # --- queries whose most recent driver CORRECTNESS row is round 2
+        # --- come first so their evidence is refreshed (the driver checks
+        # --- the first 50 registry entries; the rest stay covered by
+        # --- scripts/oracle_dev.py --all + pytest). Flagship graph family:
+        "graph_edges_from_events": q_edges,
+        "graph_degrees": q_degrees,
+        "graph_pagerank_iter2": q_pagerank_iter2,
+        "graph_pagerank_converged": q_pagerank_converged,
+        "graph_pagerank_delta": q_pagerank_delta,
+        "graph_warp_pagerank": q_warp_pagerank,
+        "graph_triangle_total": q_triangle_total,
+        "graph_triangles_per_vertex": q_triangles_per_vertex,
+        "graph_connected_components": q_connected_components,
+        "graph_cc_sizes": q_cc_sizes,
+        "graph_kcore_k2": q_kcore_k2,
+        "graph_kcore_table": q_kcore_table,
+        "graph_hits": q_hits,
+        "graph_ppr_from_hub": q_ppr,
+        "graph_random_walks": q_random_walks,
+        "graph_sssp_from_hub": q_sssp,
+        "graph_catpath": q_catpath,
+        "graph_neighbors_of_hubs": q_neighbors_of_hubs,
+        "graph_vset_inout": q_vset_inout,
+        "graph_directed_census": q_directed_census,
+        "graph_coloring": q_coloring,
+        "graph_approx_diameter": q_approx_diameter,
+        "graph_topo_layers": q_topo_layers,
+        "lin_jacobi": q_jacobi,
+        "cascade_sir": q_sir,
+        "cascade_percolation": q_percolation,
+        # --- stale text / dedup / similarity / clustering / CF set:
+        "text_stats": q_text_stats,
+        "text_token_frequencies": q_token_frequencies,
+        "text_bigram_lm_scores": q_bigram_lm_scores,
+        "text_winnowing_fingerprints": q_winnowing,
+        "text_repetition_signals": q_repetition_signals,
+        "text_bm25_scores": q_bm25_scores,
+        "dedup_exact_groups": q_exact_dup,
+        "dedup_cross_doc_lines": q_line_dedup,
+        "dedup_jaccard_pairs": q_jaccard_pairs,
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "dedup_simhash_signatures": q_simhash_sigs,
+        "dedup_simhash_pairs": q_simhash_pairs,
+        "sim_ann_topk_brute": q_ann_brute,
+        "sim_ann_topk_ivf": q_ann_ivf,
+        "multimodal_media_stats": q_media_stats,
+        "cluster_kmeans_assign1": q_kmeans_assign1,
+        "cluster_kmeans_full": q_kmeans_full,
+        "cf_als_factor_norms": q_als_factors,
+        # --- remaining 6 window slots: r4-green value-oracled
+        # --- representatives (transcript payload, LSH-guard contract,
+        # --- curation pipeline, LPA):
+        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
+        "transcript_sessions": q_transcript_sessions,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh,
+        "sim_ann_topk_lsh": q_ann_lsh,
+        "curation_pipeline": q_curation_pipeline,
+        "graph_lpa": q_lpa,
+        # ----- 50-row driver window ends here; everything below is
+        # ----- r3/r4-driver-green and stays verified by the full
+        # ----- type-strict dev sweep + pytest goldens.
         "graph_dd_projected_labels": q_dd_projected_labels,
         "graph_bethe_admm_labels": q_bethe_admm_labels,
         "gm_factor_bp_sum_beliefs": q_factor_bp_sum_beliefs,
@@ -1282,26 +1339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs_scale": q_minhash_pairs_scale,
         "lda_word_topics_scale": q_lda_word_topics_scale,
         "curation_quality_buckets_scale": q_quality_buckets_scale,
-        # --- the one red r3 row, re-checked after the HUGEINT→BIGINT
-        # --- span_sec cast fix in _sql_transcript_sessions_oracle:
-        "transcript_sessions": q_transcript_sessions,
-        # --- r3-green window filler (transcript payload + LSH-guard
-        # --- contract queries kept in-window so the r4 bucket-cap change
-        # --- is re-hash-verified by the driver):
         "transcript_near_dups": q_transcript_near_dups,
         "graph_lpa_frontier": q_lpa_frontier,
-        "curation_pipeline": q_curation_pipeline,
         "vision_pair_transforms": q_vision_pair_transforms,
         "vision_camera_offsets": q_vision_camera_offsets,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh,
         "dedup_minhash_clusters": q_minhash_clusters,
         "sim_cosine_pairs": q_cosine_pairs,
         "sim_cosine_dup_clusters": q_cosine_dup_clusters,
-        "sim_ann_topk_lsh": q_ann_lsh,
         "sim_knn_graph": q_knn_graph,
         "sim_knn_components": q_knn_components,
-        "graph_lpa": q_lpa,
-        "transcript_pagerank_iter2": q_transcript_pagerank_iter2,
         "transcript_corpus": q_transcript_corpus,
         "transcript_edges": q_transcript_edges,
         "transcript_conv_stats": q_transcript_conv_stats,
@@ -1309,10 +1355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_turn_latency": q_turn_latency,
         "graph_contract_lpa": q_contract_lpa,
         "graph_ingress_report": q_ingress_report,
-        # --- r3-green representatives of each toolkit family (window
-        # --- slots after the above; remaining r2/r3-green queries below
-        # --- fall outside the 50-row window and stay verified by the dev
-        # --- sweep + pytest):
         "graph_laplacian": q_laplacian,
         "spectral_clusters2": q_spectral_clusters,
         "cf_als2_user_factors": q_als2_user_factors,
@@ -1332,7 +1374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack_sequences": q_pack_sequences,
         "curation_quality_buckets": q_quality_buckets,
         "vision_match_graph": q_vision_match_graph,
-        # ----- 50-row driver window ends around here -----
         "spectral_embedding2": q_spectral_embedding,
         "cf_sgd_user_factors": q_sgd_user_factors,
         "cf_biassgd_user_params": q_biassgd_user_params,
@@ -1352,51 +1393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_synthetic_stats": q_synthetic_clusters,
         "graph_mplp_sparse_labels": q_mplp_sparse_labels,
         "cf_synthetic_als_stats": q_synthetic_als_stats,
-        # --- driver-green in CORRECTNESS_r02.json:
-        "graph_edges_from_events": q_edges,
-        "graph_degrees": q_degrees,
-        "graph_pagerank_iter2": q_pagerank_iter2,
-        "graph_pagerank_converged": q_pagerank_converged,
-        "graph_pagerank_delta": q_pagerank_delta,
-        "graph_warp_pagerank": q_warp_pagerank,
-        "graph_triangle_total": q_triangle_total,
-        "graph_triangles_per_vertex": q_triangles_per_vertex,
-        "graph_connected_components": q_connected_components,
-        "graph_cc_sizes": q_cc_sizes,
-        "graph_kcore_k2": q_kcore_k2,
-        "graph_hits": q_hits,
-        "graph_ppr_from_hub": q_ppr,
-        "graph_random_walks": q_random_walks,
-        "text_bm25_scores": q_bm25_scores,
-        "graph_sssp_from_hub": q_sssp,
-        "graph_catpath": q_catpath,
-        "graph_neighbors_of_hubs": q_neighbors_of_hubs,
-        "graph_vset_inout": q_vset_inout,
-        "graph_directed_census": q_directed_census,
-        "graph_coloring": q_coloring,
-        "graph_kcore_table": q_kcore_table,
-        "graph_approx_diameter": q_approx_diameter,
-        "text_stats": q_text_stats,
-        "text_token_frequencies": q_token_frequencies,
-        "text_bigram_lm_scores": q_bigram_lm_scores,
-        "text_winnowing_fingerprints": q_winnowing,
-        "text_repetition_signals": q_repetition_signals,
-        "dedup_exact_groups": q_exact_dup,
-        "dedup_cross_doc_lines": q_line_dedup,
-        "dedup_jaccard_pairs": q_jaccard_pairs,
-        "dedup_minhash_signatures": q_minhash_sigs,
-        "dedup_simhash_signatures": q_simhash_sigs,
-        "dedup_simhash_pairs": q_simhash_pairs,
-        "sim_ann_topk_brute": q_ann_brute,
-        "sim_ann_topk_ivf": q_ann_ivf,
-        "multimodal_media_stats": q_media_stats,
-        "cluster_kmeans_assign1": q_kmeans_assign1,
-        "cluster_kmeans_full": q_kmeans_full,
-        "cf_als_factor_norms": q_als_factors,
-        "lin_jacobi": q_jacobi,
-        "cascade_sir": q_sir,
-        "cascade_percolation": q_percolation,
-        "graph_topo_layers": q_topo_layers,
     }
 
 
