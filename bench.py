@@ -12,7 +12,14 @@ Runs the engine's flagship workloads over ``$SPARK_GRAFT_SF_DIR``
               path — no portable dense-rank sort);
 - ann:        multi-table LSH top-k cosine neighbors on embeddings;
 - betweenness16: sampled-source Brandes betweenness from the 16
-              top-degree hubs (multi-root BFS + backward accumulation).
+              top-degree hubs (multi-root BFS + backward accumulation);
+- throughput10m_pr3 / throughput10m_cc: 3 fixed PageRank supersteps +
+              one CC fixpoint on a cached deterministic ~10M-edge
+              synthetic transcript graph — the throughput regime where
+              per-edge cost dominates fixed per-superstep driver cost
+              (the sf0.1 events graph is too small to show a per-edge
+              regression).  Steady edges/s/superstep is reported in the
+              JSON extras.
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
@@ -94,6 +101,44 @@ def main() -> None:
             g.symmetric_edges.groupBy("src").agg(F.count("*").alias("d"))
             .orderBy(F.desc("d"), "src").limit(16).collect()]
     timed("betweenness16", lambda: betweenness(g, sources=hubs).count())
+
+    # throughput-regime rows (VERDICT r4 item 2): the sf0.1 events graph
+    # is ~198.5k edges, where ~0.8 s/superstep of fixed driver cost
+    # swamps per-edge cost — a 2x per-edge regression would be invisible
+    # above.  These rows reuse the scaling bench's deterministic
+    # synthetic transcript graph at ~10M edges (180k convs x ~55
+    # edges/conv) so per-edge throughput is the dominant term.  Input
+    # generation is cached in /tmp and untimed.  SPARK_GRAFT_TPUT=0
+    # skips, =1 forces; "auto" runs only at sf >= 0.1 (dev sf0.01 loops
+    # stay fast).
+    tput_mode = os.environ.get("SPARK_GRAFT_TPUT", "auto")
+    if tput_mode == "1" or (tput_mode == "auto" and sf >= 0.1):
+        from graphlab_spark import EdgeGraph
+        from graphlab_spark.sources.transcripts import (
+            synthetic_transcripts,
+            transcripts_to_edges,
+        )
+        n_convs = int(os.environ.get("SPARK_GRAFT_TPUT_CONVS", "180000"))
+        path = f"/tmp/throughput_edges_{n_convs}.parquet"
+        if not os.path.isdir(path):
+            transcripts_to_edges(
+                synthetic_transcripts(spark, n_convs=n_convs)
+            ).write.mode("overwrite").parquet(path)
+        tg = EdgeGraph(spark.read.parquet(path), num_edge_partitions=cpus)
+        tput_edges = tg.num_edges
+        tres = timed("throughput10m_pr3",
+                     lambda: pagerank(tg, fixed_supersteps=3, resume=False))
+        steps = [m["wall_ms"] for m in tres.history]
+        # superstep 0 additionally pays the one-time contribution-weight
+        # build; the steady rate is over supersteps 1..k (same protocol
+        # as scripts/scaling_bench.py and the BASELINE metric).
+        steady = sum(steps[1:]) / (len(steps) - 1) / 1000.0
+        extra["throughput10m_edges"] = tput_edges
+        extra["throughput10m_steady_superstep_sec"] = round(steady, 3)
+        extra["throughput10m_edges_per_sec_per_superstep"] = round(
+            tput_edges / steady, 1)
+        timed("throughput10m_cc",
+              lambda: connected_components(tg, resume=False).state.count())
 
     total = round(sum(timings.values()), 3)
     line = {
