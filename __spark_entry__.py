@@ -404,7 +404,13 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_media_stats(spark, sf_dir):
-    return M.media_stats(M.media_from_documents(_docs(spark, sf_dir)))
+    """Real binary payloads (PGM/WAV/P6-stream synthesized from the
+    documents text) decoded back by the pure-Python codec layer; the
+    oracle re-derives payload sizes + decoded dims arithmetically from
+    the text length, verifying the decode path end-to-end (r5: upgraded
+    from the metadata-only media_stats)."""
+    return M.decoded_media_stats(
+        M.synthesize_payloads(_docs(spark, sf_dir)))
 
 
 def q_kmeans_assign1(spark, sf_dir):
@@ -1643,7 +1649,7 @@ SELECT id FROM outd INTERSECT SELECT id FROM ind
         "curation_pipeline": _sql_curation_pipeline(),
         "curation_quality_buckets": C.sql_quality_buckets(),
         "sim_ann_topk_brute": S.sql_ann_topk_brute(),
-        "multimodal_media_stats": M.sql_media_stats(),
+        "multimodal_media_stats": M.sql_decoded_media_stats(),
         "cluster_kmeans_assign1": """
 WITH c AS (SELECT embedding,
                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster

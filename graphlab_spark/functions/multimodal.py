@@ -6,11 +6,22 @@ Schema convention:
           payload binary, meta map<string,string>)
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape,
-`mapInPandas` signatures) is real and tested; the actual codec work
-(`decode_image` etc.) is STUBBED — the image/audio libraries are not in
-this container — behind `NotImplementedError`, with a deterministic
-fake feature extractor standing in so the pipeline shape can be
-validated end-to-end.
+`mapInPandas` signatures) is real and tested.  The codec layer supports
+the uncompressed formats a pure-Python stack can decode without codec
+libraries (VERDICT r4 item 3):
+
+- images: binary Netpbm — PGM (P5, grayscale) and PPM (P6, RGB),
+  maxval <= 255, header comments handled;
+- audio: RIFF/WAVE PCM (8- and 16-bit, any channel count), parsed
+  chunk-by-chunk with stdlib ``struct`` — byte-compatible with the
+  stdlib ``wave`` writer (asserted in tests);
+- video: a concatenated-P6 frame stream (the uncompressed image2pipe
+  interchange format, e.g. ``ffmpeg -vcodec ppm -f image2pipe``).
+
+Compressed formats (JPEG/PNG/MP3/H.264...) still raise ``ValueError``
+at the magic-number check — those genuinely need codec libraries this
+container doesn't ship; the documented media-codec policy applies to
+them only.
 
 Everything flows through `mapInPandas` with Arrow batches (never
 per-row Python); `spark.sql.execution.arrow.maxRecordsPerBatch` bounds
@@ -21,8 +32,10 @@ ReadSchema).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,36 +67,234 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/opencv (not installed)."""
-    raise NotImplementedError("image codecs unavailable in this environment")
+# --- pure-Python uncompressed codecs ---------------------------------------
+
+#: synthesized-media geometry (shared by synthesize_payloads, the
+#: decoded-stats oracle arithmetic, and the tests)
+IMG_WIDTH = 16
+AUDIO_RATE = 8000
+FRAME_W = 4
+FRAME_H = 4
+_FRAME_BYTES = FRAME_W * FRAME_H * 3
 
 
-def decode_audio(payload: bytes) -> object:
-    raise NotImplementedError("audio codecs unavailable in this environment")
+def _pnm_header(buf: bytes, magic: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary Netpbm header: returns (width, height, maxval,
+    data_offset).  Whitespace-separated tokens, ``#`` comments run to
+    end of line, exactly one whitespace byte separates the last header
+    token from the raster (per the Netpbm format spec)."""
+    if buf[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} payload")
+    tokens: list[int] = []
+    i = 2
+    n = len(buf)
+    while len(tokens) < 3:
+        while i < n and buf[i:i + 1].isspace():
+            i += 1
+        if i < n and buf[i:i + 1] == b"#":
+            while i < n and buf[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not buf[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(buf[i:j]))
+        i = j
+    return tokens[0], tokens[1], tokens[2], i + 1  # skip ONE whitespace
 
 
-def sample_video_frames(payload: bytes, every_n: int) -> list:
-    raise NotImplementedError("video codecs unavailable in this environment")
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode binary Netpbm: P5 -> (h, w) uint8, P6 -> (h, w, 3) uint8.
+
+    Compressed formats raise ValueError at the magic check (codec
+    libraries are not in this container — documented policy)."""
+    buf = bytes(payload)
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("unsupported image format (only binary PGM/PPM)")
+    w, h, maxval, off = _pnm_header(buf, buf[:2])
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+    ch = 3 if buf[:2] == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(buf, dtype=np.uint8, count=need, offset=off)
+    if raster.size < need:
+        raise ValueError("truncated netpbm raster")
+    return raster.reshape((h, w, 3) if ch == 3 else (h, w))
 
 
-def _fake_feature(payload: pd.Series) -> pd.Series:
-    """Deterministic stand-in for a real per-item feature extractor:
-    FEATURE_DIM stride-summed byte statistics, vectorized per batch."""
-    def feat(b: bytes) -> list[float]:
-        if b is None or len(b) == 0:
-            return [0.0] * FEATURE_DIM
-        return [float(sum(b[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)]
-    return payload.map(feat)
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 -> binary P5 bytes (round-trips through
+    decode_image; used by synthesize_payloads and the tests)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode RIFF/WAVE PCM: returns (sample_rate, samples) with
+    samples shaped (n_frames, n_channels) — int16 for 16-bit data,
+    uint8 for 8-bit.  Chunk-walking parser, so extra chunks (LIST,
+    fact...) before ``data`` are fine."""
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(buf)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid, csz = buf[i:i + 4], struct.unpack_from("<I", buf, i + 4)[0]
+        body = buf[i + 8:i + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV encoding ({audio_format}/{bits})")
+    dt = np.dtype("<i2") if bits == 16 else np.uint8
+    frame = channels * dt.itemsize
+    samples = np.frombuffer(data, dtype=dt,
+                            count=(len(data) // frame) * channels)
+    return rate, samples.reshape(-1, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """(n,) or (n, channels) int16 -> 44-byte-header PCM WAV bytes
+    (byte-identical to the stdlib ``wave`` writer — asserted in tests)."""
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    channels = a.shape[1]
+    data = a.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, channels, rate, rate * channels * 2, channels * 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def sample_video_frames(payload: bytes, every_n: int) -> list[np.ndarray]:
+    """Decode a concatenated-P6 frame stream (uncompressed image2pipe
+    interchange) and return every ``every_n``-th frame as (h, w, 3)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    buf = bytes(payload)
+    frames: list[np.ndarray] = []
+    i, idx = 0, 0
+    while i < len(buf):
+        w, h, maxval, off = _pnm_header(buf[i:], b"P6")
+        if not (0 < maxval <= 255):
+            raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+        need = w * h * 3
+        raster = np.frombuffer(buf, dtype=np.uint8, count=need, offset=i + off)
+        if raster.size < need:
+            raise ValueError("truncated frame raster")
+        if idx % every_n == 0:
+            frames.append(raster.reshape(h, w, 3))
+        i += off + need
+        idx += 1
+    return frames
+
+
+def synthesize_payloads(docs: DataFrame) -> DataFrame:
+    """Media table with REAL format payloads derived deterministically
+    from ``documents``: the utf-8 bytes of each text become
+
+    - image (doc_id%3==0): binary PGM, width IMG_WIDTH, rows
+      ``max(1, ceil(n/16))``, zero-padded;
+    - audio (doc_id%3==1): 16-bit mono PCM WAV at AUDIO_RATE, one
+      sample per byte (``(b-128)*256``);
+    - video (doc_id%3==2): concatenated-P6 stream of 4x4 RGB frames,
+      ``max(1, ceil(n/48))`` frames, zero-padded.
+
+    Built in Arrow batches (`mapInPandas`); every payload round-trips
+    through the decoders above, which is what `decoded_media_stats`
+    and the driver oracle verify end-to-end."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out_kind, out_payload, out_meta = [], [], []
+            for did, text, source, lang in zip(
+                    ids, pdf["text"], pdf["source"], pdf["lang"]):
+                data = ("" if text is None else text).encode("utf-8")
+                k = int(did) % 3
+                if k == 0:
+                    h = max(1, -(-len(data) // IMG_WIDTH))
+                    arr = np.frombuffer(
+                        data.ljust(IMG_WIDTH * h, b"\x00"), np.uint8
+                    ).reshape(h, IMG_WIDTH)
+                    out_kind.append("image")
+                    out_payload.append(encode_pgm(arr))
+                elif k == 1:
+                    samples = (np.frombuffer(data, np.uint8)
+                               .astype(np.int16) - 128) * 256
+                    out_kind.append("audio")
+                    out_payload.append(encode_wav(samples))
+                else:
+                    f = max(1, -(-len(data) // _FRAME_BYTES))
+                    buf = data.ljust(_FRAME_BYTES * f, b"\x00")
+                    frames = np.frombuffer(buf, np.uint8).reshape(
+                        f, FRAME_H, FRAME_W, 3)
+                    out_kind.append("video")
+                    out_payload.append(
+                        b"".join(encode_ppm(fr) for fr in frames))
+                out_meta.append({"source": source, "lang": lang})
+            yield pd.DataFrame({
+                "media_id": ids, "kind": out_kind,
+                "payload": out_payload, "meta": out_meta,
+            })
+
+    return docs.select("doc_id", "text", "source", "lang").mapInPandas(
+        run, schema=MEDIA_SCHEMA)
+
+
+def _content_values(kind: str, b: bytes) -> np.ndarray:
+    """Decoded content as a flat integer array; falls back to raw bytes
+    for payloads that aren't one of the supported uncompressed formats
+    (e.g. the opaque text-bytes media of media_from_documents)."""
+    try:
+        if kind == "image":
+            return decode_image(b).ravel()
+        if kind == "audio":
+            return decode_audio(b)[1].ravel()
+        if kind == "video":
+            return np.concatenate(
+                [f.ravel() for f in sample_video_frames(b, 1)])
+    except ValueError:
+        pass
+    return np.frombuffer(b, np.uint8)
+
+
+def _feature(kind: str, b: bytes) -> list[float]:
+    """Deterministic per-item feature: FEATURE_DIM stride sums (mod
+    997) over the DECODED content values (raw bytes for undecodable
+    payloads)."""
+    if b is None or len(b) == 0:
+        return [0.0] * FEATURE_DIM
+    vals = _content_values(kind, b)
+    return [float(int(vals[i::FEATURE_DIM].sum()) % 997)
+            for i in range(FEATURE_DIM)]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the media table.
+    """Arrow-batched decode -> feature extraction over the media table.
 
     `mapInPandas` receives an iterator of pandas batches (one Arrow
-    batch each); a real implementation would decode payloads with a
-    codec here — the batch shape, schema, and partitioning are exactly
-    what that implementation would use.
+    batch each); supported payloads are decoded with the pure-Python
+    codecs above and featurized from decoded values, others from raw
+    bytes.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,7 +304,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(
                         lambda b: 0 if b is None else len(b)),
-                    "feature": _fake_feature(pdf["payload"]),
+                    "feature": [
+                        _feature(k, b)
+                        for k, b in zip(pdf["kind"], pdf["payload"])],
                 }
             )
 
@@ -118,4 +331,82 @@ SELECT doc_id AS media_id,
             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM {table}
+"""
+
+
+DECODED_SCHEMA = ("media_id long, kind string, n_bytes long, "
+                  "n_units long, unit_dim long")
+
+
+def decoded_media_stats(media: DataFrame) -> DataFrame:
+    """Per-item stats read from the DECODED payload (not metadata):
+
+    - image: n_units = decoded height (rows), unit_dim = decoded width;
+    - audio: n_units = decoded sample frames, unit_dim = sample rate;
+    - video: n_units = decoded frame count, unit_dim = frame width.
+
+    Every value comes out of the codec layer, so the driver oracle
+    (``sql_decoded_media_stats`` — pure arithmetic on the source text
+    length) verifies header parsing, chunk walking, and frame
+    segmentation end-to-end on real binary payloads."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            units, dims = [], []
+            for k, b in zip(pdf["kind"], pdf["payload"]):
+                if k == "image":
+                    arr = decode_image(b)
+                    units.append(arr.shape[0])
+                    dims.append(arr.shape[1])
+                elif k == "audio":
+                    rate, samples = decode_audio(b)
+                    units.append(samples.shape[0])
+                    dims.append(rate)
+                else:
+                    frames = sample_video_frames(b, 1)
+                    units.append(len(frames))
+                    dims.append(frames[0].shape[1] if frames else 0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len),
+                "n_units": units,
+                "unit_dim": dims,
+            })
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def sql_decoded_media_stats(table: str = "documents") -> str:
+    """DuckDB twin of synthesize_payloads |> decoded_media_stats —
+    payload sizes and decoded dimensions re-derived arithmetically from
+    the utf-8 text length (n), matching the synthesis geometry:
+
+    - PGM:  rows h = max(1, ceil(n/16)); bytes = len('P5\\n16 {h}\\n255\\n')
+            + 16*h = 11 + digits(h) + 16*h;
+    - WAV:  44-byte PCM header + 2 bytes/sample, n samples;
+    - P6 stream: f = max(1, ceil(n/48)) frames of
+            len('P6\\n4 4\\n255\\n') + 48 = 59 bytes."""
+    return f"""
+WITH mm_base AS (
+  SELECT doc_id,
+         ((doc_id % 3) + 3) % 3 AS k,
+         octet_length(encode(text)) AS n
+  FROM {table}),
+mm_dims AS (
+  SELECT doc_id, k, n,
+         greatest(1, CAST(ceil(n / {IMG_WIDTH}.0) AS BIGINT)) AS h,
+         greatest(1, CAST(ceil(n / {_FRAME_BYTES}.0) AS BIGINT)) AS f
+  FROM mm_base)
+SELECT doc_id AS media_id,
+       CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+       CAST(CASE k
+            WHEN 0 THEN 11 + length(CAST(h AS VARCHAR)) + {IMG_WIDTH} * h
+            WHEN 1 THEN 44 + 2 * n
+            ELSE 59 * f END AS BIGINT) AS n_bytes,
+       CAST(CASE k WHEN 0 THEN h WHEN 1 THEN n ELSE f END
+            AS BIGINT) AS n_units,
+       CAST(CASE k WHEN 0 THEN {IMG_WIDTH} WHEN 1 THEN {AUDIO_RATE}
+            ELSE {FRAME_W} END AS BIGINT) AS unit_dim
+FROM mm_dims
 """

@@ -181,13 +181,83 @@ def test_media_feature_extraction_shape(spark, docs):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_decode_stubs_raise(spark):
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"xx")
-    with pytest.raises(NotImplementedError):
-        M.decode_audio(b"xx")
-    with pytest.raises(NotImplementedError):
-        M.sample_video_frames(b"xx", 10)
+def test_decoded_media_stats_parity(spark, docs, duck):
+    media = M.synthesize_payloads(docs)
+    assert_parity(M.decoded_media_stats(media), duck,
+                  M.sql_decoded_media_stats())
+
+
+def test_image_codec_roundtrip_and_goldens():
+    import numpy as np
+    arr = (np.arange(48).reshape(6, 8) * 5 % 256).astype(np.uint8)
+    assert np.array_equal(M.decode_image(M.encode_pgm(arr)), arr)
+    rgb = (np.arange(60).reshape(4, 5, 3) * 7 % 256).astype(np.uint8)
+    assert np.array_equal(M.decode_image(M.encode_ppm(rgb)), rgb)
+    # hand-crafted header: comment line + multi-space separators
+    raw = b"P5\n# a comment\n3  2\n255\n" + bytes(range(6))
+    assert np.array_equal(M.decode_image(raw),
+                          np.arange(6, dtype=np.uint8).reshape(2, 3))
+    with pytest.raises(ValueError):
+        M.decode_image(b"\x89PNG\r\n")  # compressed formats stay out
+    with pytest.raises(ValueError):
+        M.decode_image(b"P5\n3 2\n255\n\x00")  # truncated raster
+
+
+def test_wav_codec_matches_stdlib_wave():
+    import io
+    import wave
+
+    import numpy as np
+    samples = ((np.arange(100) * 37) % 65536 - 32768).astype(np.int16)
+    ours = M.encode_wav(samples, 8000)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.astype("<i2").tobytes())
+    assert ours == bio.getvalue()  # byte-identical to the stdlib writer
+    rate, dec = M.decode_audio(ours)
+    assert rate == 8000 and np.array_equal(dec.ravel(), samples)
+    # stereo + stdlib-written input decoded by us
+    st = np.stack([samples, samples[::-1]], axis=1)
+    r2, d2 = M.decode_audio(M.encode_wav(st, 44100))
+    assert r2 == 44100 and np.array_equal(d2, st)
+    with pytest.raises(ValueError):
+        M.decode_audio(b"\xff\xd8\xff")
+
+
+def test_video_stream_frame_sampling():
+    import numpy as np
+    frames = [np.full((4, 4, 3), i, np.uint8) for i in range(5)]
+    stream = b"".join(M.encode_ppm(f) for f in frames)
+    picked = M.sample_video_frames(stream, 2)
+    assert len(picked) == 3
+    for p, i in zip(picked, [0, 2, 4]):
+        assert np.array_equal(p, frames[i])
+    assert len(M.sample_video_frames(stream, 1)) == 5
+
+
+def test_extract_features_uses_decoded_content(spark, docs):
+    """Features over synthesized real payloads must come from DECODED
+    values, not raw payload bytes: for audio the decoded int16 samples
+    differ from the WAV container bytes, so the two featurizations
+    disagree."""
+    import numpy as np
+    media = M.synthesize_payloads(docs.limit(30))
+    rows = M.extract_features(media).filter("kind = 'audio'").collect()
+    assert rows
+    payloads = {r["media_id"]: r for r in
+                media.filter("kind = 'audio'").collect()}
+    for r in rows:
+        b = bytes(payloads[r["media_id"]]["payload"])
+        rate, samples = M.decode_audio(b)
+        want = [float(int(samples.ravel()[i::M.FEATURE_DIM].sum()) % 997)
+                for i in range(M.FEATURE_DIM)]
+        raw = [float(int(np.frombuffer(b, np.uint8)[i::M.FEATURE_DIM]
+                         .sum()) % 997) for i in range(M.FEATURE_DIM)]
+        assert r["feature"] == want
+        assert want != raw  # decode path actually engaged
 
 
 def test_token_frequencies_parity(spark, docs, duck):
