@@ -44,9 +44,9 @@ def hits(
     L2-normalized per score."""
     n = graph.num_edge_partitions
     e_by_src = (graph.edges.select("src", "dst")
-                .repartition(n, "src").persist())
+                .repartition(n, "src").sortWithinPartitions("src").persist())
     e_by_dst = (graph.edges.select("src", "dst")
-                .repartition(n, "dst").persist())
+                .repartition(n, "dst").sortWithinPartitions("dst").persist())
     init = graph.vertices.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
 

@@ -109,6 +109,7 @@ def pagerank(
         )
         .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("cw"))
         .repartition(graph.num_edge_partitions, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     if gather == "arrow":
@@ -247,6 +248,7 @@ def _pagerank_delta(
         )
         .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("cw"))
         .repartition(graph.num_edge_partitions, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     # Superstep 0 = signal_all: a full gather at rank 1.0 seeds the
@@ -359,6 +361,7 @@ def personalized_pagerank(
         )
         .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("cw"))
         .repartition(graph.num_edge_partitions, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     is_seed = F.col("id").isin([int(s) for s in seeds])

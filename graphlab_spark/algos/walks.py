@@ -64,9 +64,9 @@ def random_walks(
     rank_w = Window.partitionBy("src").orderBy("dst")
     adj = (adj.select(
         "src", "dst", (F.row_number().over(rank_w) - 1).alias("nbr_rank"))
-        .repartition(n, "src").persist())
+        .repartition(n, "src").sortWithinPartitions("src").persist())
     degs = (adj.groupBy("src").agg(F.count("*").alias("deg"))
-            .repartition(n, "src").persist())
+            .repartition(n, "src").sortWithinPartitions("src").persist())
 
     frontier = graph.vertices.select(
         F.col("id").alias("start"),

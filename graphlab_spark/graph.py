@@ -178,6 +178,12 @@ class EdgeGraph:
         return (
             self.edges.unionAll(rev)
             .repartition(self.num_edge_partitions, SRC)
+            # pre-sorted within partitions: the per-superstep
+            # state ⋈ edges sort-merge join streams the cached edges
+            # without re-sorting them every iteration (the in-memory
+            # analog of save_bucketed's sortBy — measured 2.5x on the
+            # 10M-edge CC fixpoint, BASELINE.md §5 r5)
+            .sortWithinPartitions(SRC)
             .persist()
         )
 

@@ -48,28 +48,49 @@ class BSPResult:
 
 
 class _no_aqe:
-    """Disable adaptive query execution for the duration of a BSP loop
-    (restoring the caller's setting on exit).
+    """Pin loop-hostile SQL confs for the duration of a BSP loop
+    (restoring the caller's settings on exit).
 
-    Rationale: a superstep's plan is shape-identical every iteration —
-    partition counts are fixed up front (num_edge_partitions /
-    shuffle_partitions) and skew is handled explicitly (hub salting),
-    so AQE has nothing left to decide; its per-stage re-optimization
-    and shuffle-stat collection are pure driver overhead that dominates
-    when per-superstep work is small.  Measured (interleaved warm A/B,
-    BASELINE.md §5): converged sf0.1 PageRank mean 20.6s -> 17.2s,
-    ~16%; the big one-shot scans/joins outside the loop keep AQE.
+    Two confs are scoped:
 
-    The conf flip is session-global, so scopes are reference-counted
-    per session under a lock: nested or overlapping loops (e.g. two
-    algorithms driven from separate driver threads on one session)
-    keep AQE off until the LAST scope exits, which restores the value
-    the FIRST scope captured — no clobbered restores, no permanently
-    lost setting.
+    - ``spark.sql.adaptive.enabled`` -> false.  A superstep's plan is
+      shape-identical every iteration — partition counts are fixed up
+      front (num_edge_partitions / shuffle_partitions) and skew is
+      handled explicitly (hub salting), so AQE has nothing left to
+      decide; its per-stage re-optimization and shuffle-stat collection
+      are pure driver overhead that dominates when per-superstep work
+      is small.  Measured (interleaved warm A/B, BASELINE.md §5):
+      converged sf0.1 PageRank mean 20.6s -> 17.2s, ~16%.
+    - ``spark.sql.autoBroadcastJoinThreshold`` -> -1.  When the |V|-row
+      state table fits under the threshold, Catalyst plans the per-
+      superstep state⋈edges join as a broadcast hash join: every
+      superstep then pays a driver collect + rebroadcast of the entire
+      state and an extra broadcast-exchange job (2 jobs/superstep
+      instead of 1).  The co-partitioned shuffle join is the plan a
+      large-graph run uses anyway (state outgrows any threshold), so
+      pinning it makes small-scale behavior match the at-scale plan AND
+      is faster locally: measured (interleaved warm A/B, BASELINE.md
+      §5 r5) converged sf0.1 PageRank 23.0/24.4s -> 19.0/19.4s (~18%)
+      with jobs/superstep 2.04 -> exactly 1.00.  EXPLICIT
+      ``F.broadcast`` hints inside loops (k-row centroid/seed tables)
+      are unaffected — the hint overrides the threshold.
+
+    The big one-shot scans/joins outside loops keep AQE and implicit
+    broadcasts.  The conf flips are session-global, so scopes are
+    reference-counted per session under a lock: nested or overlapping
+    loops (e.g. two algorithms driven from separate driver threads on
+    one session) keep the pins until the LAST scope exits, which
+    restores the values the FIRST scope captured — no clobbered
+    restores, no permanently lost settings.
     """
 
+    #: conf -> pinned in-loop value
+    _PINS = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
     _lock = threading.Lock()
-    _depth: dict[int, tuple[int, str]] = {}
+    _depth: dict[int, tuple[int, dict[str, str]]] = {}
 
     def __init__(self, df: DataFrame, enabled: bool) -> None:
         self.session = df.sparkSession
@@ -81,10 +102,11 @@ class _no_aqe:
             return
         key = id(self.session)
         with self._lock:
-            depth, prev = self._depth.get(key, (0, "true"))
+            depth, prev = self._depth.get(key, (0, {}))
             if depth == 0:
-                prev = self.conf.get("spark.sql.adaptive.enabled", "true")
-                self.conf.set("spark.sql.adaptive.enabled", "false")
+                prev = {k: self.conf.get(k) for k in self._PINS}
+                for k, v in self._PINS.items():
+                    self.conf.set(k, v)
             self._depth[key] = (depth + 1, prev)
 
     def __exit__(self, *exc) -> None:
@@ -94,7 +116,8 @@ class _no_aqe:
         with self._lock:
             depth, prev = self._depth[key]
             if depth == 1:
-                self.conf.set("spark.sql.adaptive.enabled", prev)
+                for k, v in prev.items():
+                    self.conf.set(k, v)
                 del self._depth[key]
             else:
                 self._depth[key] = (depth - 1, prev)
