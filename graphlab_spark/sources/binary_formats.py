@@ -52,9 +52,28 @@ _RECORD_SCHEMA = "rtype int, src long, dst long"
 _MANIFEST_SCHEMA = "file string, n_records long"
 
 
+def _require_local_prefix(prefix: str, op: str) -> None:
+    """These readers/writers glob and open() the driver/executor-local
+    filesystem, which is only correct when driver and executors share
+    it (local / local-cluster mode, or a shared mount).  A remote URI
+    (hdfs://, s3a://...) would silently scatter shards across executor-
+    local disks, so fail fast instead (ADVICE r4; the reference's
+    save_direct routes such paths through Hadoop FS —
+    distributed_graph.hpp:3258-3341)."""
+    scheme = prefix.split("://", 1)[0] if "://" in prefix else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"{op}: {prefix!r} is a remote URI; the bintsv4/graphjrl "
+            "shard IO assumes a filesystem shared between driver and "
+            "executors (local mode). Write to a local/shared path and "
+            "distcp, or use the parquet checkpoint/bucketed formats "
+            "for cluster-native IO.")
+
+
 def _input_files(spark: SparkSession, prefix: str) -> DataFrame:
     """All ``prefix_k_of_n[.gz]`` shards (or ``prefix`` itself if it is
     one plain file) as a ``binaryFile`` DataFrame — (path, content)."""
+    _require_local_prefix(prefix, "load")
     paths = sorted(_glob.glob(prefix + "_*_of_*") + _glob.glob(prefix))
     paths = [p for p in paths if os.path.isfile(p)]
     if not paths:
@@ -113,14 +132,17 @@ def save_bintsv4(edges: DataFrame, prefix: str, n_shards: int = 4,
     vertices (rows of ``vertices`` touching no edge) get the
     0xFFFFFFFF sentinel, mirroring ``save_bintsv4_to_stream``.
     Returns the (file, n_records) manifest."""
-    recs = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    _require_local_prefix(prefix, "save_bintsv4")
+    recs = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"),
+                        F.lit(False).alias("__iso"))
     if vertices is not None:
         touched = (edges.select(F.col("src").alias("id"))
                    .union(edges.select(F.col("dst").alias("id"))).distinct())
         isolated = vertices.select("id").join(touched, "id", "left_anti")
         recs = recs.unionAll(isolated.select(
             F.col("id").alias("src"),
-            F.lit(_BINTSV4_SENTINEL).cast("long").alias("dst")))
+            F.lit(_BINTSV4_SENTINEL).cast("long").alias("dst"),
+            F.lit(True).alias("__iso")))
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
     suffix = ".gz" if gzip else ""
 
@@ -131,6 +153,15 @@ def save_bintsv4(edges: DataFrame, prefix: str, n_shards: int = 4,
         arr = pdf[["src", "dst"]].to_numpy()
         if ((arr < 0) | (arr > _BINTSV4_SENTINEL)).any():
             raise ValueError("bintsv4 ids must fit in uint32")
+        # a real edge whose dst happens to be 0xFFFFFFFF would read
+        # back as an isolated-vertex record (the reference shares the
+        # read-side ambiguity, builtin_parsers.hpp; ADVICE r4: a writer
+        # can and should refuse to create the collision)
+        iso = pdf["__iso"].to_numpy()
+        if ((~iso) & (arr[:, 1] == _BINTSV4_SENTINEL)).any():
+            raise ValueError(
+                "bintsv4: edge dst == 0xFFFFFFFF collides with the "
+                "isolated-vertex sentinel and cannot be written")
         buf = np.ascontiguousarray(arr.astype("<u4")).tobytes()
         if gzip:
             buf = _gzip.compress(buf)
@@ -236,6 +267,7 @@ def save_graphjrl(edges: DataFrame, prefix: str, n_shards: int = 4,
     edge data): every vertex row (if given) becomes a ``\\x00`` record
     and every edge a ``\\x01`` record, escaped per
     ``graphjrl_writer``.  Returns the (file, n_records) manifest."""
+    _require_local_prefix(prefix, "save_graphjrl")
     if vid_bytes not in (4, 8):
         raise ValueError("vid_bytes must be 4 (USE_VID32) or 8")
     recs = edges.select(F.lit(1).alias("rtype"),

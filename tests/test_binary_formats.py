@@ -161,3 +161,31 @@ def test_bintsv4_rejects_truncated_shard(spark, tmp_path):
     (tmp_path / "g_1_of_1").write_bytes(b"\x01\x00\x00\x00\x02\x00")
     with pytest.raises(Exception, match="multiple of 8"):
         load_bintsv4(spark, str(tmp_path / "g")).collect()
+
+
+def test_bintsv4_rejects_sentinel_dst_edge(spark, tmp_path):
+    """An edge whose dst is 0xFFFFFFFF would round-trip as an
+    isolated-vertex record; the writer refuses the collision (the
+    deliberate sentinel rows for isolated vertices still write)."""
+    edges = spark.createDataFrame([(1, 0xFFFFFFFF)], "src long, dst long")
+    with pytest.raises(Exception, match="sentinel"):
+        save_bintsv4(edges, str(tmp_path / "g"), n_shards=1)
+    ok = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    save_bintsv4(ok, str(tmp_path / "h"), n_shards=1, vertices=verts)
+    got = load_bintsv4(spark, str(tmp_path / "h")).collect()
+    assert {(r["src"], r["dst"]) for r in got} == {(1, 2)}
+
+
+def test_binary_io_rejects_remote_uris(spark, tmp_path):
+    """Shard IO opens the local filesystem; remote URIs fail fast
+    instead of silently scattering shards across executor disks."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for fn in (save_bintsv4,):
+        with pytest.raises(ValueError, match="remote URI"):
+            fn(edges, "hdfs://nn:8020/tmp/g")
+    from graphlab_spark.sources.binary_formats import save_graphjrl
+    with pytest.raises(ValueError, match="remote URI"):
+        save_graphjrl(edges, "s3a://bucket/g")
+    with pytest.raises(ValueError, match="remote URI"):
+        load_bintsv4(spark, "hdfs://nn:8020/tmp/g")
