@@ -916,6 +916,22 @@ def q_vision_camera_offsets(spark, sf_dir):
     return V.camera_offsets(t)
 
 
+def q_vision_composite_stats(spark, sf_dir):
+    """Stitch tail (r5: de-stubbed 1-D geometry): warp each matched
+    image into root-frame byte coordinates and report per-panorama
+    canvas stats; the oracle replays pos0/width arithmetic on top of
+    the recursive camera-offsets CTE."""
+    from graphlab_spark.functions import vision as V
+    imgs = V.images_with_shifted_copies(_docs(spark, sf_dir))
+    cams = V.camera_offsets(
+        V.estimate_pair_transforms(V.content_features(imgs)))
+    warped = V.warp_images(imgs, cams)
+    return warped.groupBy("pano").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        (F.max(F.col("pos0") + F.col("width")) - F.min("pos0"))
+        .cast("long").alias("width"))
+
+
 def q_sparse_als2_user_factors(spark, sf_dir):
     """Sparse ALS at k=2, s=1 with portable init: the CoSaMP
     identify+re-estimate step (dense Cramer solve -> abs-argmax
@@ -1349,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_frontier": q_lpa_frontier,
         "vision_pair_transforms": q_vision_pair_transforms,
         "vision_camera_offsets": q_vision_camera_offsets,
+        "vision_composite_stats": q_vision_composite_stats,
         "dedup_minhash_clusters": q_minhash_clusters,
         "sim_cosine_pairs": q_cosine_pairs,
         "sim_cosine_dup_clusters": q_cosine_dup_clusters,
@@ -1734,6 +1751,7 @@ SELECT id, cluster FROM r WHERE rn = 1
         "vision_panorama_groups": O.sql_vision_panorama_groups(),
         "vision_pair_transforms": O.sql_vision_pair_transforms(),
         "vision_camera_offsets": O.sql_vision_camera_offsets(),
+        "vision_composite_stats": O.sql_vision_composite_stats(),
         "cf_adpredictor_weights": O.sql_adpredictor_weights(iterations=3),
         "cf_svd_power_v": O.sql_svd_power(iterations=8),
         "lda_word_topics": O.sql_lda_word_topics(k=4, iterations=2),

@@ -17,19 +17,22 @@ engine already ships:
 
 Spark mapping: images are binary-payload rows (the multimodal column
 convention, ``functions/multimodal.py``); feature extraction runs as an
-Arrow ``mapInPandas`` batch kernel whose real decode step is stubbed
-(no codec libraries in this container) while a deterministic
-chunk-hash stand-in extractor IS real and replayed by a pure-expression
-twin, so the whole match-graph phase is value-oracled.  Matching is a
+Arrow ``mapInPandas`` batch kernel (``decode_pixels`` handles
+uncompressed Netpbm via the multimodal codec layer; compressed formats
+need codec libraries this container doesn't ship) whose deterministic
+chunk-hash extractor is replayed by a pure-expression twin, so the
+whole match-graph phase is value-oracled.  Matching is a
 quantized-descriptor equi-join — the visual-words / LSH form of
 descriptor matching (bucket join on the quantized descriptor, never
 all-pairs; a document-frequency cap drops stop-features the way image
 retrieval drops stop-words), which is the matcher shape that survives
 100 TB.  Panorama grouping is the engine's own hash-min connected
-components over the match edges.  The OpenCV geometry tail
-(``warp_images``/``find_seams``/``composite_images``) raises
-``NotImplementedError`` with the same documented-stub policy as the
-media codecs.
+components over the match edges.  The geometry tail
+(``warp_images``/``find_seams``/``composite_images``) is implemented in
+the module's stand-in 1-D byte geometry (translation warp, mid-overlap
+seams, per-panorama canvas overlay) — the distributed plumbing a real
+OpenCV spherical warp/graph-cut/multi-band blend would consume; the
+OpenCV pixel math itself stays out per the documented codec policy.
 """
 
 from __future__ import annotations
@@ -154,8 +157,12 @@ def compute_features_arrow(images: DataFrame) -> DataFrame:
 
 
 def decode_pixels(payload: bytes) -> object:
-    """STUB: real pixel decode requires PIL/opencv (not installed)."""
-    raise NotImplementedError("image codecs unavailable in this environment")
+    """Decode uncompressed Netpbm payloads (PGM/PPM) via the
+    multimodal codec layer; compressed formats (JPEG/PNG...) raise
+    ``ValueError`` there — those genuinely need codec libraries this
+    container doesn't ship (documented policy)."""
+    from .multimodal import decode_image
+    return decode_image(payload)
 
 
 def match_features(features: DataFrame, df_cap: int = DF_CAP,
@@ -215,7 +222,6 @@ def panorama_groups(matches: DataFrame) -> DataFrame:
 # inliers / (8 + 0.3 * matches), and camera "offsets" are the
 # homography-chain initialization — a level-synchronous BFS from each
 # panorama root accumulating pairwise shifts.  Only the pixel-touching
-# warp/seam/composite tail remains stubbed below.
 
 def images_with_shifted_copies(docs: DataFrame,
                                copy_every: int = 5) -> DataFrame:
@@ -383,23 +389,83 @@ def camera_offsets(transforms: DataFrame,
 
 
 def warp_images(images: DataFrame, cameras: DataFrame) -> DataFrame:
-    """STUB (``stitch_main.cpp:302``): spherical warp needs OpenCV."""
-    raise NotImplementedError(
-        "camera warp requires OpenCV (not installed); the match-graph "
-        "and camera-estimation phases above are the distributed part "
-        "of the pipeline")
+    """``stitch_main.cpp:302``'s warp in the module's stand-in 1-D byte
+    geometry: each matched image is translated into its panorama's root
+    coordinate frame.  ``camera_offsets`` accumulates
+    ``offset(b) = offset(a) + avg(kp_b - kp_a)`` (how far b's content
+    sits AHEAD inside b relative to a), so image b's origin in root
+    coordinates is ``-offset`` patches: ``pos0 = floor(-offset*CHUNK
+    + 0.5)`` bytes.  Returns (img_id, pano, pos0, width) — the real
+    spherical warp is OpenCV pixel math (documented codec policy); the
+    coordinate plumbing here is what it would consume."""
+    pos0 = F.floor(-F.col("offset") * CHUNK + F.lit(0.5)).cast("long")
+    return (
+        images.join(cameras, images["img_id"] == cameras["id"])
+        .select("img_id", "pano", pos0.alias("pos0"),
+                F.octet_length("payload").cast("long").alias("width"))
+    )
 
 
-def find_seams(images: DataFrame, matches: DataFrame) -> DataFrame:
-    """STUB (``stitch_main.cpp:309``): graph-cut seams need OpenCV."""
-    raise NotImplementedError(
-        "seam finding requires OpenCV (not installed)")
+def find_seams(warped: DataFrame) -> DataFrame:
+    """``stitch_main.cpp:309``'s seam finding in the 1-D stand-in: for
+    images ordered by (pos0, img_id) within a panorama, each image
+    starts contributing at the midpoint of its overlap with the
+    coverage so far (``start = (pos0 + min(prev_end, end)) // 2`` when
+    overlapping, else ``pos0``) — the 1-D analog of a mid-overlap
+    graph-cut seam.  Returns (pano, img_id, pos0, width, start); the
+    same rule drives :func:`composite_images` (asserted in tests)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("pano").orderBy("pos0", "img_id")
+    end = F.col("pos0") + F.col("width")
+    prev_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    seam = F.when(
+        prev_end > F.col("pos0"),
+        F.floor((F.col("pos0") + F.least(prev_end, end)) / 2)
+    ).otherwise(F.col("pos0")).cast("long")
+    return warped.select("pano", "img_id", "pos0", "width",
+                         seam.alias("start"))
 
 
-def composite_images(images: DataFrame) -> DataFrame:
-    """STUB (``stitch_main.cpp:313``): blending needs OpenCV."""
-    raise NotImplementedError(
-        "compositing requires OpenCV (not installed)")
+def composite_images(images: DataFrame, cameras: DataFrame) -> DataFrame:
+    """``stitch_main.cpp:313``'s compositing in the 1-D stand-in: per
+    panorama, overlay the warped byte rows on a shared canvas, each
+    image contributing from its :func:`find_seams` start position.
+    Grouped Arrow batches (``applyInPandas`` keyed by pano — a panorama
+    is a small set of images, compositing is inherently per-panorama);
+    returns (pano, n_images, width, payload).  Consistent overlaps
+    (the planted shifted-copy corpus) reconstruct the original bytes
+    exactly — the pytest golden."""
+    import numpy as np
+
+    warped = (
+        images.join(cameras, images["img_id"] == cameras["id"])
+        .select("pano", "img_id",
+                F.floor(-F.col("offset") * CHUNK + F.lit(0.5))
+                .cast("long").alias("pos0"), "payload")
+    )
+
+    def compose(key, pdf):
+        pdf = pdf.sort_values(["pos0", "img_id"])
+        base = int(pdf["pos0"].min())
+        total = int((pdf["pos0"] + pdf["payload"].map(len)).max()) - base
+        canvas = np.zeros(total, np.uint8)
+        cur_end = None
+        for pos0, payload in zip(pdf["pos0"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), np.uint8)
+            pos0, end = int(pos0), int(pos0) + len(b)
+            # same mid-overlap seam rule as find_seams
+            start = (pos0 if cur_end is None or cur_end <= pos0
+                     else (pos0 + min(cur_end, end)) // 2)
+            canvas[start - base:end - base] = b[start - pos0:]
+            cur_end = end if cur_end is None else max(cur_end, end)
+        return pd.DataFrame({
+            "pano": [key[0]], "n_images": [len(pdf)],
+            "width": [total], "payload": [canvas.tobytes()],
+        })
+
+    return warped.groupBy("pano").applyInPandas(
+        compose, "pano long, n_images long, width long, payload binary")
 
 
 # ---------------------------------------------------------------------------

@@ -2417,6 +2417,29 @@ FROM off o CROSS JOIN chk
 WHERE o.iter = (SELECT max(iter) FROM off) AND chk.ok = 0""")
 
 
+def sql_vision_composite_stats(cap: int = 64) -> str:
+    """Twin of ``vision.warp_images`` |> per-pano canvas stats (the
+    stitch tail's coordinate plumbing): each matched image occupies
+    ``[pos0, pos0 + len)`` root-frame bytes with
+    ``pos0 = floor(-offset*CHUNK + 0.5)``; the composite canvas width
+    is ``max(end) - min(pos0)``.  The camera-offsets recursion runs as
+    a nested CTE; the outer ``images`` CTE re-derives payload lengths
+    (ASCII corpus: char length == octet length, and non-ASCII images
+    never produce features, so they cannot appear among the offsets)."""
+    from .functions.vision import CHUNK, sql_images_shifted
+    inner = sql_vision_camera_offsets(cap)
+    return ("WITH " + sql_images_shifted().strip() + ",\n"
+            + f"coff AS ({inner}),\n" + f"""
+cwarp AS (
+  SELECT c.pano,
+         CAST(floor(-c."offset" * {CHUNK} + 0.5) AS BIGINT) AS pos0,
+         CAST(length(i.payload) AS BIGINT) AS w
+  FROM coff c JOIN images i ON i.img_id = c.id)
+SELECT pano, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(max(pos0 + w) - min(pos0) AS BIGINT) AS width
+FROM cwarp GROUP BY pano""")
+
+
 # ---------------------------------------------------------------------------
 # N-ary factor-graph max-sum BP (mirrors algos/factor_bp.py over the
 # sources/parsers.py::load_synthetic_factor_graph model — the factors/

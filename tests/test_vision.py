@@ -68,13 +68,66 @@ def test_panorama_groups_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_geometry_stubs_raise(spark):
-    for fn, args in ((V.decode_pixels, (b"x",)),
-                     (V.warp_images, (None, None)),
-                     (V.find_seams, (None, None)),
-                     (V.composite_images, (None,))):
-        with pytest.raises(NotImplementedError):
-            fn(*args)
+def test_decode_pixels_netpbm_and_policy(spark):
+    import numpy as np
+    arr = (np.arange(32).reshape(4, 8) * 3 % 256).astype(np.uint8)
+    from graphlab_spark.functions.multimodal import encode_pgm
+    assert np.array_equal(V.decode_pixels(encode_pgm(arr)), arr)
+    with pytest.raises(ValueError):
+        V.decode_pixels(b"\x89PNG\r\n")  # compressed formats stay out
+
+
+def test_warp_seam_composite_reconstructs_chain(spark):
+    """Three 16-aligned overlapping windows of one byte string must
+    recompose to the original: A=t[0:48], B=t[16:64], C=t[32:80] chain
+    through pairwise 2-patch overlaps; warp places them at 0/16/32 in
+    root coordinates and the composite canvas equals t exactly."""
+    t = "".join(chr(65 + (i * 11) % 26) for i in range(80))
+    imgs = spark.createDataFrame(
+        [(0, bytearray(t[0:48], "ascii")),
+         (1, bytearray(t[16:64], "ascii")),
+         (2, bytearray(t[32:80], "ascii"))],
+        "img_id long, payload binary")
+    cams = V.camera_offsets(
+        V.estimate_pair_transforms(V.content_features(imgs)))
+    got = {r["id"]: (r["pano"], r["offset"]) for r in cams.collect()}
+    assert got == {0: (0, 0.0), 1: (0, -1.0), 2: (0, -2.0)}
+
+    warped = V.warp_images(imgs, cams)
+    rows = {r["img_id"]: (r["pos0"], r["width"]) for r in warped.collect()}
+    assert rows == {0: (0, 48), 1: (16, 48), 2: (32, 48)}
+
+    seams = {r["img_id"]: r["start"]
+             for r in V.find_seams(warped).collect()}
+    # B overlaps [16,48): seam at (16+48)//2 = 32; C overlaps [32,64):
+    # seam at (32+64)//2 = 48
+    assert seams == {0: 0, 1: 32, 2: 48}
+
+    comp = V.composite_images(imgs, cams).collect()
+    assert len(comp) == 1
+    r = comp[0]
+    assert (r["pano"], r["n_images"], r["width"]) == (0, 3, 80)
+    assert bytes(r["payload"]) == t.encode("ascii")
+
+
+def test_composite_golden_on_planted_copy_corpus(spark):
+    """images_with_shifted_copies plants prefix-truncated copies: each
+    pure (original, copy) panorama must composite back to the ORIGINAL
+    document bytes (copy content is a subset at offset +16)."""
+    texts = {d: "".join(chr(97 + (d * 13 + i * 7) % 26) for i in range(70 + d))
+             for d in range(4)}
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string")
+    imgs = V.images_with_shifted_copies(docs, copy_every=1)
+    cams = V.camera_offsets(
+        V.estimate_pair_transforms(V.content_features(imgs)))
+    comp = V.composite_images(imgs, cams)
+    for r in comp.collect():
+        members = {x["id"] for x in
+                   cams.filter(F.col("pano") == r["pano"]).collect()}
+        if len(members) == 2 and any(m < 0 for m in members):
+            d = max(members)
+            assert bytes(r["payload"]) == texts[d].encode("ascii"), d
 
 
 def test_match_graph_scale_candidates_linear(spark):
