@@ -89,7 +89,17 @@ def betweenness(
     # ambiguous-self-join analysis and grow the plan unboundedly.
     # truncate_lineage is eager, so each call IS the level's one action.
     edges_plan = (graph.edges if directed else graph.symmetric_edges)
-    edges = truncate_lineage(edges_plan.select("src", "dst").distinct())
+    # repartition+sort BEFORE the lineage cut: localCheckpoint preserves
+    # both the hash partitioning and the within-partition order, so the
+    # per-level frontier ⋈ edges merge joins stream the checkpointed
+    # sorted blocks with no per-level exchange or sort of the edge side
+    # (locally neutral on the 398k-edge sf0.1 graph — driver actions
+    # dominate — but at scale a per-level full-edge shuffle+sort is the
+    # dominant cost this layout removes)
+    edges = truncate_lineage(
+        edges_plan.select("src", "dst").distinct()
+        .repartition(graph.num_edge_partitions, "src")
+        .sortWithinPartitions("src"))
     visited, max_dist = _forward_bfs(graph, edges, sources,
                                      max_supersteps, verbose)
 
@@ -171,7 +181,17 @@ def harmonic_centrality(
     and its ``RuntimeError`` on a truncated BFS.
     """
     edges_plan = (graph.edges if directed else graph.symmetric_edges)
-    edges = truncate_lineage(edges_plan.select("src", "dst").distinct())
+    # repartition+sort BEFORE the lineage cut: localCheckpoint preserves
+    # both the hash partitioning and the within-partition order, so the
+    # per-level frontier ⋈ edges merge joins stream the checkpointed
+    # sorted blocks with no per-level exchange or sort of the edge side
+    # (locally neutral on the 398k-edge sf0.1 graph — driver actions
+    # dominate — but at scale a per-level full-edge shuffle+sort is the
+    # dominant cost this layout removes)
+    edges = truncate_lineage(
+        edges_plan.select("src", "dst").distinct()
+        .repartition(graph.num_edge_partitions, "src")
+        .sortWithinPartitions("src"))
     visited, _ = _forward_bfs(graph, edges, sources, max_supersteps,
                               verbose)
     return truncate_lineage(
