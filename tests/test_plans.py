@@ -189,3 +189,31 @@ def test_no_aqe_scope_is_reentrant(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     inner.__exit__()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_one_job_per_superstep(spark):
+    """The r5 fixed-cost contract: a PageRank superstep runs EXACTLY
+    one Spark job (the localCheckpoint materialization the Observation
+    convergence read rides on).  A second job per superstep means an
+    implicit broadcast-exchange crept back into the loop (the
+    autoBroadcastJoinThreshold pin in _no_aqe regressed) or an extra
+    action was added to the step path."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.algos.pagerank import pagerank
+    from graphlab_spark.graph import EdgeGraph
+    from graphlab_spark.sources.parsers import load_synthetic_powerlaw
+
+    g = EdgeGraph(load_synthetic_powerlaw(spark, 500, seed=7),
+                  num_edge_partitions=4)
+    g.num_edges
+    pagerank(g, fixed_supersteps=1, resume=False)  # warm all layouts
+    store = spark.sparkContext._jsc.sc().statusStore()
+    j0 = store.jobsList(None).size()
+    pagerank(g, fixed_supersteps=4, resume=False)
+    jobs = store.jobsList(None).size() - j0
+    # 4 superstep jobs + at most one one-time contribution-layout
+    # build; the broadcast regression this guards against doubles the
+    # count (2 jobs/superstep = 8+)
+    assert jobs <= 5, f"expected <=1 job/superstep (+1 build), got {jobs}/4"
+    g.unpersist()
